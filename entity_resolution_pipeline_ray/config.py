@@ -1,0 +1,99 @@
+"""Engine configuration.
+
+Analog of the reference's ``config.yml`` (see /root/reference/config.yml) but as a
+plain dataclass: every knob that shapes results (seeds, shingle/band geometry,
+feature set, classifier hyperparameters, clustering thresholds) lives here so a
+pipeline run is reproducible from the config alone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    """MinHash/LSH geometry.
+
+    num_perm = num_bands * band_rows.  With band_rows=4, num_bands=32 the
+    collision probability for Jaccard 0.7 is 1-(1-0.7^4)^32 ≈ 0.9998 — chosen so
+    that planted near-duplicate clusters (template noise keeps pair Jaccard
+    >= ~0.7) block together with margin, supporting the pairwise-F1 >= 0.99 gate.
+    """
+
+    num_perm: int = 128
+    num_bands: int = 32
+    shingle_size: int = 3  # word shingles
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class BlockingConfig:
+    """Candidate-generation knobs.
+
+    max_block_size / pair_budget guard against power-law hot blocks (top
+    domains / shared templates): an uncapped block of n docs emits n*(n-1)/2
+    pairs.  Blocks larger than ``max_block_size`` are deterministically
+    sub-sampled (sorted by doc_id, stride sampling) and flagged in the stage
+    metrics.  The reference never faced this (its candidate-generation stage is
+    declared but unimplemented — /root/reference/src/pipeline.py:354).
+    """
+
+    max_block_size: int = 200
+    use_title_key: bool = True
+
+
+@dataclass(frozen=True)
+class TfidfConfig:
+    vocab_size: int = 50_000
+    min_df: int = 2
+
+
+@dataclass(frozen=True)
+class ClassifierConfig:
+    """Mirrors the reference trainer hyperparameters
+    (/root/reference/src/batch_parallel_classification.py:456-536, config.yml:196-206)."""
+
+    learning_rate: float = 0.1
+    max_iterations: int = 1000
+    convergence_tolerance: float = 1e-4
+    l2_lambda: float = 1e-4
+    batch_size: int = 1000
+    class_weight: str = "balanced"
+    decision_threshold: float = 0.6
+    train_ratio: float = 0.7
+    random_seed: int = 42
+
+
+@dataclass(frozen=True)
+class ClusteringConfig:
+    """Transitive clustering (reference analog:
+    /root/reference/src/batch_parallel_classification.py:840-943, config.yml:209-214)."""
+
+    min_edge_weight: float = 0.5
+    min_cluster_size: int = 1
+    max_rounds: int = 100
+
+
+@dataclass(frozen=True)
+class ExecutionConfig:
+    """Per-stage physical knobs — sized so no stage starves the others."""
+
+    batch_size: int = 1024
+    scorer_concurrency: int = 4
+    scorer_batch_size: int = 4096
+    join_num_partitions: int = 32
+    broadcast_threshold_rows: int = 2_000_000  # below this, side tables are ray.put broadcast
+
+
+@dataclass(frozen=True)
+class ERConfig:
+    minhash: MinHashConfig = field(default_factory=MinHashConfig)
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    tfidf: TfidfConfig = field(default_factory=TfidfConfig)
+    classifier: ClassifierConfig = field(default_factory=ClassifierConfig)
+    clustering: ClusteringConfig = field(default_factory=ClusteringConfig)
+    execution: ExecutionConfig = field(default_factory=ExecutionConfig)
+
+
+DEFAULT_CONFIG = ERConfig()

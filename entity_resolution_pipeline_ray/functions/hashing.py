@@ -1,0 +1,151 @@
+"""Deterministic hashing kernels: interning hashes, stable u64 ids, MinHash, SimHash.
+
+Reference analog for string interning: ``compute_string_hash``
+(/root/reference/src/utils.py:88-112) — MD5 of the string, with a fixed constant for
+empty input.  We keep MD5 as the interning key (hex form, DuckDB-oracle-matchable
+via ``md5(...)``) and additionally expose the reference's decimal-int form for
+parity.  All other hashing (doc ids, shingles, band keys) uses stable 64-bit
+hashes computed vectorized — never Python's seed-dependent ``hash()``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+# Reference uses a fixed constant hash for empty strings (src/utils.py:99).
+EMPTY_MD5_HEX = hashlib.md5(b"").hexdigest()
+
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def md5_hex(values) -> list[str]:
+    """MD5 hex digest per string (None/empty → digest of b"").
+
+    Matches DuckDB ``md5(col)`` exactly for non-null strings — the oracle parity
+    contract for the interning queries.
+    """
+    out = []
+    for v in values:
+        b = v.encode("utf-8") if isinstance(v, str) else (v or b"")
+        out.append(hashlib.md5(b).hexdigest())
+    return out
+
+
+def md5_int_str(values) -> list[str]:
+    """Reference-parity interning key: MD5 hex converted to a decimal integer
+    string (/root/reference/src/utils.py:88-112)."""
+    return [str(int(h, 16)) for h in md5_hex(values)]
+
+
+def stable_u64(values: np.ndarray | list) -> np.ndarray:
+    """Stable (process-independent) unsigned 64-bit hash of strings, vectorized.
+
+    Uses pandas' SipHash-based ``hash_array`` with a fixed key — deterministic
+    across runs, workers and machines (unlike builtin ``hash``).
+    """
+    arr = np.asarray(values, dtype=object)
+    # hash_key must be exactly 16 bytes
+    return pd.util.hash_array(arr, hash_key="er_ray_engine_k0", categorize=False).astype(np.uint64)
+
+
+def doc_id_for_urls(urls) -> np.ndarray:
+    """int64 doc id from url — the engine's record key (url plays the role of
+    the reference's ``personId``, FIXTURES.md §1).
+
+    63-bit (top bit dropped) so the id survives every signed-int64 context —
+    Ray groupby/Min aggregates, pandas merges, DuckDB oracles — without
+    overflow or float round-trips.
+    """
+    return (stable_u64(urls) >> np.uint64(1)).astype(np.int64)
+
+
+class MinHasher:
+    """Vectorized MinHash signatures over word shingles.
+
+    k universal-ish hash functions h_i(x) = (a_i * x + b_i) mod 2^64 applied to
+    stable u64 shingle hashes; signature element i = min over shingles.
+    Deterministic from (num_perm, seed).  Replaces the reference's
+    OpenAI-embedding + Weaviate-HNSW similarity machinery
+    (/root/reference/src/batch_parallel_embedding.py, batch_parallel_indexing.py)
+    with a self-contained sketch.
+    """
+
+    def __init__(self, num_perm: int = 128, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        # odd multipliers for better mixing under mod-2^64 arithmetic
+        self.a = (rng.randint(1, 2**62, size=num_perm).astype(np.uint64) * np.uint64(2) + np.uint64(1))
+        self.b = rng.randint(0, 2**62, size=num_perm).astype(np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """(n_shingles,) u64 → (num_perm,) u64 signature; empty input → all MAX."""
+        if shingle_hashes.size == 0:
+            return np.full(self.num_perm, _MASK64, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            # (n, k) = shingles × permutations; overflow wraps mod 2^64 (intended)
+            m = shingle_hashes[:, None] * self.a[None, :] + self.b[None, :]
+        return m.min(axis=0)
+
+    def signatures(self, shingle_hash_arrays) -> np.ndarray:
+        """List of per-doc shingle-hash arrays → (n_docs, num_perm) u64."""
+        out = np.empty((len(shingle_hash_arrays), self.num_perm), dtype=np.uint64)
+        for i, sh in enumerate(shingle_hash_arrays):
+            out[i] = self.signature(sh)
+        return out
+
+
+def band_keys(signatures: np.ndarray, num_bands: int) -> np.ndarray:
+    """LSH band keys, vectorized: (n_docs, num_perm) u64 → (n_docs, num_bands) u64.
+
+    Two docs share key j iff their signatures agree on band j's slice.  The band
+    index is mixed into the FNV fold so different bands occupy disjoint key
+    spaces.  Keys are uint64 (not strings) — far cheaper to shuffle/groupby at
+    scale; a 64-bit birthday collision merely merges two unrelated blocks, which
+    costs a few spurious candidate pairs that the scorer prunes (recall is
+    unaffected — blocking keys only ever ADD candidates).
+    """
+    n_docs, num_perm = signatures.shape
+    assert num_perm % num_bands == 0, "num_perm must be divisible by num_bands"
+    r = num_perm // num_bands
+    sig3 = signatures.reshape(n_docs, num_bands, r)
+    bands = np.arange(1, num_bands + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.broadcast_to((_FNV_OFFSET ^ bands) * _FNV_PRIME, (n_docs, num_bands)).copy()
+        for j in range(r):
+            acc = (acc ^ sig3[:, :, j]) * _FNV_PRIME
+    return acc
+
+
+def simhash64(token_lists) -> np.ndarray:
+    """64-bit SimHash per document from its token list (unweighted).
+
+    Near-duplicates have small Hamming distance between simhashes.
+    """
+    out = np.zeros(len(token_lists), dtype=np.uint64)
+    bits = np.arange(64, dtype=np.uint64)
+    for i, toks in enumerate(token_lists):
+        if not toks:
+            continue
+        h = stable_u64(np.asarray(toks, dtype=object))
+        # (n_tokens, 64) bit matrix → column sums vs n/2
+        bitmat = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = bitmat.sum(axis=0) * 2 - len(toks)
+        word = np.uint64(0)
+        for j in range(64):
+            if votes[j] > 0:
+                word |= np.uint64(1) << np.uint64(j)
+        out[i] = word
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between u64 arrays."""
+    x = np.bitwise_xor(a, b)
+    # popcount via unpackbits on the byte view
+    bytes_view = x.astype(np.uint64).view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(bytes_view, axis=1).sum(axis=1)

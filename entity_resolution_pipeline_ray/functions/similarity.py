@@ -1,0 +1,169 @@
+"""Pairwise similarity kernels for the feature-engineering stage.
+
+Reference analogs (/root/reference/src/batch_parallel_feature_engineering.py):
+- cosine similarity :670-702 (0.0 on empty/zero vectors), [-1,1]→[0,1] renorm :437-439
+- Levenshtein similarity :504-514 (1 - dist/max_len)
+- Jaro-Winkler :516-520 (reference uses jellyfish; ours is a from-scratch
+  implementation of the public algorithm)
+- harmonic mean /root/reference/src/utils.py:163-176 (2ab/(a+b), 0 if either <= 0)
+- product interaction :549-554, sigmoid-normalized ratio :556-570
+
+All kernels operate on whole batches (numpy arrays / lists) — per-pair Python is
+confined to the intrinsically scalar string DPs, each of which is O(len^2) C-ish
+numpy row DP rather than nested Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def harmonic_mean(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """2ab/(a+b); 0.0 where either side <= 0 (reference /root/reference/src/utils.py:163-176)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    denom = a + b
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where((a > 0) & (b > 0) & (denom > 0), 2.0 * a * b / np.where(denom == 0, 1, denom), 0.0)
+    return out
+
+
+def renorm_01(cos: np.ndarray) -> np.ndarray:
+    """[-1,1] → [0,1] (reference :437-439)."""
+    return (np.asarray(cos, dtype=np.float64) + 1.0) / 2.0
+
+
+def sigmoid_ratio(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Sigmoid-normalized ratio 2/(1+e^-r)-1 with r=min/max (reference :556-570);
+    0 where either side is 0."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mx = np.maximum(a, b)
+    mn = np.minimum(a, b)
+    r = np.where(mx > 0, mn / np.where(mx == 0, 1, mx), 0.0)
+    return 2.0 / (1.0 + np.exp(-r)) - 1.0
+
+
+def levenshtein_sim(a: str, b: str) -> float:
+    """1 - levenshtein(a,b)/max(len); 1.0 for two empties (reference :504-514)."""
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    if a == b:
+        return 1.0
+    # numpy row DP: O(la) rows of O(lb) vector ops
+    bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.arange(lb + 1, dtype=np.int32)
+    cur = np.empty(lb + 1, dtype=np.int32)
+    for i, ca in enumerate(a):
+        cav = np.uint32(ord(ca))
+        cur[0] = i + 1
+        sub = prev[:-1] + (bv != cav)
+        ins = prev[1:] + 1
+        np.minimum(sub, ins, out=sub)
+        # deletion needs a scan (depends on cur itself)
+        run = cur[0]
+        for j in range(lb):
+            run = min(sub[j], run + 1)
+            cur[j + 1] = run
+        prev, cur = cur, prev
+    dist = int(prev[lb])
+    return 1.0 - dist / max(la, lb)
+
+
+def jaro(a: str, b: str) -> float:
+    """Jaro similarity (public algorithm; from scratch)."""
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    match_dist = max(la, lb) // 2 - 1
+    a_match = [False] * la
+    b_match = [False] * lb
+    matches = 0
+    for i in range(la):
+        lo = max(0, i - match_dist)
+        hi = min(lb, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not b_match[j] and a[i] == b[j]:
+                a_match[i] = True
+                b_match[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if a_match[i]:
+            while not b_match[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / la + matches / lb + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(a: str, b: str, prefix_scale: float = 0.1) -> float:
+    """Jaro-Winkler: Jaro boosted by up to 4 chars of common prefix (reference :516-520)."""
+    j = jaro(a, b)
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca == cb:
+            prefix += 1
+        else:
+            break
+    return j + prefix * prefix_scale * (1.0 - j)
+
+
+def token_jaccard(a_tokens, b_tokens) -> float:
+    """Jaccard of token sets; 1.0 for two empties."""
+    sa, sb = set(a_tokens), set(b_tokens)
+    if not sa and not sb:
+        return 1.0
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 1.0
+
+
+def minhash_agreement(sig_l: np.ndarray, sig_r: np.ndarray) -> np.ndarray:
+    """Estimated Jaccard = fraction of agreeing MinHash slots.
+    sig_l/sig_r: (n_pairs, num_perm) u64 → (n_pairs,) float64."""
+    return (sig_l == sig_r).mean(axis=1)
+
+
+def cosine_dense(vl: np.ndarray, vr: np.ndarray) -> np.ndarray:
+    """Row-wise cosine of two (n, d) float matrices; 0.0 where either row is all-zero
+    (reference behavior at :670-702)."""
+    vl = np.asarray(vl, dtype=np.float64)
+    vr = np.asarray(vr, dtype=np.float64)
+    num = (vl * vr).sum(axis=1)
+    nl = np.linalg.norm(vl, axis=1)
+    nr = np.linalg.norm(vr, axis=1)
+    denom = nl * nr
+    return np.where(denom > 0, num / np.where(denom == 0, 1, denom), 0.0)
+
+
+def cosine_topk(query: np.ndarray, matrix: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Brute-force top-k cosine of one query against a (n, d) matrix.
+    Returns (indices, scores) sorted by (-score, index) for determinism."""
+    q = np.asarray(query, dtype=np.float64)
+    m = np.asarray(matrix, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    mn = np.linalg.norm(m, axis=1)
+    denom = mn * (qn if qn > 0 else 1.0)
+    scores = np.where(denom > 0, m @ q / np.where(denom == 0, 1, denom), 0.0)
+    k = min(k, len(scores))
+    idx = np.argpartition(-scores, k - 1)[:k] if k < len(scores) else np.arange(len(scores))
+    order = np.lexsort((idx, -scores[idx]))
+    idx = idx[order]
+    return idx, scores[idx]
+
+
+def sigmoid(z: np.ndarray) -> np.ndarray:
+    """Clipped sigmoid (reference /root/reference/src/batch_parallel_classification.py:971-981)."""
+    z = np.clip(np.asarray(z, dtype=np.float64), -100.0, 100.0)
+    return 1.0 / (1.0 + np.exp(-z))

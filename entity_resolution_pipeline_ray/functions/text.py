@@ -1,0 +1,190 @@
+"""Deterministic text kernels: HTML→text extraction, normalization, tokenization.
+
+Reference analogs:
+- whitespace-collapse normalizer: /root/reference/src/batch_parallel_preprocessing.py:414-430
+  (collapse ``\\s+`` to a single space, strip — the only active normalization there).
+- null sentinel list: /root/reference/config.yml:63.
+- The HTML extractor is this engine's analog of the reference's per-record field
+  extraction (/root/reference/src/batch_parallel_preprocessing.py:304-354), re-targeted
+  at Common-Crawl-style pages: a pure, versioned function of the ``html`` bytes.
+  EXTRACTOR_VERSION must be bumped on any behavior change so goldens stay honest.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+EXTRACTOR_VERSION = 1
+
+# Reference null sentinels (config.yml:63); real Arrow nulls are produced for these.
+NULL_TOKENS = ("NULL", "null", "", "None", "NA", "N/A")
+
+# --- compiled once at module import (stateless map_batches tasks reuse them) ---
+_RE_SCRIPT = re.compile(rb"<script\b.*?</script\s*>", re.IGNORECASE | re.DOTALL)
+_RE_STYLE = re.compile(rb"<style\b.*?</style\s*>", re.IGNORECASE | re.DOTALL)
+_RE_COMMENT = re.compile(rb"<!--.*?-->", re.DOTALL)
+_RE_TAG = re.compile(rb"<[^>]*>")
+_RE_WS = re.compile(r"\s+")
+_RE_TITLE = re.compile(rb"<title[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTALL)
+_RE_WORD = re.compile(r"\w+", re.UNICODE)
+
+
+def normalize_whitespace_str(s: str) -> str:
+    """Scalar normalizer: ``\\s+`` → single space, strip (reference parity)."""
+    return _RE_WS.sub(" ", s).strip()
+
+
+def normalize_whitespace_arrow(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized Arrow normalizer — identical output to normalize_whitespace_str.
+
+    ``\\s+`` in RE2 (Arrow's regex engine) matches unicode whitespace the same
+    way Python's ``re`` does for the ASCII+unicode space classes used in our
+    corpora; golden tests pin the equivalence.
+    """
+    out = pc.replace_substring_regex(col, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(out)
+
+
+def extract_text_from_html(html_bytes: bytes | None) -> str:
+    """Deterministic HTML→text: drop script/style/comments, strip tags,
+    unescape entities, collapse whitespace.  Pure function of the bytes —
+    byte-identical output per input is the contract (BASELINE.json per-row
+    invariant).  Returns "" for None/empty/malformed input."""
+    if not html_bytes:
+        return ""
+    b = _RE_SCRIPT.sub(b" ", html_bytes)
+    b = _RE_STYLE.sub(b" ", b)
+    b = _RE_COMMENT.sub(b" ", b)
+    b = _RE_TAG.sub(b" ", b)
+    text = b.decode("utf-8", errors="replace")
+    text = _htmllib.unescape(text)
+    return normalize_whitespace_str(text)
+
+
+def extract_title_from_html(html_bytes: bytes | None) -> str:
+    """First <title> element's text, unescaped + whitespace-normalized; "" if none."""
+    if not html_bytes:
+        return ""
+    m = _RE_TITLE.search(html_bytes)
+    if not m:
+        return ""
+    t = _htmllib.unescape(m.group(1).decode("utf-8", errors="replace"))
+    return normalize_whitespace_str(t)
+
+
+def domain_of_url(url: str) -> str:
+    """Host part of an http(s) url; deterministic string slicing, no urllib quirks."""
+    i = url.find("://")
+    rest = url[i + 3 :] if i >= 0 else url
+    for sep in ("/", "?", "#"):
+        j = rest.find(sep)
+        if j >= 0:
+            rest = rest[:j]
+    return rest.lower()
+
+
+def word_tokens(text: str) -> list[str]:
+    """Lowercased \\w+ tokens — the unit for shingles, TF-IDF and stopword stats."""
+    return _RE_WORD.findall(text.lower())
+
+
+def whitespace_token_count(text: str | None) -> int:
+    """Number of whitespace-separated tokens; 0 for empty/None.
+
+    Matches DuckDB ``array_length(regexp_split_to_array(trim(text), '\\s+'))``
+    with the empty-string case handled (oracle parity for the token-count query).
+    """
+    if text is None:
+        return 0
+    t = text.strip()
+    if not t:
+        return 0
+    return len(_RE_WS.split(t))
+
+
+def word_shingles(tokens: list[str], k: int) -> list[str]:
+    """Word k-shingles; docs shorter than k yield the whole-token join (or [] if empty)."""
+    if not tokens:
+        return []
+    if len(tokens) <= k:
+        return [" ".join(tokens)]
+    return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+
+def nullify_sentinels(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Replace reference null-sentinel strings with real Arrow nulls."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    mask = pc.is_in(col, value_set=pa.array(list(NULL_TOKENS), type=col.type))
+    return pc.if_else(mask, pa.scalar(None, type=col.type), col)
+
+
+# A small multilingual stopword map for the n-gram language heuristic.
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "on"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "für", "auf", "ein", "nicht"},
+    "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est", "pour", "dans", "que"},
+    "es": {"el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por"},
+}
+
+STOPWORDS_EN = _LANG_STOPWORDS["en"]
+
+
+def lang_id(text: str | None) -> str:
+    """Tiny deterministic language heuristic: argmax of stopword hits per language,
+    "und" (undetermined) when nothing matches.  Ties broken by language code order."""
+    if not text:
+        return "und"
+    toks = word_tokens(text)[:200]
+    if not toks:
+        return "und"
+    tokset = {}
+    for t in toks:
+        tokset[t] = tokset.get(t, 0) + 1
+    best_lang, best_score = "und", 0
+    for code in sorted(_LANG_STOPWORDS):
+        score = sum(cnt for w, cnt in tokset.items() if w in _LANG_STOPWORDS[code])
+        if score > best_score:
+            best_lang, best_score = code, score
+    return best_lang
+
+
+def quality_stats(texts: np.ndarray) -> dict[str, np.ndarray]:
+    """Vectorized-ish quality metrics per document (length / punct / digit /
+    upper ratios, stopword ratio, mean token length).  Reference analog: field
+    statistics at /root/reference/src/batch_parallel_preprocessing.py:500-512."""
+    n = len(texts)
+    char_count = np.zeros(n, dtype=np.int64)
+    token_count = np.zeros(n, dtype=np.int64)
+    punct_ratio = np.zeros(n, dtype=np.float64)
+    digit_ratio = np.zeros(n, dtype=np.float64)
+    upper_ratio = np.zeros(n, dtype=np.float64)
+    stop_ratio = np.zeros(n, dtype=np.float64)
+    mean_tok_len = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        if t is None or t == "":
+            continue
+        char_count[i] = len(t)
+        token_count[i] = whitespace_token_count(t)
+        np_chars = len(t)
+        punct_ratio[i] = sum(c in ".,;:!?" for c in t) / np_chars
+        digit_ratio[i] = sum(c.isdigit() for c in t) / np_chars
+        upper_ratio[i] = sum(c.isupper() for c in t) / np_chars
+        toks = word_tokens(t)
+        if toks:
+            stop_ratio[i] = sum(w in STOPWORDS_EN for w in toks) / len(toks)
+            mean_tok_len[i] = sum(len(w) for w in toks) / len(toks)
+    return {
+        "char_count": char_count,
+        "token_count": token_count,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "upper_ratio": upper_ratio,
+        "stopword_ratio": stop_ratio,
+        "mean_token_len": mean_tok_len,
+    }

@@ -1,0 +1,109 @@
+"""Flagship entity-resolution pipeline: pages → docs → signatures → blocking →
+pairwise scoring → transitive clusters.
+
+Ray-Data-native re-expression of the reference's 8-stage flow
+(/root/reference/src/pipeline.py:66-120): preprocessing → embedding → indexing →
+querying → feature engineering → classification → clustering, with the
+external OpenAI/Weaviate stages replaced by self-contained MinHash/TF-IDF
+stages and the (missing) candidate-generation stage implemented via LSH
+blocking.  Every stage is a streaming Dataset transform; the only driver-side
+work is the (small) model fit and the per-round convergence check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, ERConfig
+from ..sources.pages import PagesSpec, labeled_pairs_table, labels_table, pages_dataset
+from ..stages.blocking import candidate_pairs, emit_block_keys
+from ..stages.clustering import edges_from_scores, propagate_labels
+from ..stages.extract import extract_docs
+from ..stages.scoring import score_pairs
+from ..stages.signatures import compute_doc_features
+from ..stages.training import train_matcher
+from ..state.model import LRModel
+
+
+def run_er_pipeline(
+    pages_ds,
+    labeled_pairs: pa.Table,
+    cfg: ERConfig = DEFAULT_CONFIG,
+    *,
+    model: LRModel | None = None,
+    materialize_intermediate: bool = True,
+):
+    """Full ER run.  Returns dict with clusters Dataset, model, and stage handles.
+
+    ``materialize_intermediate`` pins docs/doc_features in the object store —
+    right when they fit (they are consumed 2-3 times: vocabulary pass,
+    vectorize, training, scoring).  At 100 TB set False: stages re-execute
+    upstream reads instead of pinning, trading recompute for memory; the
+    streaming executor pipelines each consumer independently.
+    """
+    docs = extract_docs(pages_ds)
+    if materialize_intermediate:
+        docs = docs.materialize()
+    doc_features = compute_doc_features(
+        docs,
+        cfg.minhash,
+        cfg.tfidf,
+        concurrency=cfg.execution.scorer_concurrency,
+        batch_size=cfg.execution.batch_size,
+    )
+    if materialize_intermediate:
+        doc_features = doc_features.materialize()
+    if model is None:
+        model = train_matcher(labeled_pairs, doc_features, cfg)
+    blocks = emit_block_keys(doc_features, cfg.minhash, cfg.blocking)
+    if materialize_intermediate:
+        # blocks are consumed twice (size census + self-join) and are slim
+        # (two int64s per row) — pin them instead of re-running key emission
+        blocks = blocks.materialize()
+        n_blocks = blocks.count()
+        pair_partitions = max(2, min(cfg.execution.join_num_partitions, n_blocks // 200_000 + 2))
+    else:
+        pair_partitions = cfg.execution.join_num_partitions
+    pairs = candidate_pairs(blocks, cfg.blocking, num_partitions=pair_partitions)
+    scores = score_pairs(pairs, doc_features, model, cfg)
+    if materialize_intermediate:
+        scores = scores.materialize()
+    edges = edges_from_scores(scores, cfg.clustering.min_edge_weight)
+    all_ids = doc_features.select_columns(["doc_id"])
+    clusters = propagate_labels(edges, all_ids, cfg.clustering, num_partitions=cfg.execution.join_num_partitions)
+    return {
+        "docs": docs,
+        "doc_features": doc_features,
+        "pairs": pairs,
+        "scores": scores,
+        "clusters": clusters,
+        "model": model,
+    }
+
+
+def pairwise_f1_against_gold(clusters_ds, labeled_pairs: pa.Table) -> dict:
+    """The BASELINE.json quality gate: predicted same-cluster vs gold match over
+    the labeled pairs.  Driver-side — labeled set and cluster map are small."""
+    from ..functions.hashing import doc_id_for_urls
+
+    cl = clusters_ds.to_pandas()
+    cmap = dict(zip(cl["doc_id"].astype(np.int64), cl["cluster_id"].astype(np.int64)))
+    li = doc_id_for_urls(labeled_pairs["left_url"].to_pylist())
+    ri = doc_id_for_urls(labeled_pairs["right_url"].to_pylist())
+    y = labeled_pairs["match"].to_numpy(zero_copy_only=False).astype(bool)
+    pred = np.array([cmap.get(int(a), int(a)) == cmap.get(int(b), -1) for a, b in zip(li, ri)])
+    tp = int((pred & y).sum())
+    fp = int((pred & ~y).sum())
+    fn = int((~pred & y).sum())
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"precision": prec, "recall": rec, "f1": f1, "tp": tp, "fp": fp, "fn": fn, "n_pairs": int(len(y))}
+
+
+def run_er_on_spec(spec: PagesSpec, cfg: ERConfig = DEFAULT_CONFIG, **kw):
+    """Convenience: generate the deterministic corpus for spec and run ER."""
+    pages = pages_dataset(spec)
+    pairs = labeled_pairs_table(spec)
+    return run_er_pipeline(pages, pairs, cfg, **kw)

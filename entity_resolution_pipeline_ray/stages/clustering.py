@@ -1,0 +1,128 @@
+"""Clustering stage: match edges → transitive entity clusters via distributed
+min-label propagation (hash-partitioned union-find).
+
+Reference analog: in-memory networkx connected components over match edges with
+``min_edge_weight`` filtering (/root/reference/src/batch_parallel_classification.py:840-943,
+config /root/reference/config.yml:209-214).  That design holds the whole graph on one
+node; here the graph lives in Datasets and each round is a join + groupby-min:
+
+    labels(node, label) — init label = node id, over ALL docs (so isolated
+                           docs are their own cluster without an outer join)
+    repeat:
+        nbr_labels = edges_bidir ⋈ labels ON nbr        (shuffle key: node id)
+        labels'    = (labels ∪ nbr_labels).groupby(node).min(label)
+    until no label changed (checked via a slim self-join) or max_rounds
+
+Min-label propagation converges in O(cluster diameter) rounds; entity clusters
+are shallow (near-duplicate groups), so rounds stay small.  Ties always break
+toward the minimum id — deterministic output.  Each round materializes the slim
+labels table so the lazy plan doesn't re-execute from scratch every iteration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import ClusteringConfig
+
+
+def edges_from_scores(scores_ds, min_edge_weight: float):
+    """scores → edges(src, dst, w): predicted matches with prob >= min_edge_weight
+    (reference edge filter :884-897)."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(batch["match"], pc.greater_equal(batch["prob"], pa.scalar(min_edge_weight, pa.float32())))
+        t = batch.filter(mask)
+        return pa.table({"src": t["left_id"], "dst": t["right_id"], "w": t["prob"]})
+
+    return scores_ds.map_batches(f, batch_format="pyarrow")
+
+
+def _bidirectional(edges_ds):
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays([batch["src"].combine_chunks(), batch["dst"].combine_chunks()]),
+                "nbr": pa.concat_arrays([batch["dst"].combine_chunks(), batch["src"].combine_chunks()]),
+            }
+        )
+
+    return edges_ds.map_batches(f, batch_format="pyarrow")
+
+
+def _init_labels(all_ids_ds):
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks() if "doc_id" in batch.column_names else batch["node"].combine_chunks()
+        return pa.table({"node": ids, "label": ids})
+
+    return all_ids_ds.map_batches(f, batch_format="pyarrow")
+
+
+def propagate_labels(edges_ds, all_ids_ds, cfg: ClusteringConfig, num_partitions: int = 32):
+    """Iterative min-label propagation.  Returns clusters(doc_id, cluster_id)."""
+    from ray.data.aggregate import Min
+
+    ebidir = _bidirectional(edges_ds).materialize()
+    labels = _init_labels(all_ids_ds).materialize()
+    n_edges = ebidir.count()
+    if n_edges == 0:
+        return labels.map_batches(
+            lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}), batch_format="pyarrow"
+        )
+    # adaptive partitioning: tiny graphs don't pay for wide shuffles; at scale
+    # the cap from the caller applies (~100k edge rows per partition target)
+    num_partitions = max(2, min(num_partitions, n_edges // 100_000 + 2))
+
+    for _round in range(cfg.max_rounds):
+        nbr_labels = ebidir.join(
+            labels, join_type="inner", num_partitions=num_partitions, on=("nbr",), right_on=("node",)
+        ).select_columns(["node", "label"])
+        new_labels = (
+            labels.union(nbr_labels).groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        )
+        # convergence: any node whose label strictly decreased this round?
+        diff = new_labels.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("node",),
+            right_on=("node",),
+            right_suffix="_old",
+        )
+
+        def count_changed(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            changed = pc.sum(pc.cast(pc.not_equal(batch["label"], batch["label_old"]), pa.int64())).as_py() or 0
+            return pa.table({"changed": pa.array([changed], type=pa.int64())})
+
+        n_changed = sum(
+            r["changed"] for r in diff.map_batches(count_changed, batch_format="pyarrow").take_all()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}), batch_format="pyarrow"
+    )
+
+
+def cluster_sizes(clusters_ds):
+    """clusters → (cluster_id, cluster_size) (reference cluster stats analog,
+    /root/reference/src/reporting.py:1148-1170)."""
+    from ray.data.aggregate import Count
+
+    return clusters_ds.groupby("cluster_id").aggregate(Count(alias_name="cluster_size"))
+
+
+def filter_min_cluster_size(clusters_ds, sizes_ds, min_size: int, num_partitions: int = 16):
+    """Drop clusters smaller than min_size (reference :935-943)."""
+    if min_size <= 1:
+        return clusters_ds
+    big = sizes_ds.filter(lambda r: r["cluster_size"] >= min_size)
+    return clusters_ds.join(
+        big, join_type="inner", num_partitions=num_partitions, on=("cluster_id",), right_on=("cluster_id",)
+    ).select_columns(["doc_id", "cluster_id"])

@@ -1,0 +1,324 @@
+"""Scoring stage: candidate pairs → per-pair similarity features → match probability.
+
+Reference analogs:
+- feature engineering per pair (/root/reference/src/batch_parallel_feature_engineering.py:395-668):
+  cosine + [-1,1]→[0,1] renorm, Levenshtein, Jaro-Winkler, harmonic-mean and
+  product interaction features — recomputed here over (title, url/domain,
+  text-sketch) instead of (person, composite, ...) fields.
+- warm scorer state (/root/reference/src/batch_parallel_classification.py:366-394,806-838):
+  model weights loaded once per worker → here an actor pool holding the
+  broadcast model + doc-payload side table; whole-batch X@w matmul instead of
+  per-pair calls.
+
+Pair enrichment (attach both sides' doc payloads — reference analog: the
+two-sided pair assembly at /root/reference/src/batch_parallel_querying.py:174-210) has
+two physical plans, chosen by side-table size:
+- **broadcast**: doc payload map ``ray.put`` once, read in every actor's
+  ``__init__`` — no shuffle; right for corpora that fit an object-store object.
+- **join**: two hash-partitioned ``Dataset.join``s (pairs⋈docs ON left_id,
+  then ⋈ ON right_id) — the 100 TB path; partitioning key is doc_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..config import ERConfig
+from ..functions.similarity import (
+    harmonic_mean,
+    jaro_winkler,
+    levenshtein_sim,
+    minhash_agreement,
+    sigmoid_ratio,
+    token_jaccard,
+)
+from ..functions.text import word_tokens
+from ..state.model import LRModel
+
+FEATURE_NAMES = [
+    "minhash_jaccard",
+    "tfidf_cosine",
+    "title_jw",
+    "title_lev",
+    "title_token_jaccard",
+    "title_exact",
+    "domain_equal",
+    "len_ratio",
+    "hm_cos_title",
+    "prod_sketch_cos",
+]
+
+
+def _sparse_cosine(idx_l, val_l, idx_r, val_r) -> float:
+    """Dot of two L2-normalized sparse vectors (sorted uint32 indices)."""
+    if len(idx_l) == 0 or len(idx_r) == 0:
+        return 0.0
+    common, li, ri = np.intersect1d(idx_l, idx_r, assume_unique=True, return_indices=True)
+    if len(common) == 0:
+        return 0.0
+    return float(np.dot(val_l[li], val_r[ri]))
+
+
+class _StringSimCache:
+    """Memoized Jaro-Winkler / Levenshtein — hot blocks repeat the same title
+    pairs thousands of times (hard-negative templates)."""
+
+    def __init__(self, maxsize: int = 200_000):
+        self.jw: dict[tuple[str, str], float] = {}
+        self.lev: dict[tuple[str, str], float] = {}
+        self.maxsize = maxsize
+
+    def jw_sim(self, a: str, b: str) -> float:
+        k = (a, b) if a <= b else (b, a)
+        v = self.jw.get(k)
+        if v is None:
+            v = jaro_winkler(k[0], k[1])
+            if len(self.jw) < self.maxsize:
+                self.jw[k] = v
+        return v
+
+    def lev_sim(self, a: str, b: str) -> float:
+        k = (a, b) if a <= b else (b, a)
+        v = self.lev.get(k)
+        if v is None:
+            v = levenshtein_sim(k[0], k[1])
+            if len(self.lev) < self.maxsize:
+                self.lev[k] = v
+        return v
+
+
+def pair_feature_matrix(left: dict, right: dict, cache: _StringSimCache | None = None) -> np.ndarray:
+    """Feature matrix (n_pairs, len(FEATURE_NAMES)) from two side payloads.
+
+    Side payload: {"title": list[str], "domain": list[str], "token_count": np,
+    "sig": (n, num_perm) u64, "tfidf_idx": list[np], "tfidf_val": list[np]}.
+    Vectorized where the kernel allows (minhash agreement, ratios, products);
+    per-pair Python only for the intrinsically scalar string DPs, memoized.
+    """
+    n = len(left["title"])
+    cache = cache or _StringSimCache()
+    mh = minhash_agreement(left["sig"], right["sig"])
+    cos = np.fromiter(
+        (
+            _sparse_cosine(left["tfidf_idx"][i], left["tfidf_val"][i], right["tfidf_idx"][i], right["tfidf_val"][i])
+            for i in range(n)
+        ),
+        dtype=np.float64,
+        count=n,
+    )
+    title_jw = np.empty(n, dtype=np.float64)
+    title_lev = np.empty(n, dtype=np.float64)
+    title_tj = np.empty(n, dtype=np.float64)
+    title_exact = np.empty(n, dtype=np.float64)
+    tok_cache: dict[str, list[str]] = {}
+    for i in range(n):
+        a, b = left["title"][i] or "", right["title"][i] or ""
+        title_jw[i] = cache.jw_sim(a, b)
+        title_lev[i] = cache.lev_sim(a, b)
+        ta = tok_cache.get(a)
+        if ta is None:
+            ta = word_tokens(a)
+            tok_cache[a] = ta
+        tb = tok_cache.get(b)
+        if tb is None:
+            tb = word_tokens(b)
+            tok_cache[b] = tb
+        title_tj[i] = token_jaccard(ta, tb)
+        title_exact[i] = 1.0 if (a == b and a != "") else 0.0
+    dom_eq = np.fromiter(
+        (1.0 if left["domain"][i] == right["domain"][i] else 0.0 for i in range(n)), dtype=np.float64, count=n
+    )
+    len_ratio = sigmoid_ratio(left["token_count"], right["token_count"])
+    hm = harmonic_mean(cos, title_jw)
+    prod = mh * cos
+    return np.column_stack(
+        [mh, cos, title_jw, title_lev, title_tj, title_exact, dom_eq, len_ratio, hm, prod]
+    )
+
+
+# ----------------------------------------------------------------------- payload handling
+
+
+def payload_map_from_features(doc_features_ds) -> dict:
+    """Collect doc_features into a driver-side dict doc_id → payload tuple
+    (title, domain, token_count, sig, tfidf_idx, tfidf_val) for broadcast.
+    Streams batches — never a single to_pandas of the whole table."""
+    out: dict[int, tuple] = {}
+    for batch in doc_features_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        titles = batch["title"].to_pylist()
+        domains = batch["domain"].to_pylist()
+        tc = batch["token_count"].to_numpy(zero_copy_only=False)
+        num_perm = batch.schema.field("minhash_sig").type.list_size
+        sigs = np.asarray(batch["minhash_sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(
+            len(batch), num_perm
+        )
+        tfi = batch["tfidf_idx"].to_pylist()
+        tfv = batch["tfidf_val"].to_pylist()
+        for i in range(len(batch)):
+            out[int(ids[i])] = (
+                titles[i],
+                domains[i],
+                int(tc[i]),
+                sigs[i],
+                np.asarray(tfi[i], dtype=np.uint32),
+                np.asarray(tfv[i], dtype=np.float32),
+            )
+    return out
+
+
+def _sides_from_payload_map(pm: dict, left_ids, right_ids, num_perm: int) -> tuple[dict, dict]:
+    def side(ids):
+        titles, domains, tcs, sigs, tis, tvs = [], [], [], [], [], []
+        empty_sig = np.full(num_perm, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+        e_i = np.empty(0, dtype=np.uint32)
+        e_v = np.empty(0, dtype=np.float32)
+        for d in ids:
+            p = pm.get(int(d))
+            if p is None:
+                titles.append("")
+                domains.append("")
+                tcs.append(0)
+                sigs.append(empty_sig)
+                tis.append(e_i)
+                tvs.append(e_v)
+            else:
+                titles.append(p[0])
+                domains.append(p[1])
+                tcs.append(p[2])
+                sigs.append(p[3])
+                tis.append(p[4])
+                tvs.append(p[5])
+        return {
+            "title": titles,
+            "domain": domains,
+            "token_count": np.asarray(tcs, dtype=np.int64),
+            "sig": np.vstack(sigs) if sigs else np.empty((0, num_perm), dtype=np.uint64),
+            "tfidf_idx": tis,
+            "tfidf_val": tvs,
+        }
+
+    return side(left_ids), side(right_ids)
+
+
+class BroadcastPairScorer:
+    """Actor-pool stage for the broadcast plan: payload map + model held warm;
+    pairs batch in → (left_id, right_id, feat_*, prob, match) out."""
+
+    def __init__(self, payload_ref, model_json: str | None, num_perm: int):
+        self.pm = ray.get(payload_ref)
+        self.model = LRModel.from_json(model_json) if model_json else None
+        self.num_perm = num_perm
+        self.cache = _StringSimCache()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        left_ids = batch["left_id"].to_numpy(zero_copy_only=False)
+        right_ids = batch["right_id"].to_numpy(zero_copy_only=False)
+        l, r = _sides_from_payload_map(self.pm, left_ids, right_ids, self.num_perm)
+        X = pair_feature_matrix(l, r, self.cache)
+        cols = [pa.array(left_ids, type=pa.int64()), pa.array(right_ids, type=pa.int64())]
+        names = ["left_id", "right_id"]
+        for j, fn in enumerate(FEATURE_NAMES):
+            cols.append(pa.array(X[:, j], type=pa.float32()))
+            names.append("feat_" + fn)
+        if self.model is not None:
+            prob = self.model.predict_proba(X[:, : len(self.model.feature_names)])
+            cols.append(pa.array(prob, type=pa.float32()))
+            names.append("prob")
+            cols.append(pa.array(prob >= self.model.threshold))
+            names.append("match")
+        return pa.Table.from_arrays(cols, names=names)
+
+
+def _prefixed_features(doc_features_ds, prefix: str):
+    """Rename doc_features columns with a side prefix for the join plan."""
+    cols = {
+        "doc_id": prefix + "doc_id",
+        "title": prefix + "title",
+        "domain": prefix + "domain",
+        "token_count": prefix + "token_count",
+        "minhash_sig": prefix + "sig",
+        "tfidf_idx": prefix + "tfidf_idx",
+        "tfidf_val": prefix + "tfidf_val",
+    }
+
+    def ren(batch: pa.Table) -> pa.Table:
+        batch = batch.select(list(cols.keys()))
+        return batch.rename_columns([cols[c] for c in batch.column_names])
+
+    return doc_features_ds.map_batches(ren, batch_format="pyarrow")
+
+
+class _JoinedPairScorer:
+    """Stateless scorer for the join plan: both sides' payloads arrive as
+    columns of the enriched batch."""
+
+    def __init__(self, model_json: str | None, num_perm: int):
+        self.model = LRModel.from_json(model_json) if model_json else None
+        self.num_perm = num_perm
+        self.cache = _StringSimCache()
+
+    def _side(self, batch: pa.Table, prefix: str) -> dict:
+        n = len(batch)
+        sig_col = batch[prefix + "sig"].combine_chunks()
+        sigs = np.asarray(sig_col.flatten().to_numpy(zero_copy_only=False)).reshape(n, self.num_perm)
+        return {
+            "title": [t or "" for t in batch[prefix + "title"].to_pylist()],
+            "domain": [d or "" for d in batch[prefix + "domain"].to_pylist()],
+            "token_count": np.nan_to_num(batch[prefix + "token_count"].to_numpy(zero_copy_only=False)).astype(np.int64),
+            "sig": sigs,
+            "tfidf_idx": [np.asarray(x if x is not None else [], dtype=np.uint32) for x in batch[prefix + "tfidf_idx"].to_pylist()],
+            "tfidf_val": [np.asarray(x if x is not None else [], dtype=np.float32) for x in batch[prefix + "tfidf_val"].to_pylist()],
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        left = self._side(batch, "l_")
+        right = self._side(batch, "r_")
+        X = pair_feature_matrix(left, right, self.cache)
+        cols = [batch["left_id"].combine_chunks(), batch["right_id"].combine_chunks()]
+        names = ["left_id", "right_id"]
+        for j, fn in enumerate(FEATURE_NAMES):
+            cols.append(pa.array(X[:, j], type=pa.float32()))
+            names.append("feat_" + fn)
+        if self.model is not None:
+            prob = self.model.predict_proba(X[:, : len(self.model.feature_names)])
+            cols.append(pa.array(prob, type=pa.float32()))
+            names.append("prob")
+            cols.append(pa.array(prob >= self.model.threshold))
+            names.append("match")
+        return pa.Table.from_arrays(cols, names=names)
+
+
+def score_pairs(pairs_ds, doc_features_ds, model: LRModel | None, cfg: ERConfig, *, num_docs: int | None = None):
+    """pairs + doc_features → scores.  Plan choice: broadcast when the doc
+    payload fits comfortably in the object store, else two hash joins."""
+    ex = cfg.execution
+    num_perm = cfg.minhash.num_perm
+    model_json = model.to_json() if model is not None else None
+    if num_docs is None:
+        num_docs = doc_features_ds.count()
+    if num_docs <= ex.broadcast_threshold_rows:
+        payload_ref = ray.put(payload_map_from_features(doc_features_ds))
+        return pairs_ds.map_batches(
+            BroadcastPairScorer,
+            fn_constructor_args=(payload_ref, model_json, num_perm),
+            batch_format="pyarrow",
+            batch_size=ex.scorer_batch_size,
+            concurrency=(1, ex.scorer_concurrency),
+        )
+    # join plan (the at-scale path): pairs ⋈ docs ON left_id, then ON right_id
+    lf = _prefixed_features(doc_features_ds, "l_")
+    rf = _prefixed_features(doc_features_ds, "r_")
+    enriched = pairs_ds.join(
+        lf, join_type="inner", num_partitions=ex.join_num_partitions, on=("left_id",), right_on=("l_doc_id",)
+    ).join(rf, join_type="inner", num_partitions=ex.join_num_partitions, on=("right_id",), right_on=("r_doc_id",))
+    return enriched.map_batches(
+        _JoinedPairScorer,
+        fn_constructor_args=(model_json, num_perm),
+        batch_format="pyarrow",
+        batch_size=ex.scorer_batch_size,
+        concurrency=(1, ex.scorer_concurrency),
+    )

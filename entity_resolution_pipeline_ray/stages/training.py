@@ -1,0 +1,169 @@
+"""Match-classifier training: seeded split, mini-batch GD logistic regression
+with balanced class weights, threshold sweep, metrics.
+
+Reference analogs (/root/reference/src/batch_parallel_classification.py):
+- seeded shuffle + 70/30 split :396-430 (seed /root/reference/config.yml:15, ratio :22)
+- mini-batch GD trainer :456-536 (balanced class weights :470-483, L2, tol 1e-4)
+- evaluation + threshold sweep :538-626
+- weighted binary cross-entropy :983-1009
+
+The labeled pair set is small (reference: ≈77.5k pairs) — training runs on the
+driver over a NumPy matrix collected from the distributed featurizer, exactly
+as the reference trains driver-side; the resulting model is broadcast to the
+scorer actor pool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import ClassifierConfig, ERConfig
+from ..functions.hashing import doc_id_for_urls
+from ..functions.similarity import sigmoid
+from ..state.model import LRModel
+from .scoring import FEATURE_NAMES, score_pairs
+
+
+def labeled_pair_ids(labeled_pairs: pa.Table) -> pa.Table:
+    """(left_url, right_url, match) → (left_id, right_id, match) with canonical
+    left_id < right_id ordering (ids are hashes, so re-canonicalize)."""
+    li = doc_id_for_urls(labeled_pairs["left_url"].to_pylist())
+    ri = doc_id_for_urls(labeled_pairs["right_url"].to_pylist())
+    lo = np.minimum(li, ri)
+    hi = np.maximum(li, ri)
+    return pa.table(
+        {
+            "left_id": pa.array(lo, type=pa.int64()),
+            "right_id": pa.array(hi, type=pa.int64()),
+            "match": labeled_pairs["match"],
+        }
+    )
+
+
+def features_for_labeled_pairs(labeled_pairs: pa.Table, doc_features_ds, cfg: ERConfig):
+    """Run the distributed featurizer over the ground-truth pairs (no model) and
+    collect (X, y) driver-side.  Same code path as production scoring —
+    train/serve skew is structurally impossible."""
+    import ray.data as rd
+
+    ids = labeled_pair_ids(labeled_pairs)
+    pairs_ds = rd.from_arrow(ids.select(["left_id", "right_id"]))
+    feats = score_pairs(pairs_ds, doc_features_ds, None, cfg)
+    fdf = feats.to_pandas()
+    # align labels by (left,right)
+    ldf = ids.to_pandas()
+    merged = fdf.merge(ldf, on=["left_id", "right_id"], how="inner")
+    X = merged[["feat_" + f for f in FEATURE_NAMES]].to_numpy(dtype=np.float64)
+    y = merged["match"].to_numpy(dtype=np.float64)
+    return X, y, merged
+
+
+def train_test_split(X: np.ndarray, y: np.ndarray, ratio: float, seed: int):
+    """Seeded permutation split (reference :396-430)."""
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(len(y))
+    n_train = int(len(y) * ratio)
+    tr, te = idx[:n_train], idx[n_train:]
+    return X[tr], y[tr], X[te], y[te]
+
+
+def class_weights(y: np.ndarray) -> np.ndarray:
+    """Inverse-frequency 'balanced' weights (reference :470-483)."""
+    n = len(y)
+    n_pos = max(1.0, float(y.sum()))
+    n_neg = max(1.0, float(n - y.sum()))
+    w_pos = n / (2.0 * n_pos)
+    w_neg = n / (2.0 * n_neg)
+    return np.where(y > 0.5, w_pos, w_neg)
+
+
+def train_logistic(X: np.ndarray, y: np.ndarray, cfg: ClassifierConfig) -> tuple[np.ndarray, float]:
+    """Mini-batch gradient descent with L2 and balanced weights (reference :456-536)."""
+    rng = np.random.RandomState(cfg.random_seed)
+    n, d = X.shape
+    w = np.zeros(d, dtype=np.float64)
+    b = 0.0
+    sw = class_weights(y)
+    for _ in range(cfg.max_iterations):
+        order = rng.permutation(n)
+        w_prev = w.copy()
+        for start in range(0, n, cfg.batch_size):
+            sel = order[start : start + cfg.batch_size]
+            Xb, yb, swb = X[sel], y[sel], sw[sel]
+            p = sigmoid(Xb @ w + b)
+            g = (p - yb) * swb
+            gw = Xb.T @ g / len(sel) + cfg.l2_lambda * w
+            gb = float(g.mean())
+            w -= cfg.learning_rate * gw
+            b -= cfg.learning_rate * gb
+        if np.abs(w - w_prev).max() < cfg.convergence_tolerance:
+            break
+    return w, b
+
+
+def roc_auc(y: np.ndarray, p: np.ndarray) -> float:
+    """Rank-based AUC (Mann-Whitney U), ties averaged — no sklearn needed."""
+    order = np.argsort(p, kind="mergesort")
+    ranks = np.empty(len(p), dtype=np.float64)
+    sp = p[order]
+    i = 0
+    while i < len(sp):
+        j = i
+        while j + 1 < len(sp) and sp[j + 1] == sp[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    n_pos = y.sum()
+    n_neg = len(y) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    return float((ranks[y > 0.5].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
+
+
+def evaluate(y: np.ndarray, p: np.ndarray, threshold: float) -> dict:
+    """Precision/recall/F1/accuracy/AUC + confusion counts (reference :538-626)."""
+    pred = p >= threshold
+    tp = int(((pred == 1) & (y > 0.5)).sum())
+    fp = int(((pred == 1) & (y <= 0.5)).sum())
+    fn = int(((pred == 0) & (y > 0.5)).sum())
+    tn = int(((pred == 0) & (y <= 0.5)).sum())
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    acc = (tp + tn) / len(y) if len(y) else 0.0
+    return {
+        "precision": prec,
+        "recall": rec,
+        "f1": f1,
+        "accuracy": acc,
+        "auc": roc_auc(y, p),
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "tn": tn,
+        "threshold": threshold,
+    }
+
+
+def threshold_sweep(y: np.ndarray, p: np.ndarray, thresholds=None) -> dict:
+    """Pick the F1-best threshold over 0.1..0.9 (reference :577-617)."""
+    thresholds = thresholds if thresholds is not None else [round(0.1 * k, 1) for k in range(1, 10)]
+    best = None
+    for t in thresholds:
+        m = evaluate(y, p, t)
+        if best is None or m["f1"] > best["f1"]:
+            best = m
+    return best
+
+
+def train_matcher(labeled_pairs: pa.Table, doc_features_ds, cfg: ERConfig) -> LRModel:
+    """End-to-end: featurize ground truth → split → train → sweep → LRModel."""
+    ccfg = cfg.classifier
+    X, y, _ = features_for_labeled_pairs(labeled_pairs, doc_features_ds, cfg)
+    Xtr, ytr, Xte, yte = train_test_split(X, y, ccfg.train_ratio, ccfg.random_seed)
+    w, b = train_logistic(Xtr, ytr, ccfg)
+    p_te = sigmoid(Xte @ w + b)
+    best = threshold_sweep(yte, p_te)
+    metrics = {"test": best, "train_rows": int(len(ytr)), "test_rows": int(len(yte))}
+    return LRModel(feature_names=list(FEATURE_NAMES), weights=w, bias=b, threshold=best["threshold"], metrics=metrics)
