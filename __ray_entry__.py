@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data ER engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship entity-resolution pipeline on the deterministic
+synthetic corpus at sf0.001 scale.  ``queries()`` exposes one callable per
+implemented operator/pipeline from SURVEY.md §2 (+ the training-data-pipeline
+extras); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (same column names — the driver hashes values after
+sorting columns by name).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +16,121 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from entity_resolution_pipeline_ray.pipelines import dedup as D
+from entity_resolution_pipeline_ray.pipelines import multimodal as M
+from entity_resolution_pipeline_ray.pipelines import relational as R
+from entity_resolution_pipeline_ray.pipelines import similarity_search as S
+from entity_resolution_pipeline_ray.pipelines import text_analysis as T
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship ER pipeline on the deterministic sf0.001 corpus (2,000 pages,
+    planted clusters): extract → MinHash/TF-IDF signatures → LSH blocking →
+    pair scoring → transitive clustering.  Returns clusters(url, cluster_id)."""
+    from entity_resolution_pipeline_ray.pipelines.er import er_clusters_with_urls
+    from entity_resolution_pipeline_ray.sources.pages import spec_for_sf
+
+    return er_clusters_with_urls(spec_for_sf(0.001))
+
+
+def _er_query(sf_dir: str):
+    from entity_resolution_pipeline_ray.pipelines.er import er_clusters_with_urls
+    from entity_resolution_pipeline_ray.sources.pages import PagesSpec, sf_of_dir
+
+    sf = sf_of_dir(sf_dir)
+    # query-gate corpus: big enough to exercise every stage, small enough for
+    # the per-query driver budget
+    spec = PagesSpec(num_pages=2000 if sf <= 0.001 else 4000, num_shards=8)
+    return er_clusters_with_urls(spec)
+
+
+def _er_extract_query(sf_dir: str):
+    from entity_resolution_pipeline_ray.sources.pages import PagesSpec, sf_of_dir
+    from entity_resolution_pipeline_ray.sources.pages import pages_dataset
+    from entity_resolution_pipeline_ray.stages.extract import extract_docs
+
+    sf = sf_of_dir(sf_dir)
+    spec = PagesSpec(num_pages=2000 if sf <= 0.001 else 4000, num_shards=8)
+    return extract_docs(pages_dataset(spec)).select_columns(["url", "title", "domain", "text"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational operator surface (SURVEY §2.5-2.6) ---
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q6_discount_revenue": R.q6_discount_revenue,
+        "q_segment_revenue": R.q_segment_revenue,
+        "q_region_customers": R.q_region_customers,
+        "q_top_customers": R.q_top_customers,
+        "q_supplier_nations": R.q_supplier_nations,
+        "q_orders_by_month": R.q_orders_by_month,
+        "q_events_hourly": R.q_events_hourly,
+        "q_user_stats": R.q_user_stats,
+        "q_events_mode": R.q_events_mode,
+        "q_part_brand_stats": R.q_part_brand_stats,
+        "q_filter_orders": R.q_filter_orders,
+        "q_zscore_chars": R.q_zscore_chars,
+        "q_split_counts": R.q_split_counts,
+        # --- text analysis / interning (SURVEY §2.2, §2.5) ---
+        "t_normalize": T.t_normalize,
+        "t_string_hash": T.t_string_hash,
+        "t_string_counts": T.t_string_counts,
+        "t_exact_dedup": T.t_exact_dedup,
+        "t_token_count": T.t_token_count,
+        "t_lang_stats": T.t_lang_stats,
+        "t_quality": T.t_quality,
+        "t_quality_full": T.t_quality_full,
+        "t_lang_id": T.t_lang_id,
+        "t_simhash": T.t_simhash,
+        "t_fingerprint": T.t_fingerprint,
+        # --- dedup suite ---
+        "d_apply_exact": D.dedup_apply_exact,
+        "d_minhash_pairs": D.minhash_dup_pairs,
+        "d_simhash_pairs": D.simhash_dup_pairs,
+        "d_ngram_jaccard_pairs": D.ngram_jaccard_dup_pairs,
+        "d_embedding_pairs": D.embedding_dup_pairs,
+        # --- similarity search ---
+        "s_knn_bruteforce": S.knn_bruteforce,
+        "s_knn_lsh": S.knn_lsh,
+        # --- multimodal plumbing ---
+        "m_media_features": M.m_media_features,
+        # --- entity resolution (flagship; corpus generated, not in DuckDB views) ---
+        "er_extract": _er_extract_query,
+        "er_clusters": _er_query,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": R.Q1_SQL,
+        "q6_discount_revenue": R.Q6_SQL,
+        "q_segment_revenue": R.Q_SEGMENT_SQL,
+        "q_region_customers": R.Q_REGION_SQL,
+        "q_top_customers": R.Q_TOP_CUSTOMERS_SQL,
+        "q_supplier_nations": R.Q_SUPPLIER_NATIONS_SQL,
+        "q_orders_by_month": R.Q_ORDERS_MONTH_SQL,
+        "q_events_hourly": R.Q_EVENTS_HOURLY_SQL,
+        "q_user_stats": R.Q_USER_STATS_SQL,
+        "q_events_mode": R.Q_EVENTS_MODE_SQL,
+        "q_part_brand_stats": R.Q_PART_BRAND_SQL,
+        "q_filter_orders": R.Q_FILTER_ORDERS_SQL,
+        "q_zscore_chars": R.Q_ZSCORE_SQL,
+        "q_split_counts": R.Q_SPLIT_SQL,
+        "t_normalize": T.T_NORMALIZE_SQL,
+        "t_string_hash": T.T_STRING_HASH_SQL,
+        "t_string_counts": T.T_STRING_COUNTS_SQL,
+        "t_exact_dedup": T.T_EXACT_DEDUP_SQL,
+        "t_token_count": T.T_TOKEN_COUNT_SQL,
+        "t_lang_stats": T.T_LANG_STATS_SQL,
+        "t_quality": T.T_QUALITY_SQL,
+        "d_apply_exact": D.DEDUP_APPLY_EXACT_SQL,
+        "d_embedding_pairs": D.EMBEDDING_DUP_SQL,
+        "s_knn_bruteforce": S.KNN_BRUTEFORCE_SQL,
+        "m_media_features": M.M_MEDIA_SQL,
+        # t_quality_full / t_lang_id / t_simhash / t_fingerprint: heuristic or
+        # sketch-based — no SQL analog (rows-only check).
+        # d_minhash_pairs / d_simhash_pairs / d_ngram_jaccard_pairs / s_knn_lsh:
+        # sketch/LSH-based — rows-only.
+        # er_extract / er_clusters: corpus is generated (not a DuckDB view) —
+        # rows-only; quality is gated by pytest (pairwise F1 >= 0.99).
+    }

@@ -107,3 +107,21 @@ def run_er_on_spec(spec: PagesSpec, cfg: ERConfig = DEFAULT_CONFIG, **kw):
     pages = pages_dataset(spec)
     pairs = labeled_pairs_table(spec)
     return run_er_pipeline(pages, pairs, cfg, **kw)
+
+
+def er_clusters_with_urls(spec: PagesSpec, cfg: ERConfig = DEFAULT_CONFIG):
+    """Run ER on the spec corpus and return clusters keyed by url
+    (url, cluster_id) — the reference's cluster export shape
+    (/root/reference/src/batch_parallel_classification.py:955-961)."""
+    from ..rayops import safe_join
+
+    res = run_er_on_spec(spec, cfg)
+    url_map = res["docs"].select_columns(["doc_id", "url"])
+    joined = safe_join(
+        res["clusters"],
+        url_map,
+        num_partitions=cfg.execution.join_num_partitions,
+        on=("doc_id",),
+        right_on=("doc_id",),
+    )
+    return joined.select_columns(["url", "cluster_id"])

@@ -1,0 +1,412 @@
+"""Relational operator pipelines over the TPC-H-ish testdata tables.
+
+These exercise the engine's generic operator surface — filtered aggregates,
+broadcast joins, grouped statistics, top-k, windowed (tumbling) aggregation,
+mode, z-score standardization, seeded splits — each with a DuckDB-checkable
+oracle (driver correctness gate).  Reference analogs noted per function
+(SURVEY.md §2.5-2.6 operator inventory).
+
+Conventions:
+- every aggregate/computed column is explicitly named to match the oracle SQL;
+- reads prune columns at the source (``read_parquet(columns=[...])``);
+- small dimension tables are broadcast via ``ray.put`` + per-batch lookup, not
+  shuffled (guide: "broadcast small sides");
+- nothing materializes the big tables driver-side; results are small aggregates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+
+
+def _round_cols(ds, spec: dict[str, int]):
+    """Round float aggregate columns (both here and in the oracle SQL): distributed
+    and DuckDB summation orders differ at ~1e-9 relative, which would break the
+    driver's exact value-hash compare."""
+    import pyarrow as pa
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in t.column_names:
+            if name in spec:
+                v = t[name].to_numpy(zero_copy_only=False).astype(np.float64)
+                cols[name] = pa.array(np.round(v, spec[name]), type=pa.float64())
+            else:
+                cols[name] = t[name]
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _pq(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------- aggregates
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style filtered grouped aggregate (A1/A2-class, SURVEY §2.5)."""
+    ds = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "disc_price": disc_price,
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return _round_cols(out, {"sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 6, "avg_price": 4})
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q6_discount_revenue(sf_dir: str):
+    """TPC-H-Q6-style scan-filter-sum: predicate pushdown + single global agg."""
+    ds = _pq(sf_dir, "lineitem", ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1994-01-01"))),
+                pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+            ),
+            pc.and_(
+                pc.greater_equal(t["l_discount"], pa.scalar(0.02)),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(m)
+        return pa.table({"rev": pc.multiply(t["l_extendedprice"], t["l_discount"])})
+
+    out = ds.map_batches(f, batch_format="pyarrow").aggregate(Sum("rev", alias_name="revenue"))
+    return pa.table({"revenue": [round(float(out["revenue"]), 2)]})
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------- broadcast joins
+
+
+def q_segment_revenue(sf_dir: str):
+    """orders ⋈ customer (broadcast dimension) → revenue per market segment
+    (J1-class join, SURVEY §2.4; broadcast pattern per ray_guide)."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        segs = [seg.get(int(k)) for k in keys]
+        return pa.table({"c_mktsegment": pa.array(segs, type=pa.string()), "o_totalprice": t["o_totalprice"]})
+
+    out = (
+        orders.map_batches(attach, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+    )
+    return _round_cols(out, {"revenue": 2})
+
+
+Q_SEGMENT_SQL = """
+SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_region_customers(sf_dir: str):
+    """3-way dimension chain region⋈nation⋈customer via composed broadcast maps."""
+    region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    rmap = dict(zip(region["r_regionkey"], region["r_name"]))
+    nmap = {int(k): rmap.get(int(r)) for k, r in zip(nation["n_nationkey"], nation["n_regionkey"])}
+    nref = ray.put(nmap)
+    cust = _pq(sf_dir, "customer", ["c_nationkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"r_name": pa.array([nm.get(int(k)) for k in keys], type=pa.string())})
+
+    return cust.map_batches(attach, batch_format="pyarrow").groupby("r_name").aggregate(Count(alias_name="n_customers"))
+
+
+Q_REGION_SQL = """
+SELECT r_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_top_customers(sf_dir: str):
+    """Grouped sum → broadcast-join names → global top-k (O2-class, SURVEY §2.6).
+    Deterministic tiebreak (total_spent DESC, c_custkey ASC)."""
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    spent = orders.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="total_spent"))
+    top = spent.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(10).to_pandas()
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    merged = top.merge(cust, left_on="o_custkey", right_on="c_custkey")[["c_custkey", "c_name", "total_spent"]]
+    merged["total_spent"] = merged["total_spent"].round(2)
+    return pa.Table.from_pandas(merged.sort_values(["total_spent", "c_custkey"], ascending=[False, True]), preserve_index=False)
+
+
+Q_TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, round(total_spent, 2) AS total_spent
+FROM (SELECT o_custkey, sum(o_totalprice) AS total_spent FROM orders GROUP BY o_custkey
+      ORDER BY total_spent DESC, o_custkey LIMIT 10) t
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_spent DESC, c_custkey
+"""
+
+
+def q_supplier_nations(sf_dir: str):
+    """Distinct set op: nations that have suppliers (SURVEY §2.7 union/unique)."""
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    supp = _pq(sf_dir, "supplier", ["s_nationkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        keys = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"n_name": pa.array([nm.get(int(k)) for k in keys], type=pa.string())})
+
+    uniq = supp.map_batches(attach, batch_format="pyarrow").unique("n_name")
+    return pa.table({"n_name": pa.array(sorted(uniq), type=pa.string())})
+
+
+Q_SUPPLIER_NATIONS_SQL = """
+SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+# --------------------------------------------------------------------- temporal / windows
+
+
+def q_orders_by_month(sf_dir: str):
+    """Tumbling calendar-month aggregate (streaming-shaped groupby; ray_guide
+    'streaming-shaped workloads')."""
+    orders = _pq(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"month": pc.strftime(t["o_orderdate"], format="%Y-%m"), "o_totalprice": t["o_totalprice"]})
+
+    out = (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+    )
+    return _round_cols(out, {"revenue": 2})
+
+
+Q_ORDERS_MONTH_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type over the events stream table."""
+    ev = _pq(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "event_type": t["event_type"],
+                "value": t["value"],
+            }
+        )
+
+    out = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+    return _round_cols(out, {"total_value": 6})
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_user_stats(sf_dir: str):
+    """Per-user event statistics (A4-class field stats)."""
+    ev = _pq(sf_dir, "events", ["user_id", "value"])
+    out = ev.groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="total_value"),
+        Max("value", alias_name="max_value"),
+        Min("value", alias_name="min_value"),
+    )
+    return _round_cols(out, {"total_value": 6})
+
+
+Q_USER_STATS_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value,
+       max(value) AS max_value, min(value) AS min_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_mode(sf_dir: str):
+    """Per-event-type modal user (A6 mode, /root/reference/src/batch_parallel_imputation.py:520-539).
+    Deterministic tie-break: highest count, then lowest user_id.  Pre-aggregated
+    (groupby pair counts) before the tiny per-group argmax."""
+    ev = _pq(sf_dir, "events", ["event_type", "user_id"])
+    pair_counts = ev.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c", "user_id"], ascending=[False, True])
+        return g.head(1)[["event_type", "user_id", "c"]].rename(columns={"user_id": "modal_user", "c": "n"})
+
+    return pair_counts.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
+Q_EVENTS_MODE_SQL = """
+SELECT event_type, user_id AS modal_user, c AS n
+FROM (SELECT event_type, user_id, count(*) AS c FROM events GROUP BY 1, 2)
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY c DESC, user_id) = 1
+"""
+
+
+# --------------------------------------------------------------------- misc operators
+
+
+def q_part_brand_stats(sf_dir: str):
+    """Grouped stats incl. exact distinct-count via two-level pre-aggregation
+    (A4 'distinct count' without a per-group Python pass)."""
+    part = _pq(sf_dir, "part", ["p_brand", "p_type", "p_retailprice", "p_size"])
+    base = part.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Mean("p_retailprice", alias_name="avg_price"),
+        Max("p_size", alias_name="max_size"),
+    )
+    distinct_types = (
+        part.groupby(["p_brand", "p_type"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_types"))
+    )
+    b = base.to_pandas()
+    b["avg_price"] = b["avg_price"].round(6)
+    d = distinct_types.to_pandas()
+    return pa.Table.from_pandas(b.merge(d, on="p_brand"), preserve_index=False)
+
+
+Q_PART_BRAND_SQL = """
+SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 6) AS avg_price, max(p_size) AS max_size,
+       count(DISTINCT p_type) AS n_types
+FROM part GROUP BY p_brand
+"""
+
+
+def q_filter_orders(sf_dir: str):
+    """Vectorized predicate + projection (M4-class filter)."""
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["o_orderstatus"], "O"), pc.greater(t["o_totalprice"], 100000.0))
+        t = t.filter(m)
+        return t.select(["o_orderkey", "o_totalprice"])
+
+    return orders.map_batches(f, batch_format="pyarrow")
+
+
+Q_FILTER_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+"""
+
+
+def q_zscore_chars(sf_dir: str):
+    """Global standardization (A8 StandardScaler two-pass,
+    /root/reference/src/batch_parallel_feature_engineering.py:890-967): aggregate
+    mean/std → broadcast → vectorized transform.  Population std (ddof=0)."""
+    docs = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+    stats = docs.aggregate(Mean("n_chars", alias_name="mu"), Std("n_chars", ddof=0, alias_name="sd"))
+    mu, sd = float(stats["mu"]), float(stats["sd"])
+
+    def z(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "z": pa.array(np.round((v - mu) / sd, 6), type=pa.float64())}
+        )
+
+    return docs.map_batches(z, batch_format="pyarrow")
+
+
+Q_ZSCORE_SQL = """
+SELECT doc_id,
+       round((n_chars - (SELECT avg(n_chars) FROM documents)) / (SELECT stddev_pop(n_chars) FROM documents), 6) AS z
+FROM documents
+"""
+
+
+def q_split_counts(sf_dir: str):
+    """Seeded 70/30 shuffle-split sizes (O5, /root/reference/src/batch_parallel_classification.py:396-430):
+    the split itself is seed-deterministic; the oracle checks the partition sizes."""
+    docs = _pq(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    shuffled = docs.random_shuffle(seed=42)
+    train, test = shuffled.split_proportionately([0.7])
+    return pa.table(
+        {"split": ["test", "train"], "n": pa.array([test.count(), train.count()], type=pa.int64())}
+    )
+
+
+Q_SPLIT_SQL = """
+SELECT 'test' AS split, count(*) - CAST(floor(count(*) * 0.7) AS BIGINT) AS n FROM documents
+UNION ALL
+SELECT 'train' AS split, CAST(floor(count(*) * 0.7) AS BIGINT) AS n FROM documents
+"""

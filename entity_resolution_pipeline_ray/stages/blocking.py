@@ -132,11 +132,11 @@ def candidate_pairs(blocks_ds, blocking_cfg: BlockingConfig, num_partitions: int
     def as_right(batch: pa.Table) -> pa.Table:
         return pa.table({"bk_r": batch["block_key"], "right_id": batch["doc_id"]})
 
+    from ..rayops import safe_join
+
     left = trimmed.map_batches(as_left, batch_format="pyarrow")
     right = trimmed.map_batches(as_right, batch_format="pyarrow")
-    joined = left.join(
-        right, join_type="inner", num_partitions=num_partitions, on=("block_key",), right_on=("bk_r",)
-    )
+    joined = safe_join(left, right, num_partitions=num_partitions, on=("block_key",), right_on=("bk_r",))
 
     def ordered(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.less(batch["left_id"], batch["right_id"]))

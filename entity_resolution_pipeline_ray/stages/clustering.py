@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import ClusteringConfig
+from ..rayops import drop_empty_blocks, safe_join
 
 
 def edges_from_scores(scores_ds, min_edge_weight: float):
@@ -75,17 +76,18 @@ def propagate_labels(edges_ds, all_ids_ds, cfg: ClusteringConfig, num_partitions
     # the cap from the caller applies (~100k edge rows per partition target)
     num_partitions = max(2, min(num_partitions, n_edges // 100_000 + 2))
 
+    labels = drop_empty_blocks(labels)
     for _round in range(cfg.max_rounds):
-        nbr_labels = ebidir.join(
-            labels, join_type="inner", num_partitions=num_partitions, on=("nbr",), right_on=("node",)
+        nbr_labels = safe_join(
+            ebidir, labels, num_partitions=num_partitions, on=("nbr",), right_on=("node",)
         ).select_columns(["node", "label"])
-        new_labels = (
+        new_labels = drop_empty_blocks(
             labels.union(nbr_labels).groupby("node").aggregate(Min("label", alias_name="label")).materialize()
         )
         # convergence: any node whose label strictly decreased this round?
-        diff = new_labels.join(
+        diff = safe_join(
+            new_labels,
             labels,
-            join_type="inner",
             num_partitions=num_partitions,
             on=("node",),
             right_on=("node",),
@@ -119,10 +121,28 @@ def cluster_sizes(clusters_ds):
 
 
 def filter_min_cluster_size(clusters_ds, sizes_ds, min_size: int, num_partitions: int = 16):
-    """Drop clusters smaller than min_size (reference :935-943)."""
+    """Drop clusters smaller than min_size (reference :935-943).
+
+    Broadcast semi-join: the qualifying cluster-id set is collected once and
+    shipped via the object store; the clusters stream is filtered per batch
+    (guide: semi/anti join = broadcast the key set).  For corpora where even
+    the qualifying-set is too large, swap in safe_join on cluster_id.
+    """
     if min_size <= 1:
         return clusters_ds
-    big = sizes_ds.filter(lambda r: r["cluster_size"] >= min_size)
-    return clusters_ds.join(
-        big, join_type="inner", num_partitions=num_partitions, on=("cluster_id",), right_on=("cluster_id",)
-    ).select_columns(["doc_id", "cluster_id"])
+    import pyarrow.compute as pc
+
+    import ray
+
+    big = sizes_ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["cluster_size"], min_size)), batch_format="pyarrow"
+    ).to_pandas()
+    keep = set(big["cluster_id"].astype("int64")) if not big.empty else set()
+    ref = ray.put(keep)
+
+    def f(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = pa.array([int(c) in ks for c in t["cluster_id"].to_numpy(zero_copy_only=False)])
+        return t.filter(mask)
+
+    return clusters_ds.map_batches(f, batch_format="pyarrow")

@@ -310,11 +310,17 @@ def score_pairs(pairs_ds, doc_features_ds, model: LRModel | None, cfg: ERConfig,
             concurrency=(1, ex.scorer_concurrency),
         )
     # join plan (the at-scale path): pairs ⋈ docs ON left_id, then ON right_id
+    from ..rayops import safe_join
+
     lf = _prefixed_features(doc_features_ds, "l_")
     rf = _prefixed_features(doc_features_ds, "r_")
-    enriched = pairs_ds.join(
-        lf, join_type="inner", num_partitions=ex.join_num_partitions, on=("left_id",), right_on=("l_doc_id",)
-    ).join(rf, join_type="inner", num_partitions=ex.join_num_partitions, on=("right_id",), right_on=("r_doc_id",))
+    enriched = safe_join(
+        safe_join(pairs_ds, lf, num_partitions=ex.join_num_partitions, on=("left_id",), right_on=("l_doc_id",)),
+        rf,
+        num_partitions=ex.join_num_partitions,
+        on=("right_id",),
+        right_on=("r_doc_id",),
+    )
     return enriched.map_batches(
         _JoinedPairScorer,
         fn_constructor_args=(model_json, num_perm),

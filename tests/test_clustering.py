@@ -1,0 +1,94 @@
+"""Distributed min-label propagation tests: known graphs, chains (diameter >
+1 round), empty edges, min-cluster-size filter."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from entity_resolution_pipeline_ray.config import ClusteringConfig
+from entity_resolution_pipeline_ray.stages.clustering import (
+    cluster_sizes,
+    edges_from_scores,
+    filter_min_cluster_size,
+    propagate_labels,
+)
+
+
+def _ids_ds(ids):
+    return rd.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.int64())}))
+
+
+def _edges_ds(edges):
+    src = [a for a, b in edges]
+    dst = [b for a, b in edges]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+                "w": pa.array([1.0] * len(edges), type=pa.float32()),
+            }
+        )
+    )
+
+
+def _clusters(edges, ids, max_rounds=50):
+    out = propagate_labels(_edges_ds(edges), _ids_ds(ids), ClusteringConfig(max_rounds=max_rounds), num_partitions=2)
+    df = out.to_pandas()
+    return dict(zip(df["doc_id"], df["cluster_id"]))
+
+
+def test_two_components():
+    ids = [1, 2, 3, 4, 5, 6, 7]
+    edges = [(1, 2), (2, 3), (5, 6)]
+    c = _clusters(edges, ids)
+    assert c[1] == c[2] == c[3] == 1
+    assert c[5] == c[6] == 5
+    assert c[4] == 4 and c[7] == 7  # singletons keep own id
+
+
+def test_chain_diameter():
+    # a 10-node path: min label must walk the full diameter
+    ids = list(range(10, 110, 10))
+    edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    c = _clusters(edges, ids)
+    assert set(c.values()) == {10}
+
+
+def test_ring_and_cross_edges():
+    ids = [1, 2, 3, 4]
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+    c = _clusters(edges, ids)
+    assert set(c.values()) == {1}
+
+
+def test_empty_edges():
+    ids = [3, 1, 2]
+    c = _clusters([], ids)
+    assert c == {3: 3, 1: 1, 2: 2}
+
+
+def test_edges_from_scores_threshold():
+    scores = rd.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array([1, 2, 3], type=pa.int64()),
+                "right_id": pa.array([4, 5, 6], type=pa.int64()),
+                "prob": pa.array([0.9, 0.4, 0.7], type=pa.float32()),
+                "match": pa.array([True, True, False]),
+            }
+        )
+    )
+    e = edges_from_scores(scores, 0.5).to_pandas()
+    assert len(e) == 1 and e["src"][0] == 1  # prob>=0.5 AND match
+
+
+def test_min_cluster_size_filter():
+    ids = [1, 2, 3, 9]
+    edges = [(1, 2), (2, 3)]
+    cl = propagate_labels(_edges_ds(edges), _ids_ds(ids), ClusteringConfig(), num_partitions=2).materialize()
+    sizes = cluster_sizes(cl)
+    filtered = filter_min_cluster_size(cl, sizes, 2, num_partitions=2).to_pandas()
+    assert set(filtered["doc_id"]) == {1, 2, 3}

@@ -1,0 +1,99 @@
+"""Unit tests for the deterministic text kernels (SURVEY §5: per-operator tests
+against scalar oracles)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from entity_resolution_pipeline_ray.functions.text import (
+    domain_of_url,
+    extract_text_from_html,
+    extract_title_from_html,
+    lang_id,
+    normalize_whitespace_arrow,
+    normalize_whitespace_str,
+    nullify_sentinels,
+    quality_stats,
+    whitespace_token_count,
+    word_shingles,
+    word_tokens,
+)
+
+
+def test_normalize_scalar():
+    assert normalize_whitespace_str("  a\t\tb\n c  ") == "a b c"
+    assert normalize_whitespace_str("") == ""
+    assert normalize_whitespace_str("x") == "x"
+
+
+def test_normalize_arrow_matches_scalar():
+    vals = ["  a\t b ", "x\n\ny", "", "  ", "ünï  cödé "]
+    arr = pa.array(vals)
+    out = normalize_whitespace_arrow(arr).to_pylist()
+    assert out == [normalize_whitespace_str(v) for v in vals]
+
+
+def test_extract_basic():
+    html = b"<html><head><title>T &amp; U</title><style>x{}</style><script>var a=1;</script></head><body><p>Hello   <b>world</b></p><!-- note --></body></html>"
+    assert extract_text_from_html(html) == "T & U Hello world"
+    assert extract_title_from_html(html) == "T & U"
+
+
+def test_extract_edge_cases():
+    assert extract_text_from_html(b"") == ""
+    assert extract_text_from_html(None) == ""
+    assert extract_text_from_html(b"plain text no tags") == "plain text no tags"
+    assert extract_text_from_html(b"<p>unclosed") == "unclosed"
+    # unicode + entities
+    assert extract_text_from_html("<p>Archäologie &mdash; café</p>".encode()) == "Archäologie — café"
+    # invalid utf-8 bytes don't crash and are deterministic
+    out1 = extract_text_from_html(b"<p>\xff\xfe bad</p>")
+    out2 = extract_text_from_html(b"<p>\xff\xfe bad</p>")
+    assert out1 == out2
+
+
+def test_extract_deterministic_repeat():
+    html = b"<html><body><p>abc</p><p>def</p></body></html>"
+    assert extract_text_from_html(html) == extract_text_from_html(html) == "abc def"
+
+
+def test_domain_of_url():
+    assert domain_of_url("https://Example.COM/a/b?q=1") == "example.com"
+    assert domain_of_url("http://x.io") == "x.io"
+    assert domain_of_url("nohost/path") == "nohost"
+
+
+def test_tokens_and_shingles():
+    assert word_tokens("Hello, World! 42") == ["hello", "world", "42"]
+    assert word_shingles(["a", "b", "c", "d"], 3) == ["a b c", "b c d"]
+    assert word_shingles(["a", "b"], 3) == ["a b"]
+    assert word_shingles([], 3) == []
+
+
+def test_whitespace_token_count():
+    assert whitespace_token_count("a b  c") == 3
+    assert whitespace_token_count("  ") == 0
+    assert whitespace_token_count("") == 0
+    assert whitespace_token_count(None) == 0
+    assert whitespace_token_count(" one ") == 1
+
+
+def test_nullify_sentinels():
+    arr = pa.array(["NULL", "ok", "", "N/A", "None"])
+    out = nullify_sentinels(arr)
+    assert out.to_pylist() == [None, "ok", None, None, None]
+
+
+def test_lang_id():
+    assert lang_id("the cat and the dog is in the house for it was") == "en"
+    assert lang_id("der hund und die katze ist von dem haus mit den") == "de"
+    assert lang_id("") == "und"
+    assert lang_id("zzz qqq xxx") == "und"
+
+
+def test_quality_stats():
+    q = quality_stats(np.asarray(["Hello, World 42!", ""], dtype=object))
+    assert q["char_count"][0] == 16 and q["char_count"][1] == 0
+    assert q["token_count"][0] == 3
+    assert q["digit_ratio"][0] == pytest.approx(2 / 16)
+    assert q["punct_ratio"][0] == pytest.approx(2 / 16)  # ',' and '!'
