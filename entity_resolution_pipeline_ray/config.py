@@ -55,7 +55,7 @@ class ClassifierConfig:
     (/root/reference/src/batch_parallel_classification.py:456-536, config.yml:196-206)."""
 
     learning_rate: float = 0.1
-    max_iterations: int = 1000
+    max_iterations: int = 200
     convergence_tolerance: float = 1e-4
     l2_lambda: float = 1e-4
     batch_size: int = 1000

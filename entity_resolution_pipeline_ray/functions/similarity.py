@@ -45,7 +45,11 @@ def sigmoid_ratio(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def levenshtein_sim(a: str, b: str) -> float:
-    """1 - levenshtein(a,b)/max(len); 1.0 for two empties (reference :504-514)."""
+    """1 - levenshtein(a,b)/max(len); 1.0 for two empties (reference :504-514).
+
+    Two-row list DP: for the short strings this kernel sees (titles, url
+    parts) a plain Python inner loop beats numpy row ops ~20x (per-op numpy
+    overhead dominates at width < ~100)."""
     la, lb = len(a), len(b)
     if la == 0 and lb == 0:
         return 1.0
@@ -53,24 +57,24 @@ def levenshtein_sim(a: str, b: str) -> float:
         return 0.0
     if a == b:
         return 1.0
-    # numpy row DP: O(la) rows of O(lb) vector ops
-    bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
-    prev = np.arange(lb + 1, dtype=np.int32)
-    cur = np.empty(lb + 1, dtype=np.int32)
-    for i, ca in enumerate(a):
-        cav = np.uint32(ord(ca))
-        cur[0] = i + 1
-        sub = prev[:-1] + (bv != cav)
-        ins = prev[1:] + 1
-        np.minimum(sub, ins, out=sub)
-        # deletion needs a scan (depends on cur itself)
-        run = cur[0]
+    if la < lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(lb + 1))
+    for i in range(la):
+        ca = a[i]
+        cur = [i + 1] * (lb + 1)
+        run = i + 1
         for j in range(lb):
-            run = min(sub[j], run + 1)
-            cur[j + 1] = run
-        prev, cur = cur, prev
-    dist = int(prev[lb])
-    return 1.0 - dist / max(la, lb)
+            c = prev[j] if ca == b[j] else (prev[j] + 1)
+            d = prev[j + 1] + 1
+            if d < c:
+                c = d
+            if run + 1 < c:
+                c = run + 1
+            cur[j + 1] = c
+            run = c
+        prev = cur
+    return 1.0 - prev[lb] / la
 
 
 def jaro(a: str, b: str) -> float:

@@ -109,6 +109,103 @@ def run_er_on_spec(spec: PagesSpec, cfg: ERConfig = DEFAULT_CONFIG, **kw):
     return run_er_pipeline(pages, pairs, cfg, **kw)
 
 
+def run_er_pipeline_checkpointed(
+    pages_ds,
+    labeled_pairs: pa.Table,
+    workdir: str,
+    cfg: ERConfig = DEFAULT_CONFIG,
+    *,
+    stop_after: str | None = None,
+):
+    """Checkpointed/resumable ER run (BASELINE.md resumability target).
+
+    Each stage is compute-or-load via its lineage manifest
+    (state/manifest.py — analog of the reference's per-stage pickle
+    checkpoints, /root/reference/src/utils.py:47-86, done batch-native: atomic
+    partitioned Parquet + JSON lineage).  A killed run re-executes only stages
+    without a complete manifest; ``stop_after`` simulates the kill in tests.
+    Returns (result dict, dict stage -> resumed_from_checkpoint bool).
+    """
+    import os
+
+    import numpy as np
+
+    from ..stages.blocking import candidate_pairs as _cand
+    from ..state.manifest import StageCheckpoint, run_stage
+    from ..state.model import LRModel as _LRModel
+
+    resumed: dict[str, bool] = {}
+    out: dict = {}
+
+    docs, resumed["docs"] = run_stage(workdir, "docs", lambda: extract_docs(pages_ds))
+    out["docs"] = docs
+    if stop_after == "docs":
+        return out, resumed
+
+    feats, resumed["doc_features"] = run_stage(
+        workdir,
+        "doc_features",
+        lambda: compute_doc_features(
+            docs, cfg.minhash, cfg.tfidf, concurrency=cfg.execution.scorer_concurrency, batch_size=cfg.execution.batch_size
+        ),
+    )
+    out["doc_features"] = feats
+    if stop_after == "doc_features":
+        return out, resumed
+
+    model_path = os.path.join(workdir, "model.json")
+    if os.path.exists(model_path):
+        model = _LRModel.load(model_path)
+        resumed["model"] = True
+    else:
+        model = train_matcher(labeled_pairs, feats, cfg)
+        model.save(model_path)
+        resumed["model"] = False
+    out["model"] = model
+    if stop_after == "model":
+        return out, resumed
+
+    # adaptive join width: a 32-partition hash shuffle on a tiny corpus starves
+    # a small CPU budget (aggregator actors + map tasks compete); ~200k block
+    # rows per partition is the scale target
+    n_docs = feats.count()
+    n_block_rows = n_docs * (cfg.minhash.num_bands + 1)
+    pair_partitions = max(2, min(cfg.execution.join_num_partitions, n_block_rows // 200_000 + 2))
+    pairs, resumed["pairs"] = run_stage(
+        workdir,
+        "pairs",
+        lambda: _cand(emit_block_keys(feats, cfg.minhash, cfg.blocking), cfg.blocking,
+                      num_partitions=pair_partitions),
+    )
+    out["pairs"] = pairs
+    if stop_after == "pairs":
+        return out, resumed
+
+    def _score_hist(ds):
+        """Per-stage metrics incl. the manifest score histogram (10 bins)."""
+        hist = np.zeros(10, dtype=np.int64)
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            p = b["prob"].to_numpy(zero_copy_only=False)
+            hist += np.histogram(p, bins=10, range=(0.0, 1.0))[0]
+        return {"score_hist": hist.tolist()}
+
+    scores, resumed["scores"] = run_stage(
+        workdir, "scores", lambda: score_pairs(pairs, feats, model, cfg), metrics_fn=_score_hist
+    )
+    out["scores"] = scores
+    if stop_after == "scores":
+        return out, resumed
+
+    def _clusters():
+        edges = edges_from_scores(scores, cfg.clustering.min_edge_weight)
+        all_ids = feats.select_columns(["doc_id"])
+        return propagate_labels(edges, all_ids, cfg.clustering, num_partitions=cfg.execution.join_num_partitions)
+
+    clusters, resumed["clusters"] = run_stage(workdir, "clusters", _clusters)
+    out["clusters"] = clusters
+    return out, resumed
+
+
 def er_clusters_with_urls(spec: PagesSpec, cfg: ERConfig = DEFAULT_CONFIG):
     """Run ER on the spec corpus and return clusters keyed by url
     (url, cluster_id) — the reference's cluster export shape

@@ -79,20 +79,32 @@ def hot_block_strides(blocks_ds, max_block_size: int) -> dict[int, int]:
     deterministic, shuffle-free pair-budget cap (doc ids are already uniform
     hashes, so the modulus is an unbiased sample).
     """
-    from ray.data.aggregate import Count
+    import pandas as _pd
 
-    import pyarrow.compute as pc
+    def partial_counts(b: pa.Table) -> pa.Table:
+        # combiner: per-batch key counts, vectorized (cluster co-location makes
+        # keys repeat within a batch, shrinking what leaves the workers)
+        keys, counts = np.unique(b["block_key"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"block_key": pa.array(keys, type=pa.int64()), "c": pa.array(counts.astype(np.int64), type=pa.int64())}
+        )
 
-    sizes = blocks_ds.groupby("block_key").aggregate(Count(alias_name="size"))
-    hot = sizes.map_batches(
-        lambda b: b.filter(pc.greater(b["size"], max_block_size)), batch_format="pyarrow"
-    ).to_pandas()
-    if hot.empty:
+    # Final merge runs on the driver with a vectorized pandas groupby: the
+    # number of HOT keys is bounded by total_rows / max_block_size, and the
+    # partials stream is combiner-reduced.  (Ray's hash-shuffle aggregate
+    # finalizes ~10k groups/s in this version — a 30s stall for a census that
+    # pandas does in <1s.  At >=10^9 distinct keys swap this driver merge for
+    # groupby(block_key, num_partitions=...).sum() — same semantics, and the
+    # heavy-hitter set it feeds stays small either way.)
+    partials = blocks_ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=65536)
+    frames = [
+        b.to_pandas() for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    if not frames:
         return {}
-    return {
-        int(k): int(-(-int(s) // max_block_size))
-        for k, s in zip(hot["block_key"], hot["size"])
-    }
+    sizes = _pd.concat(frames).groupby("block_key", sort=False)["c"].sum()
+    hot = sizes[sizes > max_block_size]
+    return {int(k): int(-(-int(s) // max_block_size)) for k, s in hot.items()}
 
 
 def candidate_pairs(blocks_ds, blocking_cfg: BlockingConfig, num_partitions: int = 32):
@@ -139,10 +151,18 @@ def candidate_pairs(blocks_ds, blocking_cfg: BlockingConfig, num_partitions: int
     joined = safe_join(left, right, num_partitions=num_partitions, on=("block_key",), right_on=("bk_r",))
 
     def ordered(batch: pa.Table) -> pa.Table:
+        # keep left < right, then LOCAL dedup (combiner): the same pair appears
+        # once per shared band, and the join partitioner co-locates a block's
+        # pairs, so in-batch dedup removes most duplicates before the shuffle
         t = batch.filter(pc.less(batch["left_id"], batch["right_id"]))
-        return pa.table({"left_id": t["left_id"], "right_id": t["right_id"]})
+        li = t["left_id"].to_numpy(zero_copy_only=False)
+        ri = t["right_id"].to_numpy(zero_copy_only=False)
+        m = np.unique(np.column_stack([li, ri]), axis=0) if len(li) else np.empty((0, 2), dtype=np.int64)
+        return pa.table(
+            {"left_id": pa.array(m[:, 0], type=pa.int64()), "right_id": pa.array(m[:, 1], type=pa.int64())}
+        )
 
-    raw_pairs = joined.map_batches(ordered, batch_format="pyarrow")
+    raw_pairs = joined.map_batches(ordered, batch_format="pyarrow", batch_size=131072)
     deduped = raw_pairs.groupby(["left_id", "right_id"]).aggregate(Count(alias_name="n_blocks"))
     return deduped.select_columns(["left_id", "right_id"])
 

@@ -61,6 +61,19 @@ def _init_labels(all_ids_ds):
     return all_ids_ds.map_batches(f, batch_format="pyarrow")
 
 
+def _label_checksum(labels_ds) -> int:
+    """Exact sum of all labels: per-batch partial sums in arbitrary-precision
+    Python ints (emitted as strings), merged on the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = int(np.sum(batch["label"].to_numpy(zero_copy_only=False), dtype=object))
+        return pa.table({"s": pa.array([str(s)], type=pa.string())})
+
+    return sum(int(r["s"]) for r in labels_ds.map_batches(partial, batch_format="pyarrow").take_all())
+
+
 def propagate_labels(edges_ds, all_ids_ds, cfg: ClusteringConfig, num_partitions: int = 32):
     """Iterative min-label propagation.  Returns clusters(doc_id, cluster_id)."""
     from ray.data.aggregate import Min
@@ -77,6 +90,7 @@ def propagate_labels(edges_ds, all_ids_ds, cfg: ClusteringConfig, num_partitions
     num_partitions = max(2, min(num_partitions, n_edges // 100_000 + 2))
 
     labels = drop_empty_blocks(labels)
+    prev_sum = _label_checksum(labels)
     for _round in range(cfg.max_rounds):
         nbr_labels = safe_join(
             ebidir, labels, num_partitions=num_partitions, on=("nbr",), right_on=("node",)
@@ -84,28 +98,16 @@ def propagate_labels(edges_ds, all_ids_ds, cfg: ClusteringConfig, num_partitions
         new_labels = drop_empty_blocks(
             labels.union(nbr_labels).groupby("node").aggregate(Min("label", alias_name="label")).materialize()
         )
-        # convergence: any node whose label strictly decreased this round?
-        diff = safe_join(
-            new_labels,
-            labels,
-            num_partitions=num_partitions,
-            on=("node",),
-            right_on=("node",),
-            right_suffix="_old",
-        )
-
-        def count_changed(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            changed = pc.sum(pc.cast(pc.not_equal(batch["label"], batch["label_old"]), pa.int64())).as_py() or 0
-            return pa.table({"changed": pa.array([changed], type=pa.int64())})
-
-        n_changed = sum(
-            r["changed"] for r in diff.map_batches(count_changed, batch_format="pyarrow").take_all()
-        )
+        # convergence: labels only ever DECREASE, so the exact label sum is
+        # strictly monotone until fixpoint — equality means no label changed.
+        # One cheap scan per round instead of a diff join.  Exact (Python-int)
+        # arithmetic: 63-bit labels would overflow int64 sums and lose changes
+        # to float rounding.
+        new_sum = _label_checksum(new_labels)
         labels = new_labels
-        if n_changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}), batch_format="pyarrow"
