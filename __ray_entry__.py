@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_filter_orders": R.q_filter_orders,
         "q_zscore_chars": R.q_zscore_chars,
         "q_split_counts": R.q_split_counts,
+        "q_asof_join": R.q_asof_join,
+        "q_sessions": R.q_sessions,
+        "q_running_total": R.q_running_total,
         # --- text analysis / interning (SURVEY §2.2, §2.5) ---
         "t_normalize": T.t_normalize,
         "t_string_hash": T.t_string_hash,
@@ -116,6 +119,9 @@ def oracle_sql() -> dict[str, str]:
         "q_filter_orders": R.Q_FILTER_ORDERS_SQL,
         "q_zscore_chars": R.Q_ZSCORE_SQL,
         "q_split_counts": R.Q_SPLIT_SQL,
+        "q_asof_join": R.Q_ASOF_SQL,
+        "q_sessions": R.Q_SESSIONS_SQL,
+        "q_running_total": R.Q_RUNNING_SQL,
         "t_normalize": T.T_NORMALIZE_SQL,
         "t_string_hash": T.T_STRING_HASH_SQL,
         "t_string_counts": T.T_STRING_COUNTS_SQL,

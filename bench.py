@@ -113,23 +113,30 @@ def run_full() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same ER job, fresh processes, N=2 vs 4N=8 CPUs, identical input."""
+    """Same ER job, fresh processes, N=2 vs 4N=8 CPUs, identical input.
+
+    Uses a 100k-page corpus (GRAFT_SCALING_PAGES to override): scaling
+    efficiency measures the parallel fraction, so the job must be big enough
+    that per-stage compute dominates the fixed per-execution costs (driver-side
+    model fit, Ray operator startup) — at 20k pages the fixed ~25s floors the
+    ratio regardless of implementation.
+    """
+    pages = int(os.environ.get("GRAFT_SCALING_PAGES", "100000"))
 
     def child(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1", GRAFT_ER_PAGES=str(pages))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 2, 8
-    # warm page cache / compile caches with one untimed small run
     r_lo = child(lo_cpus)
     r_hi = child(hi_cpus)
     eff = (r_lo["sec"] / r_hi["sec"]) / (hi_cpus / lo_cpus)
     return {
         "metric": "ER throughput scaling, fresh ray.init sessions, identical input",
-        "pages": ER_PAGES,
+        "pages": pages,
         "cpus_lo": lo_cpus,
         "cpus_hi": hi_cpus,
         "sec_lo": round(r_lo["sec"], 2),

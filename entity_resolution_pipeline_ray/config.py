@@ -50,6 +50,41 @@ class TfidfConfig:
 
 
 @dataclass(frozen=True)
+class FeatureConfig:
+    """Config-driven feature selection + normalization.
+
+    Reference analogs: include/exclude lists with wildcard groups
+    (/root/reference/src/batch_parallel_feature_engineering.py:704-803, config.yml:164-193)
+    and the global StandardScaler fit/transform (:890-967).  ``include``/
+    ``exclude`` are fnmatch patterns over FEATURE_NAMES (empty include = all).
+    """
+
+    include: tuple[str, ...] = ()
+    exclude: tuple[str, ...] = ()
+    standardize: bool = False
+
+
+@dataclass(frozen=True)
+class PrefilterConfig:
+    """Cheap vectorized rule pass before the classifier (reference analog:
+    ``_apply_prefilters`` /root/reference/src/batch_parallel_feature_engineering.py:805-888,
+    all rules disabled by default at config.yml:154-161 — same default here).
+
+    Rules (applied in order; None disables a rule):
+    - sketch >= high_sketch_match → forced match (prob 1.0)
+    - title_exact and sketch >= exact_title_sketch → forced match
+    - sketch < low_sketch_nonmatch and title_jw < low_title_jw → forced
+      non-match (prob 0.0)
+    """
+
+    enabled: bool = False
+    high_sketch_match: float | None = 0.95
+    exact_title_sketch: float | None = 0.5
+    low_sketch_nonmatch: float | None = 0.02
+    low_title_jw: float | None = 0.5
+
+
+@dataclass(frozen=True)
 class ClassifierConfig:
     """Mirrors the reference trainer hyperparameters
     (/root/reference/src/batch_parallel_classification.py:456-536, config.yml:196-206)."""
@@ -80,7 +115,7 @@ class ExecutionConfig:
     """Per-stage physical knobs — sized so no stage starves the others."""
 
     batch_size: int = 1024
-    scorer_concurrency: int = 4
+    scorer_concurrency: int = 16  # actor-pool MAX; pools autoscale from 1
     scorer_batch_size: int = 4096
     join_num_partitions: int = 32
     broadcast_threshold_rows: int = 2_000_000  # below this, side tables are ray.put broadcast
@@ -91,6 +126,8 @@ class ERConfig:
     minhash: MinHashConfig = field(default_factory=MinHashConfig)
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     tfidf: TfidfConfig = field(default_factory=TfidfConfig)
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    prefilter: PrefilterConfig = field(default_factory=PrefilterConfig)
     classifier: ClassifierConfig = field(default_factory=ClassifierConfig)
     clustering: ClusteringConfig = field(default_factory=ClusteringConfig)
     execution: ExecutionConfig = field(default_factory=ExecutionConfig)

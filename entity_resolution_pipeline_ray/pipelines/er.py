@@ -54,8 +54,17 @@ def run_er_pipeline(
     )
     if materialize_intermediate:
         doc_features = doc_features.materialize()
+    # broadcast the doc payload once; training featurization and production
+    # scoring share it (the reference rebuilt per-stage state each time)
+    payload_ref = None
+    if materialize_intermediate and doc_features.count() <= cfg.execution.broadcast_threshold_rows:
+        import ray as _ray
+
+        from ..stages.scoring import payload_map_from_features
+
+        payload_ref = _ray.put(payload_map_from_features(doc_features))
     if model is None:
-        model = train_matcher(labeled_pairs, doc_features, cfg)
+        model = train_matcher(labeled_pairs, doc_features, cfg, payload_ref=payload_ref)
     blocks = emit_block_keys(doc_features, cfg.minhash, cfg.blocking)
     if materialize_intermediate:
         # blocks are consumed twice (size census + self-join) and are slim
@@ -66,7 +75,13 @@ def run_er_pipeline(
     else:
         pair_partitions = cfg.execution.join_num_partitions
     pairs = candidate_pairs(blocks, cfg.blocking, num_partitions=pair_partitions)
-    scores = score_pairs(pairs, doc_features, model, cfg)
+    if materialize_intermediate:
+        # barrier between the pair shuffle and the scorer actor pool: chaining
+        # a hash-shuffle's aggregator actors into an actor-pool map in one
+        # execution can starve on small CPU budgets (both pools reserve CPUs);
+        # pairs are slim (two int64s), so the pin is cheap
+        pairs = pairs.materialize()
+    scores = score_pairs(pairs, doc_features, model, cfg, payload_ref=payload_ref)
     if materialize_intermediate:
         scores = scores.materialize()
     edges = edges_from_scores(scores, cfg.clustering.min_edge_weight)

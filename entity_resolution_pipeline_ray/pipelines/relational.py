@@ -410,3 +410,107 @@ SELECT 'test' AS split, count(*) - CAST(floor(count(*) * 0.7) AS BIGINT) AS n FR
 UNION ALL
 SELECT 'train' AS split, CAST(floor(count(*) * 0.7) AS BIGINT) AS n FROM documents
 """
+
+
+# --------------------------------------------------------------------- custom operators
+# (operators the Dataset API lacks — composed from groupby/map_groups + sort,
+# per the "custom operators" guidance; partitioning assumption: one user's
+# events fit in one group)
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: for each 'click' event, the most recent 'purchase' by the
+    same user strictly before it.  Implemented as per-user ``map_groups`` with
+    ``pd.merge_asof`` over ts-sorted frames (the ray_guide as-of pattern);
+    shuffle key: user_id.  Oracle: DuckDB ASOF JOIN."""
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values("ts")
+        buys = g[g["event_type"] == "purchase"].sort_values("ts")
+        if clicks.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"), "user_id": pd.Series(dtype="int64"),
+                 "purchase_value": pd.Series(dtype="float64")}
+            )
+        merged = pd.merge_asof(
+            clicks[["event_id", "user_id", "ts"]],
+            buys[["ts", "value"]].rename(columns={"value": "purchase_value"}),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        merged = merged[merged["purchase_value"].notna()]
+        merged["purchase_value"] = merged["purchase_value"].round(6)
+        return merged[["event_id", "user_id", "purchase_value"]]
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+Q_ASOF_SQL = """
+SELECT a.event_id, a.user_id, round(b.value, 6) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND a.ts > b.ts
+"""
+
+
+def q_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Session windows: per-user event runs split at inactivity gaps > 30 min
+    (streaming-shaped; ray_guide session-window pattern — sort within group,
+    cumulative gap marks).  Emits (user_id, session_start, n_events,
+    total_value).  Oracle: gaps-and-islands SQL."""
+    ev = _pq(sf_dir, "events", ["ts", "user_id", "value"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_sess = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        sid = new_sess.cumsum()
+        out = g.groupby(sid).agg(
+            session_start=("ts", "min"), n_events=("ts", "size"), total_value=("value", "sum")
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        out["total_value"] = out["total_value"].round(6)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_start", "n_events", "total_value"]].reset_index(drop=True)
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+Q_SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_running_total(sf_dir: str):
+    """Windowed running aggregate per key (ray_guide per-group cumulative
+    pattern): cumulative value per user ordered by ts — per-event output.
+    Oracle: SQL window function."""
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts").copy()
+        g["running_value"] = g["value"].cumsum().round(6)
+        return g[["event_id", "user_id", "running_value"]]
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+Q_RUNNING_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING), 6) AS running_value
+FROM events
+"""

@@ -364,11 +364,22 @@ def pages_dataset(spec: PagesSpec):
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=1)
 
 
+def _parallel_shard_tables(fn, spec: PagesSpec) -> pa.Table:
+    """Run a per-shard table builder as Ray tasks when a session exists
+    (the shard plans are independent), else serially."""
+    import ray
+
+    if ray.is_initialized():
+        remote_fn = ray.remote(fn)
+        return pa.concat_tables(ray.get([remote_fn.remote(spec, s) for s in range(spec.num_shards)]))
+    return pa.concat_tables([fn(spec, s) for s in range(spec.num_shards)])
+
+
 def labels_table(spec: PagesSpec) -> pa.Table:
-    """Full gold labels (small — driver-side concat over shards)."""
-    return pa.concat_tables([shard_labels_table(spec, s) for s in range(spec.num_shards)])
+    """Full gold labels (small result; shard plans built in parallel)."""
+    return _parallel_shard_tables(shard_labels_table, spec)
 
 
 def labeled_pairs_table(spec: PagesSpec) -> pa.Table:
-    """Full ground-truth pairs (small — driver-side concat over shards)."""
-    return pa.concat_tables([shard_labeled_pairs_table(spec, s) for s in range(spec.num_shards)])
+    """Full ground-truth pairs (small result; shard plans built in parallel)."""
+    return _parallel_shard_tables(shard_labeled_pairs_table, spec)

@@ -74,8 +74,59 @@ def _label_checksum(labels_ds) -> int:
     return sum(int(r["s"]) for r in labels_ds.map_batches(partial, batch_format="pyarrow").take_all())
 
 
-def propagate_labels(edges_ds, all_ids_ds, cfg: ClusteringConfig, num_partitions: int = 32):
-    """Iterative min-label propagation.  Returns clusters(doc_id, cluster_id)."""
+def _components_driver(edges_ds, all_ids_ds):
+    """Small-graph fast path: union-find on the driver over the (slim) edge
+    list, then a broadcast map over all doc ids.  Engaged below
+    ``driver_edge_threshold`` — each distributed round costs seconds of
+    operator startup regardless of data size, so tiny graphs pay a huge
+    constant; real systems pick the plan by size.  The distributed path below
+    stays the at-scale plan and is exercised directly by tests."""
+    import ray
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for batch in edges_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        for a, b in zip(src, dst):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # min-id wins → same deterministic labels as min-propagation
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+    label_map = {x: find(x) for x in list(parent)}
+    ref = ray.put(label_map)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lm = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = np.fromiter((lm.get(int(d), int(d)) for d in ids), dtype=np.int64, count=len(ids))
+        return pa.table({"doc_id": t["doc_id"], "cluster_id": pa.array(out, type=pa.int64())})
+
+    return all_ids_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def propagate_labels(
+    edges_ds,
+    all_ids_ds,
+    cfg: ClusteringConfig,
+    num_partitions: int = 32,
+    *,
+    driver_edge_threshold: int = 5_000_000,
+):
+    """Transitive clustering.  Small edge sets (< driver_edge_threshold) take
+    the driver union-find fast path; larger graphs run the distributed
+    iterative min-label propagation (the 100 TB plan)."""
     from ray.data.aggregate import Min
 
     ebidir = _bidirectional(edges_ds).materialize()
@@ -85,6 +136,8 @@ def propagate_labels(edges_ds, all_ids_ds, cfg: ClusteringConfig, num_partitions
         return labels.map_batches(
             lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}), batch_format="pyarrow"
         )
+    if n_edges <= 2 * driver_edge_threshold:  # ebidir holds both directions
+        return _components_driver(edges_ds, all_ids_ds)
     # adaptive partitioning: tiny graphs don't pay for wide shuffles; at scale
     # the cap from the caller applies (~100k edge rows per partition target)
     num_partitions = max(2, min(num_partitions, n_edges // 100_000 + 2))

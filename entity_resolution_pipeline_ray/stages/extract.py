@@ -58,7 +58,15 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def extract_docs(pages_ds, batch_size: int = 256):
-    """pages Dataset → docs Dataset.  Small batch_size: html rows are wide
-    (whole pages); batch bytes, not batch rows, is what must fit in a worker."""
+def extract_docs(pages_ds, batch_size: int | None = None):
+    """pages Dataset → docs Dataset.
+
+    batch_size=None = one batch per input BLOCK.  This matters when extract is
+    fused with an upstream generator/reader whose blocks are few rows that
+    explode downstream: a row-count batch_size makes the fused operator bundle
+    MANY input blocks into one task (bundling counts input rows, not output
+    rows) and collapses parallelism — observed as a 32-shard generate+extract
+    running as a single task.  Block size (bytes) is the memory guard instead:
+    keep source blocks modest when html rows are wide.
+    """
     return pages_ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)

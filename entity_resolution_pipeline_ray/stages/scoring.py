@@ -38,6 +38,44 @@ from ..functions.similarity import (
 from ..functions.text import word_tokens
 from ..state.model import LRModel
 
+def select_feature_names(fcfg) -> list[str]:
+    """Config-driven feature selection with fnmatch wildcards (reference
+    ``_apply_feature_selection``, /root/reference/src/batch_parallel_feature_engineering.py:704-803;
+    wildcard groups like "*_cosine" at config.yml:164-193)."""
+    import fnmatch
+
+    if fcfg is None:
+        return list(FEATURE_NAMES)
+    names = list(FEATURE_NAMES)
+    if fcfg.include:
+        names = [n for n in names if any(fnmatch.fnmatch(n, p) for p in fcfg.include)]
+    if fcfg.exclude:
+        names = [n for n in names if not any(fnmatch.fnmatch(n, p) for p in fcfg.exclude)]
+    if not names:
+        raise ValueError("feature selection removed every feature")
+    return names
+
+
+def apply_model(X_full: np.ndarray, model: "LRModel", prefilter=None) -> np.ndarray:
+    """Probability for each pair: model over its selected feature columns, with
+    the optional vectorized prefilter rule pass forcing 0/1 on rule hits
+    (reference ``_apply_prefilters``,
+    /root/reference/src/batch_parallel_feature_engineering.py:805-888)."""
+    idx = [FEATURE_NAMES.index(n) for n in model.feature_names]
+    prob = model.predict_proba(X_full[:, idx])
+    if prefilter is not None and getattr(prefilter, "enabled", False):
+        mh = X_full[:, FEATURE_NAMES.index("minhash_jaccard")]
+        te = X_full[:, FEATURE_NAMES.index("title_exact")]
+        jw = X_full[:, FEATURE_NAMES.index("title_jw")]
+        if prefilter.high_sketch_match is not None:
+            prob = np.where(mh >= prefilter.high_sketch_match, 1.0, prob)
+        if prefilter.exact_title_sketch is not None:
+            prob = np.where((te > 0.5) & (mh >= prefilter.exact_title_sketch), 1.0, prob)
+        if prefilter.low_sketch_nonmatch is not None and prefilter.low_title_jw is not None:
+            prob = np.where((mh < prefilter.low_sketch_nonmatch) & (jw < prefilter.low_title_jw), 0.0, prob)
+    return prob
+
+
 FEATURE_NAMES = [
     "minhash_jaccard",
     "tfidf_cosine",
@@ -208,10 +246,11 @@ class BroadcastPairScorer:
     """Actor-pool stage for the broadcast plan: payload map + model held warm;
     pairs batch in → (left_id, right_id, feat_*, prob, match) out."""
 
-    def __init__(self, payload_ref, model_json: str | None, num_perm: int):
+    def __init__(self, payload_ref, model_json: str | None, num_perm: int, prefilter=None):
         self.pm = ray.get(payload_ref)
         self.model = LRModel.from_json(model_json) if model_json else None
         self.num_perm = num_perm
+        self.prefilter = prefilter
         self.cache = _StringSimCache()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -225,7 +264,7 @@ class BroadcastPairScorer:
             cols.append(pa.array(X[:, j], type=pa.float32()))
             names.append("feat_" + fn)
         if self.model is not None:
-            prob = self.model.predict_proba(X[:, : len(self.model.feature_names)])
+            prob = apply_model(X, self.model, self.prefilter)
             cols.append(pa.array(prob, type=pa.float32()))
             names.append("prob")
             cols.append(pa.array(prob >= self.model.threshold))
@@ -256,9 +295,10 @@ class _JoinedPairScorer:
     """Stateless scorer for the join plan: both sides' payloads arrive as
     columns of the enriched batch."""
 
-    def __init__(self, model_json: str | None, num_perm: int):
+    def __init__(self, model_json: str | None, num_perm: int, prefilter=None):
         self.model = LRModel.from_json(model_json) if model_json else None
         self.num_perm = num_perm
+        self.prefilter = prefilter
         self.cache = _StringSimCache()
 
     def _side(self, batch: pa.Table, prefix: str) -> dict:
@@ -284,7 +324,7 @@ class _JoinedPairScorer:
             cols.append(pa.array(X[:, j], type=pa.float32()))
             names.append("feat_" + fn)
         if self.model is not None:
-            prob = self.model.predict_proba(X[:, : len(self.model.feature_names)])
+            prob = apply_model(X, self.model, self.prefilter)
             cols.append(pa.array(prob, type=pa.float32()))
             names.append("prob")
             cols.append(pa.array(prob >= self.model.threshold))
@@ -292,19 +332,32 @@ class _JoinedPairScorer:
         return pa.Table.from_arrays(cols, names=names)
 
 
-def score_pairs(pairs_ds, doc_features_ds, model: LRModel | None, cfg: ERConfig, *, num_docs: int | None = None):
+def score_pairs(
+    pairs_ds,
+    doc_features_ds,
+    model: LRModel | None,
+    cfg: ERConfig,
+    *,
+    num_docs: int | None = None,
+    payload_ref=None,
+):
     """pairs + doc_features → scores.  Plan choice: broadcast when the doc
-    payload fits comfortably in the object store, else two hash joins."""
+    payload fits comfortably in the object store, else two hash joins.
+    ``payload_ref``: pre-built broadcast payload (ray.put of
+    payload_map_from_features) — pass it when scoring multiple pair sets
+    against the same doc_features (training + production scoring) so the map
+    is built and shipped once."""
     ex = cfg.execution
     num_perm = cfg.minhash.num_perm
     model_json = model.to_json() if model is not None else None
-    if num_docs is None:
+    if payload_ref is None and num_docs is None:
         num_docs = doc_features_ds.count()
-    if num_docs <= ex.broadcast_threshold_rows:
-        payload_ref = ray.put(payload_map_from_features(doc_features_ds))
+    if payload_ref is not None or num_docs <= ex.broadcast_threshold_rows:
+        if payload_ref is None:
+            payload_ref = ray.put(payload_map_from_features(doc_features_ds))
         return pairs_ds.map_batches(
             BroadcastPairScorer,
-            fn_constructor_args=(payload_ref, model_json, num_perm),
+            fn_constructor_args=(payload_ref, model_json, num_perm, cfg.prefilter),
             batch_format="pyarrow",
             batch_size=ex.scorer_batch_size,
             concurrency=(1, ex.scorer_concurrency),
@@ -323,7 +376,7 @@ def score_pairs(pairs_ds, doc_features_ds, model: LRModel | None, cfg: ERConfig,
     )
     return enriched.map_batches(
         _JoinedPairScorer,
-        fn_constructor_args=(model_json, num_perm),
+        fn_constructor_args=(model_json, num_perm, cfg.prefilter),
         batch_format="pyarrow",
         batch_size=ex.scorer_batch_size,
         concurrency=(1, ex.scorer_concurrency),

@@ -22,7 +22,7 @@ from ..config import ClassifierConfig, ERConfig
 from ..functions.hashing import doc_id_for_urls
 from ..functions.similarity import sigmoid
 from ..state.model import LRModel
-from .scoring import FEATURE_NAMES, score_pairs
+from .scoring import FEATURE_NAMES, score_pairs, select_feature_names
 
 
 def labeled_pair_ids(labeled_pairs: pa.Table) -> pa.Table:
@@ -41,7 +41,7 @@ def labeled_pair_ids(labeled_pairs: pa.Table) -> pa.Table:
     )
 
 
-def features_for_labeled_pairs(labeled_pairs: pa.Table, doc_features_ds, cfg: ERConfig):
+def features_for_labeled_pairs(labeled_pairs: pa.Table, doc_features_ds, cfg: ERConfig, *, payload_ref=None):
     """Run the distributed featurizer over the ground-truth pairs (no model) and
     collect (X, y) driver-side.  Same code path as production scoring —
     train/serve skew is structurally impossible."""
@@ -49,7 +49,7 @@ def features_for_labeled_pairs(labeled_pairs: pa.Table, doc_features_ds, cfg: ER
 
     ids = labeled_pair_ids(labeled_pairs)
     pairs_ds = rd.from_arrow(ids.select(["left_id", "right_id"]))
-    feats = score_pairs(pairs_ds, doc_features_ds, None, cfg)
+    feats = score_pairs(pairs_ds, doc_features_ds, None, cfg, payload_ref=payload_ref)
     fdf = feats.to_pandas()
     # align labels by (left,right)
     ldf = ids.to_pandas()
@@ -157,13 +157,35 @@ def threshold_sweep(y: np.ndarray, p: np.ndarray, thresholds=None) -> dict:
     return best
 
 
-def train_matcher(labeled_pairs: pa.Table, doc_features_ds, cfg: ERConfig) -> LRModel:
-    """End-to-end: featurize ground truth → split → train → sweep → LRModel."""
+def train_matcher(labeled_pairs: pa.Table, doc_features_ds, cfg: ERConfig, *, payload_ref=None) -> LRModel:
+    """End-to-end: featurize ground truth → config feature selection → seeded
+    split → (optional) scaler fit on train → GD train → threshold sweep."""
     ccfg = cfg.classifier
-    X, y, _ = features_for_labeled_pairs(labeled_pairs, doc_features_ds, cfg)
+    fcfg = getattr(cfg, "features", None)
+    selected = select_feature_names(fcfg)
+    sel_idx = [FEATURE_NAMES.index(n) for n in selected]
+    X_full, y, _ = features_for_labeled_pairs(labeled_pairs, doc_features_ds, cfg, payload_ref=payload_ref)
+    X = X_full[:, sel_idx]
     Xtr, ytr, Xte, yte = train_test_split(X, y, ccfg.train_ratio, ccfg.random_seed)
+    mean = std = None
+    if fcfg is not None and fcfg.standardize:
+        mean = Xtr.mean(axis=0)
+        std = Xtr.std(axis=0)
+        std = np.where(std < 1e-12, 1.0, std)
+        Xtr = (Xtr - mean) / std
+        Xte_t = (Xte - mean) / std
+    else:
+        Xte_t = Xte
     w, b = train_logistic(Xtr, ytr, ccfg)
-    p_te = sigmoid(Xte @ w + b)
+    p_te = sigmoid(Xte_t @ w + b)
     best = threshold_sweep(yte, p_te)
     metrics = {"test": best, "train_rows": int(len(ytr)), "test_rows": int(len(yte))}
-    return LRModel(feature_names=list(FEATURE_NAMES), weights=w, bias=b, threshold=best["threshold"], metrics=metrics)
+    return LRModel(
+        feature_names=selected,
+        weights=w,
+        bias=b,
+        threshold=best["threshold"],
+        metrics=metrics,
+        scaler_mean=mean,
+        scaler_std=std,
+    )

@@ -20,11 +20,28 @@ class LRModel:
     bias: float
     threshold: float = 0.6
     metrics: dict = field(default_factory=dict)
+    # optional global standardization fitted on the train split (A8 analog,
+    # /root/reference/src/batch_parallel_feature_engineering.py:890-967)
+    scaler_mean: np.ndarray | None = None
+    scaler_std: np.ndarray | None = None
+
+    def transform(self, X: np.ndarray) -> np.ndarray:
+        if self.scaler_mean is not None:
+            return (X - self.scaler_mean) / self.scaler_std
+        return X
 
     def predict_proba(self, X: np.ndarray) -> np.ndarray:
         from ..functions.similarity import sigmoid
 
-        return sigmoid(X @ self.weights + self.bias)
+        return sigmoid(self.transform(X) @ self.weights + self.bias)
+
+    def feature_importance(self) -> dict[str, float]:
+        """Normalized |weight| shares (reference ``_compute_feature_importance``,
+        /root/reference/src/batch_parallel_classification.py:1011-1042)."""
+        a = np.abs(self.weights)
+        total = a.sum() or 1.0
+        imp = {n: float(v / total) for n, v in zip(self.feature_names, a)}
+        return dict(sorted(imp.items(), key=lambda kv: -kv[1]))
 
     def to_json(self) -> str:
         return json.dumps(
@@ -34,6 +51,8 @@ class LRModel:
                 "bias": self.bias,
                 "threshold": self.threshold,
                 "metrics": self.metrics,
+                "scaler_mean": self.scaler_mean.tolist() if self.scaler_mean is not None else None,
+                "scaler_std": self.scaler_std.tolist() if self.scaler_std is not None else None,
             }
         )
 
@@ -46,6 +65,8 @@ class LRModel:
             bias=float(d["bias"]),
             threshold=float(d["threshold"]),
             metrics=d.get("metrics", {}),
+            scaler_mean=np.asarray(d["scaler_mean"], dtype=np.float64) if d.get("scaler_mean") is not None else None,
+            scaler_std=np.asarray(d["scaler_std"], dtype=np.float64) if d.get("scaler_std") is not None else None,
         )
 
     def save(self, path: str) -> None:

@@ -34,10 +34,27 @@ def _edges_ds(edges):
     )
 
 
-def _clusters(edges, ids, max_rounds=50):
-    out = propagate_labels(_edges_ds(edges), _ids_ds(ids), ClusteringConfig(max_rounds=max_rounds), num_partitions=2)
+def _clusters(edges, ids, max_rounds=50, driver_edge_threshold=0):
+    # driver_edge_threshold=0 forces the DISTRIBUTED min-label path (the
+    # at-scale plan) — the driver union-find fast path is covered by
+    # test_driver_fast_path_matches_distributed
+    out = propagate_labels(
+        _edges_ds(edges),
+        _ids_ds(ids),
+        ClusteringConfig(max_rounds=max_rounds),
+        num_partitions=2,
+        driver_edge_threshold=driver_edge_threshold,
+    )
     df = out.to_pandas()
     return dict(zip(df["doc_id"], df["cluster_id"]))
+
+
+def test_driver_fast_path_matches_distributed():
+    ids = list(range(1, 30))
+    edges = [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13), (20, 21), (21, 1)]
+    dist = _clusters(edges, ids, driver_edge_threshold=0)
+    fast = _clusters(edges, ids, driver_edge_threshold=10**9)
+    assert dist == fast
 
 
 def test_two_components():
