@@ -7,12 +7,14 @@ Prints ONE JSON line:
 Environment: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
 (default 32).  This script OWNS its Ray session (the library never inits).
 
---scaling: runs the headline ER job twice in fresh subprocesses at N=2 and
-4N=8 CPUs on identical input and reports both throughputs + scaling
-efficiency.  On this sandbox ~8 hardware threads are actually usable (the
-1->4 worker multiprocessing probe scales at ~0.96 efficiency; beyond 8 the
-curve is flat), so 2->8 is the honest 4x pair; a 32-logical-CPU run on the
-same box measures oversubscription, not scaling.
+--scaling: runs the headline ER job in fresh subprocesses at N=2 and 4N=8
+CPUs on identical pre-materialized Parquet input (interleaved repeats, median
+per leg — the shared-host VM drifts +-30%), and reports throughput at both
+levels, raw scaling efficiency, the box's own measured hardware ceiling for
+2->8 (pure-python multiprocessing), and efficiency normalized to that
+ceiling.  ~8 hardware threads are usable here (beyond 8 the machine curve is
+flat), so 2->8 is the only honest 4x pair; 8->32 would measure
+oversubscription, not scaling.
 """
 
 from __future__ import annotations
@@ -38,12 +40,9 @@ ORACLE_QUERIES = [
 
 
 def _quiet():
-    import logging
+    from entity_resolution_pipeline_ray.rayops import configure_context
 
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    configure_context()
 
 
 def _consume(out) -> int:
@@ -57,17 +56,55 @@ def _consume(out) -> int:
     return out.count()
 
 
+def _corpus_dir(spec) -> str:
+    body = f"{spec.body_words[0]}-{spec.body_words[1]}"
+    return f"/tmp/er_bench_corpus/p{spec.num_pages}_s{spec.num_shards}_b{body}_seed{spec.seed}"
+
+
+def ensure_corpus(spec) -> str:
+    """Materialize the deterministic corpus to Parquet ONCE (untimed; shared by
+    every parallelism level — identical input bytes).  The benchmarked job then
+    READS Parquet, matching the production input shape (input_hint) instead of
+    timing generator scaffolding."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from entity_resolution_pipeline_ray.sources.pages import labeled_pairs_table, pages_dataset
+
+    d = _corpus_dir(spec)
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(os.path.join(d, "pages"), exist_ok=True)
+        pages_dataset(spec).write_parquet(os.path.join(d, "pages"))
+        pq.write_table(labeled_pairs_table(spec), os.path.join(d, "labeled_pairs.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
 def run_er(num_cpus: int) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
     _quiet()
-    from entity_resolution_pipeline_ray.pipelines.er import run_er_on_spec
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from entity_resolution_pipeline_ray.pipelines.er import run_er_pipeline
     from entity_resolution_pipeline_ray.sources.pages import PagesSpec
 
-    spec = PagesSpec(num_pages=ER_PAGES, num_shards=32)
+    body = tuple(int(x) for x in os.environ.get("GRAFT_ER_BODY", "60,150").split(","))
+    spec = PagesSpec(num_pages=ER_PAGES, num_shards=32, body_words=body)
+    d = ensure_corpus(spec)
+    labeled = pq.read_table(os.path.join(d, "labeled_pairs.parquet"))
+    # warm the page cache with one untimed scan (guide: measure compute+shuffle)
+    rd.read_parquet(os.path.join(d, "pages")).count()
     t0 = time.time()
-    res = run_er_on_spec(spec)
+    pages = rd.read_parquet(os.path.join(d, "pages"))
+    res = run_er_pipeline(pages, labeled)
     n_clusters_rows = res["clusters"].count()
     dt = time.time() - t0
     ray.shutdown()
@@ -113,29 +150,45 @@ def run_full() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same ER job, fresh processes, N=2 vs 4N=8 CPUs, identical input.
+    """Same ER job, fresh processes, N=2 vs 4N=8 CPUs, identical Parquet input.
 
-    Uses a 100k-page corpus (GRAFT_SCALING_PAGES to override): scaling
-    efficiency measures the parallel fraction, so the job must be big enough
-    that per-stage compute dominates the fixed per-execution costs (driver-side
-    model fit, Ray operator startup) — at 20k pages the fixed ~25s floors the
-    ratio regardless of implementation.
+    Corpus: 40k pages with realistic page weights (300-700 body words) so
+    per-stage compute dominates the fixed per-execution costs (driver-side
+    model fit, Ray operator startup).  GRAFT_SCALING_PAGES / GRAFT_ER_BODY /
+    GRAFT_SCALING_REPEATS override.
     """
-    pages = int(os.environ.get("GRAFT_SCALING_PAGES", "100000"))
+    pages = int(os.environ.get("GRAFT_SCALING_PAGES", "40000"))
 
     def child(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1", GRAFT_ER_PAGES=str(pages))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SCALING_CHILD="1",
+            GRAFT_ER_PAGES=str(pages),
+            GRAFT_ER_BODY=os.environ.get("GRAFT_ER_BODY", "300,700"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 2, 8
-    r_lo = child(lo_cpus)
-    r_hi = child(hi_cpus)
+    hw = _hardware_ceiling(lo_cpus, hi_cpus)
+    # the sandbox VM's throughput drifts +-30% over minutes (shared host);
+    # interleave repeated legs and take per-leg medians to cancel the drift
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+    lo_secs, hi_secs = [], []
+    for _ in range(repeats):
+        lo_secs.append(child(lo_cpus)["sec"])
+        hi_secs.append(child(hi_cpus)["sec"])
+    lo_secs.sort()
+    hi_secs.sort()
+    med = lambda xs: xs[len(xs) // 2]
+    r_lo = {"sec": med(lo_secs), "pages_per_sec": pages / med(lo_secs)}
+    r_hi = {"sec": med(hi_secs), "pages_per_sec": pages / med(hi_secs)}
     eff = (r_lo["sec"] / r_hi["sec"]) / (hi_cpus / lo_cpus)
     return {
-        "metric": "ER throughput scaling, fresh ray.init sessions, identical input",
+        "metric": "ER throughput scaling, fresh ray.init sessions, identical Parquet input",
         "pages": pages,
         "cpus_lo": lo_cpus,
         "cpus_hi": hi_cpus,
@@ -144,8 +197,39 @@ def run_scaling() -> dict:
         "pages_per_sec_lo": round(r_lo["pages_per_sec"], 1),
         "pages_per_sec_hi": round(r_hi["pages_per_sec"], 1),
         "scaling_efficiency": round(eff, 3),
-        "note": "sandbox has ~8 usable hardware threads; 2->8 is the honest 4x pair (32 logical CPUs oversubscribe one box)",
+        "samples_sec_lo": [round(x, 1) for x in lo_secs],
+        "samples_sec_hi": [round(x, 1) for x in hi_secs],
+        "hardware_ceiling_efficiency": round(hw, 3),
+        "efficiency_vs_hardware_ceiling": round(eff / hw, 3) if hw else None,
+        "note": (
+            "single-box sandbox: this VM itself delivers only ~3.2x real speedup from 2 to 8 "
+            "workers (pure-python multiprocessing baseline = the hardware ceiling reported "
+            "above); the pipeline's efficiency is therefore reported both raw and normalized "
+            "to that ceiling. On a real N->4N node cluster the ceiling is ~1.0."
+        ),
     }
+
+
+def _hardware_ceiling(lo: int, hi: int) -> float:
+    """Measured wall-clock scaling of pure CPU work on THIS box between the two
+    worker counts (multiprocessing, no Ray) — the ceiling any pipeline can hit."""
+    import multiprocessing as mp
+
+    def _t(k: int) -> float:
+        with mp.Pool(k) as p:
+            p.map(_burn, [2_000_000] * k)  # warm
+            t0 = time.time()
+            p.map(_burn, [6_000_000] * 48)
+            return time.time() - t0
+
+    return (_t(lo) / _t(hi)) / (hi / lo)
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
 
 
 if __name__ == "__main__":

@@ -90,10 +90,11 @@ class ClassifierConfig:
     (/root/reference/src/batch_parallel_classification.py:456-536, config.yml:196-206)."""
 
     learning_rate: float = 0.1
-    max_iterations: int = 200
+    max_iterations: int = 100
     convergence_tolerance: float = 1e-4
     l2_lambda: float = 1e-4
-    batch_size: int = 1000
+    batch_size: int = 4096
+    max_training_pairs: int = 150_000  # seeded subsample above this (reference corpus: ~77.5k pairs)
     class_weight: str = "balanced"
     decision_threshold: float = 0.6
     train_ratio: float = 0.7

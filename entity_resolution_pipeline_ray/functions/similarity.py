@@ -84,7 +84,9 @@ def jaro(a: str, b: str) -> float:
         return 1.0
     if la == 0 or lb == 0:
         return 0.0
-    match_dist = max(la, lb) // 2 - 1
+    # window floor 0: for 1-2 char strings max//2-1 is negative and would make
+    # identical single chars "unmatched" (jaro('0','0') must be 1.0)
+    match_dist = max(0, max(la, lb) // 2 - 1)
     a_match = [False] * la
     b_match = [False] * lb
     matches = 0

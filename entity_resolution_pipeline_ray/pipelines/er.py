@@ -42,9 +42,21 @@ def run_er_pipeline(
     upstream reads instead of pinning, trading recompute for memory; the
     streaming executor pipelines each consumer independently.
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _t0 = [_time.time()]
+
+    def _tick(name):
+        if _os.environ.get("GRAFT_TIMING"):
+            print(f"[er] {name}: {_time.time()-_t0[0]:.1f}s", file=_sys.stderr, flush=True)
+        _t0[0] = _time.time()
+
     docs = extract_docs(pages_ds)
     if materialize_intermediate:
         docs = docs.materialize()
+    _tick("extract")
     doc_features = compute_doc_features(
         docs,
         cfg.minhash,
@@ -54,6 +66,7 @@ def run_er_pipeline(
     )
     if materialize_intermediate:
         doc_features = doc_features.materialize()
+    _tick("doc_features")
     # broadcast the doc payload once; training featurization and production
     # scoring share it (the reference rebuilt per-stage state each time)
     payload_ref = None
@@ -63,17 +76,21 @@ def run_er_pipeline(
         from ..stages.scoring import payload_map_from_features
 
         payload_ref = _ray.put(payload_map_from_features(doc_features))
+    _tick("payload")
     if model is None:
         model = train_matcher(labeled_pairs, doc_features, cfg, payload_ref=payload_ref)
+    _tick("train")
     blocks = emit_block_keys(doc_features, cfg.minhash, cfg.blocking)
     if materialize_intermediate:
         # blocks are consumed twice (size census + self-join) and are slim
         # (two int64s per row) — pin them instead of re-running key emission
         blocks = blocks.materialize()
-        n_blocks = blocks.count()
-        pair_partitions = max(2, min(cfg.execution.join_num_partitions, n_blocks // 200_000 + 2))
+        from ..rayops import adaptive_partitions
+
+        pair_partitions = adaptive_partitions(blocks.count(), cap=cfg.execution.join_num_partitions)
     else:
         pair_partitions = cfg.execution.join_num_partitions
+    _tick("blocks")
     pairs = candidate_pairs(blocks, cfg.blocking, num_partitions=pair_partitions)
     if materialize_intermediate:
         # barrier between the pair shuffle and the scorer actor pool: chaining
@@ -81,12 +98,15 @@ def run_er_pipeline(
         # execution can starve on small CPU budgets (both pools reserve CPUs);
         # pairs are slim (two int64s), so the pin is cheap
         pairs = pairs.materialize()
+    _tick("pairs")
     scores = score_pairs(pairs, doc_features, model, cfg, payload_ref=payload_ref)
     if materialize_intermediate:
         scores = scores.materialize()
+    _tick("scores")
     edges = edges_from_scores(scores, cfg.clustering.min_edge_weight)
     all_ids = doc_features.select_columns(["doc_id"])
     clusters = propagate_labels(edges, all_ids, cfg.clustering, num_partitions=cfg.execution.join_num_partitions)
+    _tick("cluster")
     return {
         "docs": docs,
         "doc_features": doc_features,
@@ -183,9 +203,11 @@ def run_er_pipeline_checkpointed(
     # adaptive join width: a 32-partition hash shuffle on a tiny corpus starves
     # a small CPU budget (aggregator actors + map tasks compete); ~200k block
     # rows per partition is the scale target
+    from ..rayops import adaptive_partitions
+
     n_docs = feats.count()
     n_block_rows = n_docs * (cfg.minhash.num_bands + 1)
-    pair_partitions = max(2, min(cfg.execution.join_num_partitions, n_block_rows // 200_000 + 2))
+    pair_partitions = adaptive_partitions(n_block_rows, cap=cfg.execution.join_num_partitions)
     pairs, resumed["pairs"] = run_stage(
         workdir,
         "pairs",

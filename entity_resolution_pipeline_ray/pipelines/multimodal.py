@@ -80,8 +80,11 @@ class FakeMediaDecoder:
 def decode_media(media_ds, *, concurrency: int = 4, batch_size: int = 64, decoder_cls=FakeMediaDecoder):
     """Actor-pool decode stage over a binary media column.  Small batch_size on
     purpose: rows are wide (whole files); a batch × pool must fit worker heaps."""
+    from ..rayops import actor_num_cpus
+
     return media_ds.map_batches(
-        decoder_cls, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, concurrency)
+        decoder_cls, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, concurrency),
+        num_cpus=actor_num_cpus(),
     )
 
 

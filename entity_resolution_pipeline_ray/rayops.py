@@ -11,6 +11,46 @@ def _block_num_rows(block) -> int:
     return block.num_rows
 
 
+def configure_context(*, quiet: bool = True) -> None:
+    """Session-level DataContext setup for this engine.
+
+    Besides quieting logs, this makes hash-shuffle aggregator ACTORS request
+    fractional CPUs: by default each shuffle partition's aggregator reserves a
+    full CPU, so a small session (1-2 CPUs) cannot co-schedule aggregators with
+    map tasks and joins/groupbys stall.  Fractional reservations let the OS
+    timeshare them — correct behavior, honest accounting.
+    """
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    if quiet:
+        ctx.enable_progress_bars = False
+        logging.getLogger("ray.data").setLevel(logging.ERROR)
+    try:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        n_cpus = 8
+    if n_cpus <= 4:
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.25
+
+
+def adaptive_partitions(n_rows: int, *, rows_per_partition: int = 200_000, cap: int = 64) -> int:
+    """Partition count for hash shuffles/joins, bounded by BOTH data size and
+    the CPU budget.  Each hash-shuffle partition is an aggregator ACTOR: more
+    partitions than ~2x the cluster CPUs just thrashes the scheduler (observed:
+    18 aggregators on a 2-CPU session stall a join for 20+ minutes)."""
+    try:
+        n_cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        n_cpus = 4
+    by_data = n_rows // rows_per_partition + 2
+    by_cpu = max(2, 2 * n_cpus)
+    return max(2, min(cap, by_data, by_cpu))
+
+
 def drop_empty_blocks(ds):
     """Remove empty blocks from a Dataset.
 
@@ -47,3 +87,30 @@ def safe_join(left, right, *, num_partitions: int, on: tuple, right_on: tuple, j
         right_on=right_on,
         **kw,
     )
+
+
+def actor_num_cpus() -> float:
+    """CPU reservation per actor for map_batches actor pools: fractional on
+    tiny sessions so a min-1 pool cannot deadlock a 1-CPU session (the pool's
+    one actor + the upstream task must timeshare)."""
+    try:
+        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        n = 8
+    return 0.25 if n <= 2 else 1.0
+
+
+def actor_pool_bounds(max_actors: int) -> tuple[int, int]:
+    """(min, max) for map_batches actor pools.
+
+    min ~= all-but-one session CPU: the autoscaler ramps too slowly for short
+    stages (a 40-batch stage finishes before the pool grows past ~3 actors, so
+    the stage runs at a third of the hardware).  Callers must feed actor-pool
+    stages from MATERIALIZED inputs — a min-size pool that reserves nearly
+    every CPU deadlocks any full-CPU upstream task sharing its execution."""
+    try:
+        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        n = 8
+    lo = max(1, min(max_actors, n - 1))
+    return (lo, max(lo, max_actors))

@@ -70,6 +70,7 @@ class PagesSpec:
     seed: int = 42
     num_shards: int = 16
     mean_cluster_size: int = 8
+    body_words: tuple[int, int] = (60, 150)  # per-page body length range
     null_fraction: float = 0.02
     hard_negative_fraction: float = 0.2  # fraction of clusters paired into hard negatives
 
@@ -121,7 +122,7 @@ def _shard_plan(spec: PagesSpec, shard: int) -> dict:
             break
         entity_id = np.uint64(shard) << np.uint64(32) | np.uint64(cidx)
         title_idx = rng.randint(0, len(words), size=rng.randint(2, 5))
-        body_idx = rng.randint(0, len(words), size=rng.randint(60, 150))
+        body_idx = rng.randint(0, len(words), size=rng.randint(spec.body_words[0], spec.body_words[1]))
         template = int(rng.randint(_TEMPLATES))
         base_domain = int(rng.choice(n_domains, p=dweights))
         clusters.append(

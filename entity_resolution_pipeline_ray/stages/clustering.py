@@ -138,9 +138,10 @@ def propagate_labels(
         )
     if n_edges <= 2 * driver_edge_threshold:  # ebidir holds both directions
         return _components_driver(edges_ds, all_ids_ds)
-    # adaptive partitioning: tiny graphs don't pay for wide shuffles; at scale
-    # the cap from the caller applies (~100k edge rows per partition target)
-    num_partitions = max(2, min(num_partitions, n_edges // 100_000 + 2))
+    # adaptive partitioning: bounded by data AND cpu budget (see rayops)
+    from ..rayops import adaptive_partitions
+
+    num_partitions = adaptive_partitions(n_edges, rows_per_partition=100_000, cap=num_partitions)
 
     labels = drop_empty_blocks(labels)
     prev_sum = _label_checksum(labels)

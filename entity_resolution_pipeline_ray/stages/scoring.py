@@ -181,62 +181,102 @@ def pair_feature_matrix(left: dict, right: dict, cache: _StringSimCache | None =
 
 
 def payload_map_from_features(doc_features_ds) -> dict:
-    """Collect doc_features into a driver-side dict doc_id → payload tuple
-    (title, domain, token_count, sig, tfidf_idx, tfidf_val) for broadcast.
-    Streams batches — never a single to_pandas of the whole table."""
-    out: dict[int, tuple] = {}
-    for batch in doc_features_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        titles = batch["title"].to_pylist()
-        domains = batch["domain"].to_pylist()
-        tc = batch["token_count"].to_numpy(zero_copy_only=False)
+    """Collect doc_features into a COLUMNAR broadcast payload: parallel arrays
+    sorted by doc_id + FLAT tfidf arrays with offsets, looked up via
+    np.searchsorted (vectorized gather; per-doc tfidf vectors are zero-copy
+    slices of the flat arrays).  Fully vectorized build — no per-row Python."""
+    import pyarrow.compute as _pc
+
+    ids_l, titles_l, doms_l, tcs_l, sigs_l = [], [], [], [], []
+    tfi_flat_l, tfv_flat_l, tflen_l = [], [], []
+    num_perm = 0
+    for batch in doc_features_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n = len(batch)
+        if n == 0:
+            continue
         num_perm = batch.schema.field("minhash_sig").type.list_size
-        sigs = np.asarray(batch["minhash_sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(
-            len(batch), num_perm
-        )
-        tfi = batch["tfidf_idx"].to_pylist()
-        tfv = batch["tfidf_val"].to_pylist()
-        for i in range(len(batch)):
-            out[int(ids[i])] = (
-                titles[i],
-                domains[i],
-                int(tc[i]),
-                sigs[i],
-                np.asarray(tfi[i], dtype=np.uint32),
-                np.asarray(tfv[i], dtype=np.float32),
+        ids_l.append(batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        titles_l.append(batch["title"].to_numpy(zero_copy_only=False))
+        doms_l.append(batch["domain"].to_numpy(zero_copy_only=False))
+        tcs_l.append(batch["token_count"].to_numpy(zero_copy_only=False).astype(np.int64))
+        sigs_l.append(
+            np.asarray(batch["minhash_sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(
+                n, num_perm
             )
-    return out
+        )
+        tfi = batch["tfidf_idx"].combine_chunks()
+        tfv = batch["tfidf_val"].combine_chunks()
+        tfi_flat_l.append(np.asarray(tfi.flatten().to_numpy(zero_copy_only=False), dtype=np.uint32))
+        tfv_flat_l.append(np.asarray(tfv.flatten().to_numpy(zero_copy_only=False), dtype=np.float32))
+        tflen_l.append(_pc.list_value_length(tfi).to_numpy(zero_copy_only=False).astype(np.int64))
+    if not ids_l:
+        return {"ids": np.empty(0, dtype=np.int64), "num_perm": 128}
+    ids = np.concatenate(ids_l)
+    order = np.argsort(ids, kind="mergesort")
+    lengths = np.concatenate(tflen_l)
+    # flat arrays are in PRE-SORT order; keep per-doc (start, len) and remap
+    starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+    return {
+        "ids": ids[order],
+        "title": np.concatenate(titles_l)[order],
+        "domain": np.concatenate(doms_l)[order],
+        "token_count": np.concatenate(tcs_l)[order],
+        "sig": np.vstack(sigs_l)[order],
+        "tfidf_flat_idx": np.concatenate(tfi_flat_l) if tfi_flat_l else np.empty(0, np.uint32),
+        "tfidf_flat_val": np.concatenate(tfv_flat_l) if tfv_flat_l else np.empty(0, np.float32),
+        "tfidf_start": starts[order],
+        "tfidf_len": lengths[order],
+        "num_perm": num_perm,
+    }
 
 
 def _sides_from_payload_map(pm: dict, left_ids, right_ids, num_perm: int) -> tuple[dict, dict]:
+    """Vectorized gather from the columnar payload via searchsorted; tfidf
+    vectors come out as zero-copy views into the flat arrays; unknown ids get
+    empty defaults (empty-signature doc)."""
+    pids = pm["ids"]
+    e_i = np.empty(0, dtype=np.uint32)
+    e_v = np.empty(0, dtype=np.float32)
+
     def side(ids):
-        titles, domains, tcs, sigs, tis, tvs = [], [], [], [], [], []
-        empty_sig = np.full(num_perm, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
-        e_i = np.empty(0, dtype=np.uint32)
-        e_v = np.empty(0, dtype=np.float32)
-        for d in ids:
-            p = pm.get(int(d))
-            if p is None:
-                titles.append("")
-                domains.append("")
-                tcs.append(0)
-                sigs.append(empty_sig)
-                tis.append(e_i)
-                tvs.append(e_v)
-            else:
-                titles.append(p[0])
-                domains.append(p[1])
-                tcs.append(p[2])
-                sigs.append(p[3])
-                tis.append(p[4])
-                tvs.append(p[5])
+        ids = np.asarray(ids, dtype=np.int64)
+        n = len(ids)
+        if len(pids) == 0:
+            return {
+                "title": [""] * n,
+                "domain": [""] * n,
+                "token_count": np.zeros(n, dtype=np.int64),
+                "sig": np.full((n, num_perm), 0xFFFFFFFFFFFFFFFF, dtype=np.uint64),
+                "tfidf_idx": [e_i] * n,
+                "tfidf_val": [e_v] * n,
+            }
+        pos = np.searchsorted(pids, ids)
+        pos_c = np.clip(pos, 0, len(pids) - 1)
+        found = pids[pos_c] == ids
+        sig = pm["sig"][pos_c]
+        if not found.all():
+            sig = sig.copy()
+            sig[~found] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        tc = np.where(found, pm["token_count"][pos_c], 0)
+        titles = pm["title"][pos_c]
+        domains = pm["domain"][pos_c]
+        fi, fv = pm["tfidf_flat_idx"], pm["tfidf_flat_val"]
+        st = pm["tfidf_start"][pos_c]
+        ln = pm["tfidf_len"][pos_c]
+        tfi = [fi[st[i] : st[i] + ln[i]] if found[i] else e_i for i in range(n)]
+        tfv = [fv[st[i] : st[i] + ln[i]] if found[i] else e_v for i in range(n)]
+        if not found.all():
+            titles = titles.copy()
+            titles[~found] = ""
+            domains = domains.copy()
+            domains[~found] = ""
         return {
-            "title": titles,
-            "domain": domains,
-            "token_count": np.asarray(tcs, dtype=np.int64),
-            "sig": np.vstack(sigs) if sigs else np.empty((0, num_perm), dtype=np.uint64),
-            "tfidf_idx": tis,
-            "tfidf_val": tvs,
+            "title": list(titles),
+            "domain": list(domains),
+            "token_count": tc.astype(np.int64),
+            "sig": sig,
+            "tfidf_idx": tfi,
+            "tfidf_val": tfv,
         }
 
     return side(left_ids), side(right_ids)
@@ -355,12 +395,15 @@ def score_pairs(
     if payload_ref is not None or num_docs <= ex.broadcast_threshold_rows:
         if payload_ref is None:
             payload_ref = ray.put(payload_map_from_features(doc_features_ds))
+        from ..rayops import actor_num_cpus, actor_pool_bounds
+
         return pairs_ds.map_batches(
             BroadcastPairScorer,
             fn_constructor_args=(payload_ref, model_json, num_perm, cfg.prefilter),
             batch_format="pyarrow",
             batch_size=ex.scorer_batch_size,
-            concurrency=(1, ex.scorer_concurrency),
+            concurrency=actor_pool_bounds(ex.scorer_concurrency),
+            num_cpus=actor_num_cpus(),
         )
     # join plan (the at-scale path): pairs ⋈ docs ON left_id, then ON right_id
     from ..rayops import safe_join
@@ -374,10 +417,13 @@ def score_pairs(
         on=("right_id",),
         right_on=("r_doc_id",),
     )
+    from ..rayops import actor_num_cpus, actor_pool_bounds
+
     return enriched.map_batches(
         _JoinedPairScorer,
         fn_constructor_args=(model_json, num_perm, cfg.prefilter),
         batch_format="pyarrow",
         batch_size=ex.scorer_batch_size,
-        concurrency=(1, ex.scorer_concurrency),
+        concurrency=actor_pool_bounds(ex.scorer_concurrency),
+        num_cpus=actor_num_cpus(),
     )

@@ -143,10 +143,13 @@ def compute_doc_features(
         num_docs = docs_ds.count()
         vocab = build_vocabulary(docs_ds, tfidf_cfg, max(1, num_docs))
         vocab_ref = ray.put(vocab)
+    from ..rayops import actor_num_cpus, actor_pool_bounds
+
     return docs_ds.map_batches(
         SignatureVectorizer,
         fn_constructor_args=(minhash_cfg, vocab_ref),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=actor_pool_bounds(concurrency),
+        num_cpus=actor_num_cpus(),
     )

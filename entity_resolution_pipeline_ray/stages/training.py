@@ -48,7 +48,27 @@ def features_for_labeled_pairs(labeled_pairs: pa.Table, doc_features_ds, cfg: ER
     import ray.data as rd
 
     ids = labeled_pair_ids(labeled_pairs)
+    cap = getattr(cfg.classifier, "max_training_pairs", 0)
+    if cap and ids.num_rows > cap:
+        # seeded subsample: GD cost is linear in pairs and the model saturates
+        # long before 10^5 pairs (reference trained on ~77.5k)
+        rng = np.random.RandomState(cfg.classifier.random_seed)
+        keep = np.sort(rng.choice(ids.num_rows, size=cap, replace=False))
+        ids = ids.take(keep)
+    # from_arrow yields ONE block; without splitting, the whole featurization
+    # runs as a single task on one actor (map bundling is per input block)
+    from ..rayops import adaptive_partitions
+
     pairs_ds = rd.from_arrow(ids.select(["left_id", "right_id"]))
+    nparts = adaptive_partitions(ids.num_rows, rows_per_partition=25_000)
+    import ray as _r
+
+    if int(_r.cluster_resources().get("CPU", 8)) > 1 and nparts > 1:
+        # single-CPU sessions: repartition's full-CPU split tasks cannot
+        # co-schedule with the pool's resident actor — and parallelism is moot.
+        # materialize = barrier so the scorer pool (which reserves nearly all
+        # CPUs) never shares an execution with the split tasks
+        pairs_ds = pairs_ds.repartition(nparts).materialize()
     feats = score_pairs(pairs_ds, doc_features_ds, None, cfg, payload_ref=payload_ref)
     fdf = feats.to_pandas()
     # align labels by (left,right)

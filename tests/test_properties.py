@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for the similarity and hashing kernels —
+bounds, symmetry, identity, determinism."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entity_resolution_pipeline_ray.functions.hashing import MinHasher, md5_hex, stable_u64
+from entity_resolution_pipeline_ray.functions.similarity import (
+    harmonic_mean,
+    jaro_winkler,
+    levenshtein_sim,
+    token_jaccard,
+)
+from entity_resolution_pipeline_ray.functions.text import (
+    extract_text_from_html,
+    normalize_whitespace_str,
+    whitespace_token_count,
+)
+
+short_text = st.text(max_size=30)
+
+
+@settings(max_examples=200, deadline=None)
+@given(short_text, short_text)
+def test_levenshtein_properties(a, b):
+    s = levenshtein_sim(a, b)
+    assert 0.0 <= s <= 1.0
+    assert s == levenshtein_sim(b, a)  # symmetric
+    assert levenshtein_sim(a, a) == 1.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(short_text, short_text)
+def test_jaro_winkler_properties(a, b):
+    s = jaro_winkler(a, b)
+    assert 0.0 <= s <= 1.0 + 1e-12
+    assert abs(s - jaro_winkler(b, a)) < 1e-12
+    assert jaro_winkler(a, a) == 1.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=8), max_size=20), st.lists(st.text(min_size=1, max_size=8), max_size=20))
+def test_token_jaccard_properties(a, b):
+    j = token_jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == token_jaccard(b, a)
+    assert token_jaccard(a, a) == 1.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(0, 1), st.floats(0, 1))
+def test_harmonic_mean_bounds(a, b):
+    h = harmonic_mean([a], [b])[0]
+    assert 0.0 <= h <= max(a, b) + 1e-12
+    assert h <= (a + b) / 2 + 1e-12  # HM <= AM
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=50))
+def test_normalize_idempotent(s):
+    n1 = normalize_whitespace_str(s)
+    assert normalize_whitespace_str(n1) == n1  # idempotent
+    assert whitespace_token_count(s) == whitespace_token_count(n1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200))
+def test_extract_deterministic_and_normalized(b):
+    t1 = extract_text_from_html(b)
+    t2 = extract_text_from_html(b)
+    assert t1 == t2
+    assert normalize_whitespace_str(t1) == t1  # output is already normalized
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=10), min_size=1, max_size=10))
+def test_stable_u64_and_md5_deterministic(vals):
+    assert (stable_u64(vals) == stable_u64(list(vals))).all()
+    assert md5_hex(vals) == md5_hex(list(vals))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 2**62), min_size=1, max_size=100, unique=True))
+def test_minhash_signature_permutation_invariant(hashes):
+    mh = MinHasher(32, 42)
+    a = np.asarray(hashes, dtype=np.uint64)
+    rng = np.random.RandomState(0)
+    b = a[rng.permutation(len(a))]
+    assert (mh.signature(a) == mh.signature(b)).all()  # set semantics
