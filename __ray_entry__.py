@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_simhash_pairs": D.simhash_dup_pairs,
         "d_ngram_jaccard_pairs": D.ngram_jaccard_dup_pairs,
         "d_embedding_pairs": D.embedding_dup_pairs,
+        "d_embedding_pairs_lsh": D.embedding_dup_pairs_lsh,
         # --- similarity search ---
         "s_knn_bruteforce": S.knn_bruteforce,
         "s_knn_lsh": S.knn_lsh,
@@ -135,8 +136,10 @@ def oracle_sql() -> dict[str, str]:
         "m_media_features": M.M_MEDIA_SQL,
         # t_quality_full / t_lang_id / t_simhash / t_fingerprint: heuristic or
         # sketch-based — no SQL analog (rows-only check).
-        # d_minhash_pairs / d_simhash_pairs / d_ngram_jaccard_pairs / s_knn_lsh:
-        # sketch/LSH-based — rows-only.
+        # d_minhash_pairs / d_simhash_pairs / d_ngram_jaccard_pairs /
+        # d_embedding_pairs_lsh / s_knn_lsh: sketch/LSH-based — rows-only
+        # (d_embedding_pairs_lsh recall is pinned vs the exact baseline in
+        # tests/test_pipelines_misc.py).
         # er_extract / er_clusters: corpus is generated (not a DuckDB view) —
         # rows-only; quality is gated by pytest (pairwise F1 >= 0.99).
     }

@@ -6,30 +6,55 @@ operators layered on the same engine primitives as the ER flagship:
 - MinHash+LSH near-dup (shingle → minhash → band → bucket groupby → verify)
 - SimHash near-dup (bucket by hash prefix, verify by Hamming distance)
 - n-gram Jaccard near-dup (exact verification inside candidate blocks)
-- embedding-cosine near-dup (block by random-hyperplane LSH or brute-force)
+- embedding-cosine near-dup: hyperplane-LSH-bucketed production plan plus a
+  chunk-pair block-nested-loop exact baseline (the oracle)
 
-Each returns a Dataset/table shaped for the driver's oracle comparison where
-SQL can express the op; the sketch-based ops are rows-only checks.
+Scale discipline (round-2 rework): every verification step is a
+hash-partitioned JOIN of the slim pair table against the sketch/shingle/vector
+table (``rayops.attach_pair_sides`` — the same dual-sided enrichment plan as
+``stages/scoring.py``).  Nothing corpus-sized is ever materialized on the
+driver: no ``take_all``/``to_pandas`` broadcast dicts (the round-1 pattern this
+replaces was exactly the MMapDict mistake SURVEY.md §1.4 warns against).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 from ..config import BlockingConfig, MinHashConfig
 from ..functions.hashing import MinHasher, band_keys, hamming64, simhash64, stable_u64
 from ..functions.text import word_shingles, word_tokens
+from ..rayops import (
+    adaptive_partitions,
+    attach_pair_sides,
+    pack_matrix,
+    pack_ragged,
+    safe_join,
+    unpack_matrix,
+    unpack_ragged,
+)
 from ..stages.blocking import candidate_pairs
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _fsl_mat(col, width: int) -> np.ndarray:
+    """(n, width) matrix view of a FixedSizeList column (zero-copy when possible)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(arr.flatten().to_numpy(zero_copy_only=False)).reshape(len(arr), width)
+
+
+_EMPTY_PAIRS = pa.table(
+    {"left_id": pa.array([], type=pa.int64()), "right_id": pa.array([], type=pa.int64())}
+)
 
 
 # ----------------------------------------------------------------- sketch emission
@@ -61,16 +86,15 @@ def _doc_sketches(docs_ds, minhash_cfg: MinHashConfig):
 
 def minhash_dup_pairs(sf_dir: str, threshold: float = 0.6, minhash_cfg: MinHashConfig | None = None):
     """MinHash-LSH near-duplicate pairs: band keys → block groupby self-join →
-    signature-agreement verify >= threshold.  Returns (left_id, right_id,
-    est_jaccard) with est_jaccard rounded for stability."""
+    join pairs back to the sketch table → vectorized signature-agreement verify
+    >= threshold.  Returns (left_id, right_id, est_jaccard), est rounded."""
     cfg = minhash_cfg or MinHashConfig()
     sketches = _doc_sketches(_docs(sf_dir), cfg).materialize()
+    nparts = adaptive_partitions(sketches.count())
 
     def emit_keys(t: pa.Table) -> pa.Table:
         n = len(t)
-        sigs = np.asarray(t["minhash_sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(
-            n, cfg.num_perm
-        )
+        sigs = _fsl_mat(t["minhash_sig"], cfg.num_perm)
         keys = (band_keys(sigs, cfg.num_bands) >> np.uint64(1)).astype(np.int64)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         nonempty = ~(sigs == np.uint64(0xFFFFFFFFFFFFFFFF)).all(axis=1)
@@ -82,43 +106,37 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.6, minhash_cfg: MinHashC
         )
 
     blocks = sketches.map_batches(emit_keys, batch_format="pyarrow")
-    pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=500), num_partitions=4)
+    pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=500), num_partitions=nparts)
 
-    sig_map_ref = ray.put(
-        {
-            int(r["doc_id"]): np.asarray(r["minhash_sig"], dtype=np.uint64)
-            for r in sketches.take_all()
-        }
-    )
+    def sig_bin(t: pa.Table) -> pa.Table:
+        # joins reject list payloads — ship signatures as fixed-size binary
+        return pa.table({"doc_id": t["doc_id"], "sig_bin": pack_matrix(_fsl_mat(t["minhash_sig"], cfg.num_perm))})
+
+    side = sketches.map_batches(sig_bin, batch_format="pyarrow")
+    enriched = attach_pair_sides(pairs, side, id_col="doc_id", cols=("sig_bin",), num_partitions=nparts)
 
     def verify(t: pa.Table) -> pa.Table:
-        sm = ray.get(sig_map_ref)
-        li = t["left_id"].to_numpy(zero_copy_only=False)
-        ri = t["right_id"].to_numpy(zero_copy_only=False)
-        if len(li) == 0:
-            return pa.table(
-                {"left_id": pa.array([], type=pa.int64()), "right_id": pa.array([], type=pa.int64()),
-                 "est_jaccard": pa.array([], type=pa.float64())}
-            )
-        sl = np.vstack([sm[int(x)] for x in li])
-        sr = np.vstack([sm[int(x)] for x in ri])
+        if len(t) == 0:
+            return _EMPTY_PAIRS.append_column("est_jaccard", pa.array([], type=pa.float64()))
+        sl = unpack_matrix(t["l_sig_bin"], np.uint64, cfg.num_perm)
+        sr = unpack_matrix(t["r_sig_bin"], np.uint64, cfg.num_perm)
         est = (sl == sr).mean(axis=1)
         keep = est >= threshold
         return pa.table(
             {
-                "left_id": pa.array(li[keep], type=pa.int64()),
-                "right_id": pa.array(ri[keep], type=pa.int64()),
+                "left_id": pc.cast(t["left_id"], pa.int64()).filter(pa.array(keep)),
+                "right_id": pc.cast(t["right_id"], pa.int64()).filter(pa.array(keep)),
                 "est_jaccard": pa.array(np.round(est[keep], 4), type=pa.float64()),
             }
         )
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return enriched.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8):
     """SimHash near-dup: block on 16-bit hash prefixes (4 rotations so any pair
     within Hamming<=3 of a rotation collides; wider distances best-effort),
-    verify by exact Hamming distance."""
+    verify by exact Hamming distance after joining pairs to the hash table."""
     docs = _docs(sf_dir)
 
     def f(t: pa.Table) -> pa.Table:
@@ -127,6 +145,7 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8):
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(sh.astype(np.int64), type=pa.int64())})
 
     hashed = docs.map_batches(f, batch_format="pyarrow").materialize()
+    nparts = adaptive_partitions(hashed.count())
 
     def emit_keys(t: pa.Table) -> pa.Table:
         h = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -144,96 +163,180 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8):
         )
 
     blocks = hashed.map_batches(emit_keys, batch_format="pyarrow")
-    pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=500), num_partitions=4)
-    hmap_ref = ray.put({int(r["doc_id"]): np.uint64(r["simhash"]) for r in hashed.take_all()})
+    pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=500), num_partitions=nparts)
+    enriched = attach_pair_sides(
+        pairs, hashed, id_col="doc_id", cols=("simhash",), num_partitions=nparts
+    )
 
     def verify(t: pa.Table) -> pa.Table:
-        hm = ray.get(hmap_ref)
-        li = t["left_id"].to_numpy(zero_copy_only=False)
-        ri = t["right_id"].to_numpy(zero_copy_only=False)
-        if len(li) == 0:
-            return pa.table({"left_id": pa.array([], type=pa.int64()), "right_id": pa.array([], type=pa.int64()),
-                             "hamming": pa.array([], type=pa.int64())})
-        hl = np.array([hm[int(x)] for x in li], dtype=np.uint64)
-        hr = np.array([hm[int(x)] for x in ri], dtype=np.uint64)
+        if len(t) == 0:
+            return _EMPTY_PAIRS.append_column("hamming", pa.array([], type=pa.int64()))
+        hl = t["l_simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hr = t["r_simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         d = hamming64(hl, hr)
         keep = d <= max_hamming
         return pa.table(
             {
-                "left_id": pa.array(li[keep], type=pa.int64()),
-                "right_id": pa.array(ri[keep], type=pa.int64()),
+                "left_id": pc.cast(t["left_id"], pa.int64()).filter(pa.array(keep)),
+                "right_id": pc.cast(t["right_id"], pa.int64()).filter(pa.array(keep)),
                 "hamming": pa.array(d[keep].astype(np.int64), type=pa.int64()),
             }
         )
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return enriched.map_batches(verify, batch_format="pyarrow")
+
+
+def _shingle_hash_table(docs_ds, shingle_size: int):
+    """(doc_id, sh: binary) — sorted unique 64-bit shingle hashes per doc,
+    packed as bytes (join-safe ragged payload).  Set ops over the hashes are
+    exact Jaccard up to 64-bit collisions (negligible below ~10^9 distinct
+    shingles per doc)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        out: list[np.ndarray] = []
+        for x in t["text"].to_pylist():
+            toks = word_tokens(x) if x else []
+            sh = word_shingles(toks, shingle_size)
+            out.append(
+                np.unique(stable_u64(np.asarray(sh, dtype=object))) if sh else np.empty(0, dtype=np.uint64)
+            )
+        return pa.table({"doc_id": t["doc_id"], "sh": pack_ragged(out)})
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
 
 
 def ngram_jaccard_dup_pairs(sf_dir: str, threshold: float = 0.5, shingle_size: int = 3):
-    """Exact n-gram Jaccard near-dup: LSH candidates (high-recall geometry) then
-    EXACT shingle-set Jaccard verification — the no-false-positives variant."""
+    """Exact n-gram Jaccard near-dup: LSH candidates (high-recall geometry),
+    then exact shingle-set Jaccard verification via a join against the
+    distributed shingle-hash table — the no-false-positives variant."""
     cfg = MinHashConfig(num_perm=128, num_bands=64, shingle_size=shingle_size)
-    cand = minhash_dup_pairs(sf_dir, threshold=0.0, minhash_cfg=cfg)
-    docs_pd = _docs(sf_dir).to_pandas()
-    shingle_map = {}
-    for did, text in zip(docs_pd["doc_id"], docs_pd["text"]):
-        toks = word_tokens(text) if text else []
-        shingle_map[int(did)] = set(word_shingles(toks, shingle_size))
-    smap_ref = ray.put(shingle_map)
+    cand = minhash_dup_pairs(sf_dir, threshold=0.0, minhash_cfg=cfg).select_columns(
+        ["left_id", "right_id"]
+    )
+    shingles = _shingle_hash_table(_docs(sf_dir), shingle_size).materialize()
+    nparts = adaptive_partitions(shingles.count())
+    enriched = attach_pair_sides(
+        cand, shingles, id_col="doc_id", cols=("sh",), num_partitions=nparts
+    )
 
     def verify(t: pa.Table) -> pa.Table:
-        sm = ray.get(smap_ref)
-        li = t["left_id"].to_numpy(zero_copy_only=False)
-        ri = t["right_id"].to_numpy(zero_copy_only=False)
-        keep_l, keep_r, jac = [], [], []
-        for a, b in zip(li, ri):
-            sa, sb = sm.get(int(a), set()), sm.get(int(b), set())
-            u = len(sa | sb)
-            j = (len(sa & sb) / u) if u else 1.0
-            if j >= threshold:
-                keep_l.append(int(a))
-                keep_r.append(int(b))
-                jac.append(round(j, 6))
+        n = len(t)
+        if n == 0:
+            return _EMPTY_PAIRS.append_column("jaccard", pa.array([], type=pa.float64()))
+        li = t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ri = t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lrows = unpack_ragged(t["l_sh"], np.uint64)
+        rrows = unpack_ragged(t["r_sh"], np.uint64)
+        jac = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            a, b = lrows[i], rrows[i]
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            jac[i] = (inter / union) if union else 1.0
+        keep = jac >= threshold
         return pa.table(
             {
-                "left_id": pa.array(keep_l, type=pa.int64()),
-                "right_id": pa.array(keep_r, type=pa.int64()),
-                "jaccard": pa.array(jac, type=pa.float64()),
+                "left_id": pa.array(li[keep], type=pa.int64()),
+                "right_id": pa.array(ri[keep], type=pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
             }
         )
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return enriched.map_batches(verify, batch_format="pyarrow")
 
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.3):
-    """Embedding-cosine near-dup over the ``embeddings`` table: brute-force
-    row-block × broadcast-matrix cosine (exact — the baseline the LSH-bucketed
-    variant in similarity_search is measured against).  Returns
-    (left_vec_id, right_vec_id) with cosine >= threshold, left < right."""
+# ----------------------------------------------------------------- embedding dedup
+
+
+def _nvec_dim(ds) -> int:
+    """Vector width from a Dataset's nvec FixedSizeList column type."""
+    sch = ds.schema()
+    return sch.types[sch.names.index("nvec")].list_size
+
+
+def _normalized_embeddings(sf_dir: str):
+    """(vec_id, nvec) with nvec an L2-normalized FixedSizeList<double> — computed
+    once, reused by both embedding-dedup plans."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_pd = emb.to_pandas()
-    ids_all = all_pd["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.array(all_pd["embedding"].to_list(), dtype=np.float64)
-    mat_n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids_all, mat_n))
 
     def f(t: pa.Table) -> pa.Table:
-        ids_a, m = ray.get(ref)
-        ids_b = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        vb = vb / np.maximum(np.linalg.norm(vb, axis=1, keepdims=True), 1e-12)
-        sims = vb @ m.T  # (batch, all)
-        bi, ai = np.nonzero(sims >= threshold)
-        lb, ra = ids_b[bi], ids_a[ai]
-        keep = lb < ra
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        if m.size == 0:
+            m = m.reshape(0, 0)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return pa.table(
             {
-                "left_vec_id": pa.array(lb[keep], type=pa.int64()),
-                "right_vec_id": pa.array(ra[keep], type=pa.int64()),
+                "vec_id": t["vec_id"],
+                "nvec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.ravel(), type=pa.float64()), m.shape[1] if m.size else 1
+                ),
             }
         )
 
-    return emb.map_batches(f, batch_format="pyarrow", batch_size=1024)
+    return emb.map_batches(f, batch_format="pyarrow")
+
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.3, chunk_rows: int = 512):
+    """Exact all-pairs embedding-cosine dedup as a chunk-pair block-nested-loop:
+    the corpus is partitioned into ~chunk_rows chunks held in the object store;
+    one task per (chunk_i, chunk_j) pair pulls exactly two chunks and emits the
+    qualifying id pairs.  O(n²) compute spread over k(k+1)/2 tasks with O(n²/k²)
+    memory each — no full-matrix broadcast, nothing corpus-sized on the driver.
+    This is the exact baseline/oracle; ``embedding_dup_pairs_lsh`` is the
+    sub-quadratic production plan."""
+    normed = _normalized_embeddings(sf_dir).materialize()
+    n = normed.count()
+    if n == 0:
+        return rd.from_arrow(
+            pa.table({"left_vec_id": pa.array([], type=pa.int64()), "right_vec_id": pa.array([], type=pa.int64())})
+        )
+    k = max(1, -(-n // chunk_rows))
+    chunks = normed.repartition(k).materialize()
+    refs = chunks.to_arrow_refs()
+    sizes = ray.get([_num_rows.remote(r) for r in refs])
+    refs = [r for r, c in zip(refs, sizes) if c > 0]
+    dim = _nvec_dim(chunks)
+    items = [{"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))]
+    desc = rd.from_items(items).repartition(len(items))
+    refs_ref = ray.put(refs)  # list of chunk ObjectRefs, not the data
+
+    def cross(batch: pa.Table) -> pa.Table:
+        rl = ray.get(refs_ref)
+        out_l, out_r = [], []
+        for i, j in zip(
+            batch["i"].to_numpy(zero_copy_only=False), batch["j"].to_numpy(zero_copy_only=False)
+        ):
+            ti, tj = ray.get(rl[int(i)]), ray.get(rl[int(j)])
+            ids_i = ti["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ids_j = tj["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mi = _fsl_mat(ti["nvec"], dim)
+            mj = _fsl_mat(tj["nvec"], dim)
+            sims = mi @ mj.T
+            ai, aj = np.nonzero(sims >= threshold)
+            l = np.minimum(ids_i[ai], ids_j[aj])
+            r = np.maximum(ids_i[ai], ids_j[aj])
+            keep = l < r  # drops self-pairs; i==j upper/lower dupes removed below
+            l, r = l[keep], r[keep]
+            if int(i) == int(j) and len(l):
+                m = np.unique(np.column_stack([l, r]), axis=0)
+                l, r = m[:, 0], m[:, 1]
+            out_l.append(l)
+            out_r.append(r)
+        la = np.concatenate(out_l) if out_l else np.empty(0, dtype=np.int64)
+        ra = np.concatenate(out_r) if out_r else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "left_vec_id": pa.array(la, type=pa.int64()),
+                "right_vec_id": pa.array(ra, type=pa.int64()),
+            }
+        )
+
+    return desc.map_batches(cross, batch_format="pyarrow", batch_size=None)
+
+
+@ray.remote
+def _num_rows(tbl) -> int:
+    return tbl.num_rows
 
 
 EMBEDDING_DUP_SQL = """
@@ -243,26 +346,91 @@ WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >
 """
 
 
+def embedding_dup_pairs_lsh(
+    sf_dir: str,
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    seed: int = 42,
+    max_block_size: int = 2000,
+):
+    """Sub-quadratic embedding dedup — the production plan at scale: bucket
+    vectors by random-hyperplane sign bits (multi-probe: each vector also emits
+    every 1-bit-flip bucket, so pairs whose codes differ by <=2 bits collide),
+    enumerate candidates per bucket, verify exact cosine via a join back to the
+    normalized-vector table.  Approximate in recall (measured vs the exact
+    baseline in tests), exact in precision (every emitted pair is verified)."""
+    normed = _normalized_embeddings(sf_dir).materialize()
+    n = normed.count()
+    if n == 0:
+        return rd.from_arrow(
+            pa.table({"left_vec_id": pa.array([], type=pa.int64()), "right_vec_id": pa.array([], type=pa.int64()),
+                      "cosine": pa.array([], type=pa.float64())})
+        )
+    nparts = adaptive_partitions(n)
+    dim = _nvec_dim(normed)
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def emit_keys(t: pa.Table) -> pa.Table:
+        m = _fsl_mat(t["nvec"], dim)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = ((m @ planes.T) > 0).astype(np.int64) @ weights
+        keys = [codes]
+        kids = [ids]
+        for p in range(n_planes):  # multi-probe: 1-bit flips
+            keys.append(codes ^ (1 << p))
+            kids.append(ids)
+        return pa.table(
+            {
+                "block_key": pa.array(np.concatenate(keys), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(kids), type=pa.int64()),
+            }
+        )
+
+    blocks = normed.map_batches(emit_keys, batch_format="pyarrow")
+    pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=max_block_size), num_partitions=nparts)
+
+    def vec_bin(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": t["vec_id"], "nvec_bin": pack_matrix(_fsl_mat(t["nvec"], dim))})
+
+    side = normed.map_batches(vec_bin, batch_format="pyarrow")
+    enriched = attach_pair_sides(pairs, side, id_col="vec_id", cols=("nvec_bin",), num_partitions=nparts)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"left_vec_id": pa.array([], type=pa.int64()), "right_vec_id": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        l = unpack_matrix(t["l_nvec_bin"], np.float64, dim)
+        r = unpack_matrix(t["r_nvec_bin"], np.float64, dim)
+        cos = (l * r).sum(axis=1)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "left_vec_id": pc.cast(t["left_id"], pa.int64()).filter(pa.array(keep)),
+                "right_vec_id": pc.cast(t["right_id"], pa.int64()).filter(pa.array(keep)),
+                "cosine": pa.array(np.round(cos[keep], 6), type=pa.float64()),
+            }
+        )
+
+    return enriched.map_batches(verify, batch_format="pyarrow")
+
+
 def dedup_apply_exact(sf_dir: str):
     """End-to-end exact dedup: return the kept documents (min doc_id per
-    normalized-content hash), demonstrating the filter-side of dedup."""
+    normalized-content hash) via a hash-partitioned semi-join of the documents
+    stream against the keep table — no driver-side keep-set."""
     from .text_analysis import _with_hash
 
     docs = _docs(sf_dir)
     keep = (
         docs.map_batches(_with_hash, batch_format="pyarrow")
         .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"))
+        .select_columns(["keep_doc_id"])
     )
-    keep_ids = set(keep.to_pandas()["doc_id"].astype(np.int64))
-    ref = ray.put(keep_ids)
-
-    def f(t: pa.Table) -> pa.Table:
-        ki = ray.get(ref)
-        mask = pa.array([int(x) in ki for x in t["doc_id"].to_numpy(zero_copy_only=False)])
-        return t.filter(mask)
-
-    return docs.map_batches(f, batch_format="pyarrow")
+    nparts = adaptive_partitions(docs.count())
+    joined = safe_join(docs, keep, num_partitions=nparts, on=("doc_id",), right_on=("keep_doc_id",))
+    return joined.select_columns(["doc_id", "text"])
 
 
 DEDUP_APPLY_EXACT_SQL = """

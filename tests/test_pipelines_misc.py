@@ -52,6 +52,52 @@ def test_simhash_pairs_hamming_bound():
     assert (pairs["hamming"] <= 8).all()
 
 
+def test_embedding_dedup_chunked_matches_duckdb():
+    """The chunk-pair block-nested-loop exact plan must equal the all-pairs SQL."""
+    import duckdb
+
+    from entity_resolution_pipeline_ray.pipelines.dedup import embedding_dup_pairs
+
+    mine = (
+        embedding_dup_pairs(SF, chunk_rows=128)  # force multiple chunks
+        .to_pandas()
+        .sort_values(["left_vec_id", "right_vec_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    oracle = con.sql(
+        f"""SELECT a.vec_id AS left_vec_id, b.vec_id AS right_vec_id
+            FROM '{SF}/embeddings.parquet' a, '{SF}/embeddings.parquet' b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3"""
+    ).df().sort_values(["left_vec_id", "right_vec_id"]).reset_index(drop=True)
+    con.close()
+    assert len(mine) == len(oracle)
+    assert (mine["left_vec_id"].to_numpy() == oracle["left_vec_id"].to_numpy()).all()
+    assert (mine["right_vec_id"].to_numpy() == oracle["right_vec_id"].to_numpy()).all()
+
+
+def test_embedding_dedup_lsh_recall_and_precision():
+    """LSH-bucketed production plan: exact precision (every pair verified),
+    recall measured against the exact baseline."""
+    from entity_resolution_pipeline_ray.pipelines.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    exact = embedding_dup_pairs(SF).to_pandas()
+    approx = embedding_dup_pairs_lsh(SF).to_pandas()
+    exact_set = set(zip(exact["left_vec_id"], exact["right_vec_id"]))
+    approx_set = set(zip(approx["left_vec_id"], approx["right_vec_id"]))
+    assert approx_set <= exact_set  # verified cosine → no false positives
+    assert (approx["cosine"] >= 0.3).all()
+    if exact_set:
+        recall = len(approx_set & exact_set) / len(exact_set)
+        # threshold 0.3 is a LOW bar for hyperplane LSH (near-orthogonal pairs
+        # collide rarely); multi-probe radius-2 keeps recall usable
+        assert recall >= 0.3, recall
+
+
 def test_knn_bruteforce_matches_duckdb():
     import duckdb
 
