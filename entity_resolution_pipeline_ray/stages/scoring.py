@@ -312,21 +312,32 @@ class BroadcastPairScorer:
         return pa.Table.from_arrays(cols, names=names)
 
 
-def _prefixed_features(doc_features_ds, prefix: str):
-    """Rename doc_features columns with a side prefix for the join plan."""
-    cols = {
-        "doc_id": prefix + "doc_id",
-        "title": prefix + "title",
-        "domain": prefix + "domain",
-        "token_count": prefix + "token_count",
-        "minhash_sig": prefix + "sig",
-        "tfidf_idx": prefix + "tfidf_idx",
-        "tfidf_val": prefix + "tfidf_val",
-    }
+def _prefixed_features(doc_features_ds, prefix: str, num_perm: int):
+    """Side-prefixed doc_features for the join plan, with list-typed payloads
+    packed to binary: Acero hash joins reject list columns as non-key fields
+    ("Data type fixed_size_list<...> is not supported"), so the MinHash
+    signature ships as fixed_size_binary and the sparse TF-IDF idx/val pairs
+    as variable binary.  Unpacked zero-copy in _JoinedPairScorer."""
+    from ..rayops import pack_matrix, pack_ragged
 
     def ren(batch: pa.Table) -> pa.Table:
-        batch = batch.select(list(cols.keys()))
-        return batch.rename_columns([cols[c] for c in batch.column_names])
+        n = len(batch)
+        sigs = np.asarray(
+            batch["minhash_sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).reshape(n, num_perm)
+        tfi = [np.asarray(x if x is not None else [], dtype=np.uint32) for x in batch["tfidf_idx"].to_pylist()]
+        tfv = [np.asarray(x if x is not None else [], dtype=np.float32) for x in batch["tfidf_val"].to_pylist()]
+        return pa.table(
+            {
+                prefix + "doc_id": batch["doc_id"],
+                prefix + "title": batch["title"],
+                prefix + "domain": batch["domain"],
+                prefix + "token_count": batch["token_count"],
+                prefix + "sig": pack_matrix(sigs),
+                prefix + "tfidf_idx": pack_ragged(tfi),
+                prefix + "tfidf_val": pack_ragged(tfv),
+            }
+        )
 
     return doc_features_ds.map_batches(ren, batch_format="pyarrow")
 
@@ -342,16 +353,15 @@ class _JoinedPairScorer:
         self.cache = _StringSimCache()
 
     def _side(self, batch: pa.Table, prefix: str) -> dict:
-        n = len(batch)
-        sig_col = batch[prefix + "sig"].combine_chunks()
-        sigs = np.asarray(sig_col.flatten().to_numpy(zero_copy_only=False)).reshape(n, self.num_perm)
+        from ..rayops import unpack_matrix, unpack_ragged
+
         return {
             "title": [t or "" for t in batch[prefix + "title"].to_pylist()],
             "domain": [d or "" for d in batch[prefix + "domain"].to_pylist()],
             "token_count": np.nan_to_num(batch[prefix + "token_count"].to_numpy(zero_copy_only=False)).astype(np.int64),
-            "sig": sigs,
-            "tfidf_idx": [np.asarray(x if x is not None else [], dtype=np.uint32) for x in batch[prefix + "tfidf_idx"].to_pylist()],
-            "tfidf_val": [np.asarray(x if x is not None else [], dtype=np.float32) for x in batch[prefix + "tfidf_val"].to_pylist()],
+            "sig": unpack_matrix(batch[prefix + "sig"], np.uint64, self.num_perm),
+            "tfidf_idx": unpack_ragged(batch[prefix + "tfidf_idx"], np.uint32),
+            "tfidf_val": unpack_ragged(batch[prefix + "tfidf_val"], np.float32),
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -405,20 +415,28 @@ def score_pairs(
             concurrency=actor_pool_bounds(ex.scorer_concurrency),
             num_cpus=actor_num_cpus(),
         )
-    # join plan (the at-scale path): pairs ⋈ docs ON left_id, then ON right_id
-    from ..rayops import safe_join
+    # join plan (the at-scale path): pairs ⋈ docs ON left_id, then ON right_id.
+    # Partition count is adaptive: each hash-shuffle partition is an aggregator
+    # ACTOR, and a static 32-partition join on a small session deadlocks
+    # (aggregators reserve every CPU before any map task can run).
+    from ..rayops import adaptive_partitions, safe_join
 
-    lf = _prefixed_features(doc_features_ds, "l_")
-    rf = _prefixed_features(doc_features_ds, "r_")
+    nparts = adaptive_partitions(num_docs, cap=ex.join_num_partitions)
+    lf = _prefixed_features(doc_features_ds, "l_", num_perm)
+    rf = _prefixed_features(doc_features_ds, "r_", num_perm)
     enriched = safe_join(
-        safe_join(pairs_ds, lf, num_partitions=ex.join_num_partitions, on=("left_id",), right_on=("l_doc_id",)),
+        safe_join(pairs_ds, lf, num_partitions=nparts, on=("left_id",), right_on=("l_doc_id",)),
         rf,
-        num_partitions=ex.join_num_partitions,
+        num_partitions=nparts,
         on=("right_id",),
         right_on=("r_doc_id",),
     )
     from ..rayops import actor_num_cpus, actor_pool_bounds
 
+    # barrier: chaining the join's hash-shuffle aggregator actors directly into
+    # the scorer actor pool starves small CPU budgets (both reserve CPUs);
+    # see run_er_pipeline's pairs.materialize() for the same pattern
+    enriched = enriched.materialize()
     return enriched.map_batches(
         _JoinedPairScorer,
         fn_constructor_args=(model_json, num_perm, cfg.prefilter),

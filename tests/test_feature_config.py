@@ -48,6 +48,41 @@ def test_prefilter_rules_force_probs():
     assert (p2 == 0.5).all()
 
 
+def test_join_plan_matches_broadcast_plan():
+    """The at-scale join plan (pairs ⋈ doc_features twice, payloads packed to
+    binary for Acero) must produce identical features to the broadcast plan.
+    Forced via broadcast_threshold_rows=0 — this path is never taken at test
+    scale otherwise (round-1 shipped it with list-typed payloads Acero
+    rejects; this pins the fix)."""
+    from entity_resolution_pipeline_ray.sources.pages import PagesSpec, pages_dataset
+    from entity_resolution_pipeline_ray.stages.blocking import candidate_pairs, emit_block_keys
+    from entity_resolution_pipeline_ray.stages.extract import extract_docs
+    from entity_resolution_pipeline_ray.stages.scoring import score_pairs
+    from entity_resolution_pipeline_ray.stages.signatures import compute_doc_features
+
+    cfg = DEFAULT_CONFIG
+    spec = PagesSpec(num_pages=300, num_shards=2)
+    docs = extract_docs(pages_dataset(spec)).materialize()
+    feats = compute_doc_features(docs, cfg.minhash, cfg.tfidf, concurrency=2, batch_size=256).materialize()
+    pairs = candidate_pairs(
+        emit_block_keys(feats, cfg.minhash, cfg.blocking), cfg.blocking, num_partitions=4
+    ).materialize()
+    bcast = score_pairs(pairs, feats, None, cfg).to_pandas()
+    cfg_join = dataclasses.replace(
+        cfg, execution=dataclasses.replace(cfg.execution, broadcast_threshold_rows=0)
+    )
+    joined = score_pairs(pairs, feats, None, cfg_join).to_pandas()
+    key = ["left_id", "right_id"]
+    b = bcast.sort_values(key).reset_index(drop=True)
+    j = joined.sort_values(key).reset_index(drop=True)
+    assert len(b) == len(j) and len(b) > 0
+    for c in b.columns:
+        if c in key:
+            assert (b[c].to_numpy() == j[c].to_numpy()).all()
+        else:
+            np.testing.assert_allclose(b[c].to_numpy(), j[c].to_numpy(), rtol=1e-6, err_msg=c)
+
+
 def test_standardized_training_still_accurate():
     from entity_resolution_pipeline_ray.pipelines.er import pairwise_f1_against_gold, run_er_on_spec
     from entity_resolution_pipeline_ray.sources.pages import PagesSpec, labeled_pairs_table
