@@ -154,10 +154,56 @@ def lang_id(text: str | None) -> str:
     return best_lang
 
 
-def quality_stats(texts: np.ndarray) -> dict[str, np.ndarray]:
-    """Vectorized-ish quality metrics per document (length / punct / digit /
-    upper ratios, stopword ratio, mean token length).  Reference analog: field
-    statistics at /root/reference/src/batch_parallel_preprocessing.py:500-512."""
+def quality_stats(texts) -> dict[str, np.ndarray]:
+    """Quality metrics per document (length / punct / digit / upper ratios,
+    stopword ratio, mean token length), fully vectorized via Arrow RE2 kernels.
+    Reference analog: field statistics at
+    /root/reference/src/batch_parallel_preprocessing.py:500-512.
+
+    Equivalence with the scalar definition (``_quality_stats_scalar``) is
+    pinned by tests on ASCII corpora; RE2 character classes are ASCII
+    (``[0-9]``/``[A-Z]``/``\\w``) where Python's ``isdigit``/``isupper``/``\\w``
+    are unicode-aware — identical on the ASCII corpora this engine targets and
+    on the DuckDB oracle's own ``[0-9]`` semantics."""
+    col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(list(texts), type=pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+
+    def _count(pattern: str, target=None) -> np.ndarray:
+        c = pc.count_substring_regex(target if target is not None else col, pattern)
+        return np.nan_to_num(c.to_numpy(zero_copy_only=False).astype(np.float64))
+
+    char_count = np.nan_to_num(
+        pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+    token_count = _count(r"\S+")
+    denom = np.maximum(char_count, 1.0)
+    punct_ratio = _count(r"[.,;:!?]") / denom
+    digit_ratio = _count(r"[0-9]") / denom
+    upper_ratio = _count(r"[A-Z]") / denom
+    lower = pc.utf8_lower(col)
+    word_tokens_n = _count(r"\w+", lower)
+    word_chars_n = _count(r"\w", lower)
+    stop_pattern = r"\b(?:" + "|".join(sorted(STOPWORDS_EN)) + r")\b"
+    stop_n = _count(stop_pattern, lower)
+    tok_denom = np.maximum(word_tokens_n, 1.0)
+    stop_ratio = np.where(word_tokens_n > 0, stop_n / tok_denom, 0.0)
+    mean_tok_len = np.where(word_tokens_n > 0, word_chars_n / tok_denom, 0.0)
+    return {
+        "char_count": char_count.astype(np.int64),
+        "token_count": token_count.astype(np.int64),
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "upper_ratio": upper_ratio,
+        "stopword_ratio": stop_ratio,
+        "mean_token_len": mean_tok_len,
+    }
+
+
+def _quality_stats_scalar(texts: np.ndarray) -> dict[str, np.ndarray]:
+    """Scalar reference implementation of quality_stats (kept for the
+    vectorized-equivalence test)."""
     n = len(texts)
     char_count = np.zeros(n, dtype=np.int64)
     token_count = np.zeros(n, dtype=np.int64)

@@ -136,17 +136,38 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 # --------------------------------------------------------------------- broadcast joins
 
 
+def _lookup_payload(keys, values) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-key broadcast payload for vectorized searchsorted gathers."""
+    k = np.asarray(keys, dtype=np.int64)
+    v = np.asarray(values, dtype=object)
+    order = np.argsort(k, kind="mergesort")
+    return k[order], v[order]
+
+
+def _gather(sorted_keys: np.ndarray, values: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized dict.get over a sorted-key payload (None where missing)."""
+    keys = np.asarray(keys, dtype=np.int64)
+    if len(sorted_keys) == 0:
+        return np.full(len(keys), None, dtype=object)
+    pos = np.clip(np.searchsorted(sorted_keys, keys), 0, len(sorted_keys) - 1)
+    out = values[pos]
+    missing = sorted_keys[pos] != keys
+    if missing.any():
+        out = out.copy()
+        out[missing] = None
+    return out
+
+
 def q_segment_revenue(sf_dir: str):
     """orders ⋈ customer (broadcast dimension) → revenue per market segment
     (J1-class join, SURVEY §2.4; broadcast pattern per ray_guide)."""
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    seg_ref = ray.put(_lookup_payload(cust["c_custkey"], cust["c_mktsegment"]))
     orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def attach(t: pa.Table) -> pa.Table:
-        seg = ray.get(seg_ref)
-        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-        segs = [seg.get(int(k)) for k in keys]
+        sk, sv = ray.get(seg_ref)
+        segs = _gather(sk, sv, t["o_custkey"].to_numpy(zero_copy_only=False))
         return pa.table({"c_mktsegment": pa.array(segs, type=pa.string()), "o_totalprice": t["o_totalprice"]})
 
     out = (
@@ -169,14 +190,18 @@ def q_region_customers(sf_dir: str):
     region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     nation = _pq(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     rmap = dict(zip(region["r_regionkey"], region["r_name"]))
-    nmap = {int(k): rmap.get(int(r)) for k, r in zip(nation["n_nationkey"], nation["n_regionkey"])}
-    nref = ray.put(nmap)
+    nref = ray.put(
+        _lookup_payload(
+            nation["n_nationkey"],
+            [rmap.get(int(r)) for r in nation["n_regionkey"]],  # tiny dimension (25 rows)
+        )
+    )
     cust = _pq(sf_dir, "customer", ["c_nationkey"])
 
     def attach(t: pa.Table) -> pa.Table:
-        nm = ray.get(nref)
-        keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
-        return pa.table({"r_name": pa.array([nm.get(int(k)) for k in keys], type=pa.string())})
+        nk, nv = ray.get(nref)
+        names = _gather(nk, nv, t["c_nationkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"r_name": pa.array(names, type=pa.string())})
 
     return cust.map_batches(attach, batch_format="pyarrow").groupby("r_name").aggregate(Count(alias_name="n_customers"))
 
@@ -212,13 +237,13 @@ ORDER BY total_spent DESC, c_custkey
 def q_supplier_nations(sf_dir: str):
     """Distinct set op: nations that have suppliers (SURVEY §2.7 union/unique)."""
     nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    nref = ray.put(_lookup_payload(nation["n_nationkey"], nation["n_name"]))
     supp = _pq(sf_dir, "supplier", ["s_nationkey"])
 
     def attach(t: pa.Table) -> pa.Table:
-        nm = ray.get(nref)
-        keys = t["s_nationkey"].to_numpy(zero_copy_only=False)
-        return pa.table({"n_name": pa.array([nm.get(int(k)) for k in keys], type=pa.string())})
+        nk, nv = ray.get(nref)
+        names = _gather(nk, nv, t["s_nationkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"n_name": pa.array(names, type=pa.string())})
 
     uniq = supp.map_batches(attach, batch_format="pyarrow").unique("n_name")
     return pa.table({"n_name": pa.array(sorted(uniq), type=pa.string())})

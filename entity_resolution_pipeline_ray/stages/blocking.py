@@ -121,20 +121,27 @@ def candidate_pairs(blocks_ds, blocking_cfg: BlockingConfig, num_partitions: int
     from ray.data.aggregate import Count
 
     strides = hot_block_strides(blocks_ds, blocking_cfg.max_block_size)
-    strides_ref = ray.put(strides)
+    # broadcast sorted parallel arrays → the trim is a vectorized searchsorted
+    # gather + modulus on the hot subset (no Python per row even when skewed)
+    hot_keys = np.sort(np.fromiter(strides.keys(), dtype=np.int64, count=len(strides)))
+    hot_strides = np.fromiter(
+        (strides[int(k)] for k in hot_keys), dtype=np.int64, count=len(strides)
+    )
+    strides_ref = ray.put((hot_keys, hot_strides))
 
     def trim(batch: pa.Table) -> pa.Table:
-        s = ray.get(strides_ref)
-        if not s:
+        hk, hs = ray.get(strides_ref)
+        if len(hk) == 0:
             return batch
         keys = batch["block_key"].to_numpy(zero_copy_only=False)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        keep = np.ones(len(batch), dtype=bool)
-        for i, k in enumerate(keys):
-            st = s.get(int(k))
-            if st is not None and (int(ids[i]) % st) != 0:
-                keep[i] = False
-        return batch.filter(pa.array(keep))
+        pos = np.clip(np.searchsorted(hk, keys), 0, len(hk) - 1)
+        is_hot = hk[pos] == keys
+        if not is_hot.any():
+            return batch
+        stride = np.where(is_hot, hs[pos], 1)
+        keep = (ids % stride) == 0
+        return batch.filter(pa.array(keep | ~is_hot))
 
     trimmed = blocks_ds.map_batches(trim, batch_format="pyarrow", batch_size=8192)
 

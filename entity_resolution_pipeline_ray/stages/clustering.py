@@ -193,12 +193,17 @@ def filter_min_cluster_size(clusters_ds, sizes_ds, min_size: int, num_partitions
     big = sizes_ds.map_batches(
         lambda b: b.filter(pc.greater_equal(b["cluster_size"], min_size)), batch_format="pyarrow"
     ).to_pandas()
-    keep = set(big["cluster_id"].astype("int64")) if not big.empty else set()
+    keep = (
+        np.sort(big["cluster_id"].to_numpy(dtype=np.int64)) if not big.empty else np.empty(0, dtype=np.int64)
+    )
     ref = ray.put(keep)
 
     def f(t: pa.Table) -> pa.Table:
         ks = ray.get(ref)
-        mask = pa.array([int(c) in ks for c in t["cluster_id"].to_numpy(zero_copy_only=False)])
-        return t.filter(mask)
+        ids = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ks) == 0:
+            return t.slice(0, 0)
+        pos = np.clip(np.searchsorted(ks, ids), 0, len(ks) - 1)
+        return t.filter(pa.array(ks[pos] == ids))
 
     return clusters_ds.map_batches(f, batch_format="pyarrow")

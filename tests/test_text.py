@@ -97,3 +97,32 @@ def test_quality_stats():
     assert q["token_count"][0] == 3
     assert q["digit_ratio"][0] == pytest.approx(2 / 16)
     assert q["punct_ratio"][0] == pytest.approx(2 / 16)  # ',' and '!'
+
+
+def test_quality_stats_vectorized_matches_scalar():
+    """The Arrow-RE2 vectorized quality_stats must equal the scalar definition
+    (ASCII inputs — the engine's corpus domain)."""
+    import numpy as np
+
+    from entity_resolution_pipeline_ray.functions.text import (
+        _quality_stats_scalar,
+        quality_stats,
+    )
+
+    texts = np.asarray(
+        [
+            "",
+            None,
+            "Hello, World! 123",
+            "the and of to in is that it for with was on",
+            "   spaced   out   tokens  ",
+            "ALLCAPS!!! 999",
+            "a.b,c;d:e!f?g",
+            "x" * 500,
+        ],
+        dtype=object,
+    )
+    v = quality_stats(texts)
+    s = _quality_stats_scalar(texts)
+    for k in s:
+        np.testing.assert_allclose(v[k].astype(float), s[k].astype(float), atol=1e-12, err_msg=k)
