@@ -135,10 +135,21 @@ def token_jaccard(a_tokens, b_tokens) -> float:
     return len(sa & sb) / u if u else 1.0
 
 
+_EMPTY_SIG_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
 def minhash_agreement(sig_l: np.ndarray, sig_r: np.ndarray) -> np.ndarray:
     """Estimated Jaccard = fraction of agreeing MinHash slots.
-    sig_l/sig_r: (n_pairs, num_perm) u64 → (n_pairs,) float64."""
-    return (sig_l == sig_r).mean(axis=1)
+    sig_l/sig_r: (n_pairs, num_perm) u64 → (n_pairs,) float64.
+
+    Pairs where EITHER side is the all-sentinel empty-document signature score
+    0.0: two empty pages agree on every sentinel slot, which would otherwise
+    read as a perfect sketch match (and, with prefilter rules on, force
+    prob=1.0) for unrelated empty pages that merely share a block key —
+    mirroring how empty docs are already excluded from band keys."""
+    agree = (sig_l == sig_r).mean(axis=1)
+    empty = (sig_l == _EMPTY_SIG_SENTINEL).all(axis=1) | (sig_r == _EMPTY_SIG_SENTINEL).all(axis=1)
+    return np.where(empty, 0.0, agree)
 
 
 def cosine_dense(vl: np.ndarray, vr: np.ndarray) -> np.ndarray:

@@ -489,6 +489,8 @@ def q_sessions(sf_dir: str, gap_minutes: int = 30):
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        # tie-safe without a secondary key: equal-ts rows have diff==0 (never
+        # a session split) and every output is an order-insensitive aggregate
         g = g.sort_values("ts")
         new_sess = (g["ts"].diff() > gap) | g["ts"].diff().isna()
         sid = new_sess.cumsum()
@@ -527,7 +529,10 @@ def q_running_total(sf_dir: str):
     ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts").copy()
+        # event_id as secondary key (stable mergesort): at duplicate (user, ts)
+        # rows the cumulative value would otherwise depend on arbitrary sort
+        # order and diverge from the oracle's window order
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").copy()
         g["running_value"] = g["value"].cumsum().round(6)
         return g[["event_id", "user_id", "running_value"]]
 
@@ -536,6 +541,6 @@ def q_running_total(sf_dir: str):
 
 Q_RUNNING_SQL = """
 SELECT event_id, user_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING), 6) AS running_value
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 6) AS running_value
 FROM events
 """

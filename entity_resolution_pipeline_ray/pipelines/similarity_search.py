@@ -63,7 +63,11 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 4):
             if len(cand_idx) == 0:
                 continue
             kk = min(k, len(cand_idx))
-            sel = cand_idx[np.argpartition(-s[cand_idx], kk - 1)[:kk]] if kk < len(cand_idx) else cand_idx
+            # per-block top-k by the SAME (score desc, vec_id asc) order as the
+            # driver merge + oracle, so a k-boundary score tie can't drop the
+            # candidate the global order would keep
+            order = np.lexsort((ids[cand_idx], -s[cand_idx]))
+            sel = cand_idx[order[:kk]]
             out_q.extend([int(ids_q[qi])] * len(sel))
             out_v.extend(ids[sel].tolist())
             out_s.extend(s[sel].tolist())

@@ -180,35 +180,59 @@ def pair_feature_matrix(left: dict, right: dict, cache: _StringSimCache | None =
 # ----------------------------------------------------------------------- payload handling
 
 
+@ray.remote
+def _payload_partial(batch: pa.Table) -> dict | None:
+    """Per-block slice of the broadcast payload (runs in parallel tasks)."""
+    import pyarrow.compute as _pc
+
+    n = len(batch)
+    if n == 0:
+        return None
+    num_perm = batch.schema.field("minhash_sig").type.list_size
+    tfi = batch["tfidf_idx"].combine_chunks()
+    tfv = batch["tfidf_val"].combine_chunks()
+    return {
+        "ids": batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        # fixed-width unicode arrays: zero-copy through the object store
+        # (object-dtype string arrays are re-pickled in every actor's init);
+        # nulls → "" BEFORE the U-dtype cast (None would stringify)
+        "title": np.asarray(
+            _pc.fill_null(batch["title"], "").to_numpy(zero_copy_only=False), dtype=np.str_
+        ),
+        "domain": np.asarray(
+            _pc.fill_null(batch["domain"], "").to_numpy(zero_copy_only=False), dtype=np.str_
+        ),
+        "tc": batch["token_count"].to_numpy(zero_copy_only=False).astype(np.int64),
+        "sig": np.asarray(
+            batch["minhash_sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).reshape(n, num_perm),
+        "tfi": np.asarray(tfi.flatten().to_numpy(zero_copy_only=False), dtype=np.uint32),
+        "tfv": np.asarray(tfv.flatten().to_numpy(zero_copy_only=False), dtype=np.float32),
+        "tflen": _pc.list_value_length(tfi).to_numpy(zero_copy_only=False).astype(np.int64),
+        "num_perm": num_perm,
+    }
+
+
 def payload_map_from_features(doc_features_ds) -> dict:
     """Collect doc_features into a COLUMNAR broadcast payload: parallel arrays
     sorted by doc_id + FLAT tfidf arrays with offsets, looked up via
     np.searchsorted (vectorized gather; per-doc tfidf vectors are zero-copy
-    slices of the flat arrays).  Fully vectorized build — no per-row Python."""
-    import pyarrow.compute as _pc
-
-    ids_l, titles_l, doms_l, tcs_l, sigs_l = [], [], [], [], []
-    tfi_flat_l, tfv_flat_l, tflen_l = [], [], []
-    num_perm = 0
-    for batch in doc_features_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        n = len(batch)
-        if n == 0:
-            continue
-        num_perm = batch.schema.field("minhash_sig").type.list_size
-        ids_l.append(batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
-        titles_l.append(batch["title"].to_numpy(zero_copy_only=False))
-        doms_l.append(batch["domain"].to_numpy(zero_copy_only=False))
-        tcs_l.append(batch["token_count"].to_numpy(zero_copy_only=False).astype(np.int64))
-        sigs_l.append(
-            np.asarray(batch["minhash_sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(
-                n, num_perm
-            )
-        )
-        tfi = batch["tfidf_idx"].combine_chunks()
-        tfv = batch["tfidf_val"].combine_chunks()
-        tfi_flat_l.append(np.asarray(tfi.flatten().to_numpy(zero_copy_only=False), dtype=np.uint32))
-        tfv_flat_l.append(np.asarray(tfv.flatten().to_numpy(zero_copy_only=False), dtype=np.float32))
-        tflen_l.append(_pc.list_value_length(tfi).to_numpy(zero_copy_only=False).astype(np.int64))
+    slices of the flat arrays).  The per-block Arrow→numpy conversions run as
+    parallel tasks; the driver only concatenates and argsorts."""
+    parts = [
+        p
+        for p in ray.get([_payload_partial.remote(r) for r in doc_features_ds.to_arrow_refs()])
+        if p is not None
+    ]
+    num_perm = parts[0]["num_perm"] if parts else 128
+    ids_l = [p["ids"] for p in parts]
+    titles_l = [p["title"] for p in parts]
+    doms_l = [p["domain"] for p in parts]
+    tcs_l = [p["tc"] for p in parts]
+    sigs_l = [p["sig"] for p in parts]
+    tfi_flat_l = [p["tfi"] for p in parts]
+    tfv_flat_l = [p["tfv"] for p in parts]
+    tflen_l = [p["tflen"] for p in parts]
     if not ids_l:
         return {"ids": np.empty(0, dtype=np.int64), "num_perm": 128}
     ids = np.concatenate(ids_l)
@@ -271,8 +295,8 @@ def _sides_from_payload_map(pm: dict, left_ids, right_ids, num_perm: int) -> tup
             domains = domains.copy()
             domains[~found] = ""
         return {
-            "title": list(titles),
-            "domain": list(domains),
+            "title": titles,
+            "domain": domains,
             "token_count": tc.astype(np.int64),
             "sig": sig,
             "tfidf_idx": tfi,

@@ -52,17 +52,41 @@ def token_df_partials(batch: pa.Table) -> pa.Table:
     return pa.table({"token": list(counts.keys()), "df": pa.array(list(counts.values()), type=pa.int64())})
 
 
-def build_vocabulary(docs_ds, cfg: TfidfConfig, num_docs: int) -> dict:
-    """Corpus vocabulary: token → (index, idf).  One shuffle over token partials;
-    result is small (<= vocab_size) and returned driver-side for broadcast."""
-    from ray.data.aggregate import Sum
+def build_vocabulary(
+    docs_ds, cfg: TfidfConfig, num_docs: int, *, driver_merge_threshold: int = 2_000_000
+) -> dict:
+    """Corpus vocabulary: token → (index, idf).
 
+    Per-batch partial dfs stream out of the workers either into a driver-side
+    pandas merge (below ``driver_merge_threshold`` docs — Ray's hash-aggregate
+    finalizer runs at ~10-15k groups/s, so the groupby costs seconds of fixed
+    time pandas does in milliseconds) or into the distributed
+    ``groupby(token).sum`` (the at-scale plan — driver memory is bounded by
+    the global distinct-token count otherwise).  Truncation at vocab_size is
+    deterministic in BOTH plans: ties at the boundary break by (-df, token),
+    not partition order."""
     partials = docs_ds.map_batches(token_df_partials, batch_format="pyarrow", batch_size=1024)
-    df_tbl = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
-    top = df_tbl.sort("df", descending=True).limit(cfg.vocab_size).to_pandas()
+    if num_docs <= driver_merge_threshold:
+        frames = [b.to_pandas() for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+        if frames:
+            top = pd.concat(frames).groupby("token", sort=False)["df"].sum().reset_index()
+        else:
+            top = pd.DataFrame({"token": [], "df": []})
+    else:
+        from ray.data.aggregate import Sum
+
+        df_tbl = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+        # secondary sort key BEFORE the limit: without it, which of the tokens
+        # tied in df at the vocab_size boundary survive depends on partition
+        # order (breaks the reproducible-from-config contract)
+        top = df_tbl.sort(["df", "token"], descending=[True, False]).limit(cfg.vocab_size).to_pandas()
     top = top[top["df"] >= cfg.min_df]
     # deterministic index assignment: sort by (-df, token)
-    top = top.sort_values(["df", "token"], ascending=[False, True]).reset_index(drop=True)
+    top = (
+        top.sort_values(["df", "token"], ascending=[False, True])
+        .head(cfg.vocab_size)
+        .reset_index(drop=True)
+    )
     idf = np.log((1.0 + num_docs) / (1.0 + top["df"].to_numpy())) + 1.0
     return {tok: (i, float(idf[i])) for i, tok in enumerate(top["token"])}
 

@@ -55,6 +55,11 @@ class StageCheckpoint:
         t0 = time.time()
         tmp = self.data_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
+        # invalidate any stale complete-manifest BEFORE touching the data dir:
+        # a crash between the rmtree and the new manifest must read as
+        # incomplete (recompute), never complete-but-corrupt
+        if os.path.exists(self.manifest_path):
+            os.remove(self.manifest_path)
         shutil.rmtree(self.data_dir, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
         ds.write_parquet(tmp)
