@@ -245,6 +245,32 @@ def ngram_jaccard_dup_pairs(sf_dir: str, threshold: float = 0.5, shingle_size: i
     return enriched.map_batches(verify, batch_format="pyarrow")
 
 
+# All-pairs exact shingle Jaccard >= 0.5.  The engine computes the same thing
+# through LSH candidates (128 perms / 64 bands: a >=0.5-Jaccard pair misses
+# all bands with probability 0.75^64 ≈ 1e-8, i.e. never at test scale) and
+# exact verification, so results match the quadratic SQL.  The ``uni > 0``
+# clause excludes empty-empty pairs, which the engine never blocks together.
+NGRAM_JACCARD_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, list_distinct(CASE
+    WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+    WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(1, len(toks) - 1),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+  END) AS sh FROM t),
+p AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+  FROM s a, s b WHERE a.doc_id < b.doc_id)
+SELECT left_id, right_id, round(inter * 1.0 / uni, 6) AS jaccard
+FROM p WHERE uni > 0 AND inter * 1.0 / uni >= 0.5
+"""
+
+
 # ----------------------------------------------------------------- embedding dedup
 
 

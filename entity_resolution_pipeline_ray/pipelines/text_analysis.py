@@ -176,8 +176,8 @@ FROM documents
 
 
 def t_quality_full(sf_dir: str):
-    """Engine-only quality metrics (stopword ratio, mean token length, upper
-    ratio) — heuristics with no clean SQL analog; rows-only check."""
+    """Full quality metrics incl. stopword ratio, mean token length and upper
+    ratio — all RE2-expressible, so DuckDB (also RE2) oracles them exactly."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
@@ -190,8 +190,36 @@ def t_quality_full(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# Same RE2 semantics as quality_stats: ASCII \w classes, non-overlapping scans.
+T_QUALITY_FULL_SQL = """
+WITH q AS (
+  SELECT doc_id,
+         coalesce(length(text), 0) AS n_chars,
+         len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS n_ws_tokens,
+         len(regexp_extract_all(coalesce(text, ''), '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(coalesce(text, ''), '[0-9]')) AS n_digit,
+         len(regexp_extract_all(coalesce(text, ''), '[A-Z]')) AS n_upper,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+')) AS n_wtok,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]')) AS n_wchar,
+         len(regexp_extract_all(lower(coalesce(text, '')),
+             '\\b(?:and|for|in|is|it|of|on|that|the|to|was|with)\\b')) AS n_stop
+  FROM documents)
+SELECT doc_id,
+       n_chars AS char_count,
+       n_ws_tokens AS token_count,
+       n_punct * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+       n_digit * 1.0 / greatest(n_chars, 1) AS digit_ratio,
+       n_upper * 1.0 / greatest(n_chars, 1) AS upper_ratio,
+       CASE WHEN n_wtok > 0 THEN n_stop * 1.0 / n_wtok ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN n_wtok > 0 THEN n_wchar * 1.0 / n_wtok ELSE 0.0 END AS mean_token_len
+FROM q
+"""
+
+
 def t_lang_id(sf_dir: str):
-    """Language-ID heuristic (stopword n-gram voting) — engine-only."""
+    """Language-ID heuristic: stopword vote over the first 200 tokens, argmax
+    per language, ties to the lexicographically first code, 'und' when no
+    stopword hits."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
@@ -199,6 +227,34 @@ def t_lang_id(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(preds, type=pa.string())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _lang_id_sql() -> str:
+    """DuckDB mirror of lang_id: same tokenizer (ASCII \\w on lowered text),
+    same 200-token cap, same strict-> argmax over sorted language codes."""
+    from ..functions.text import _LANG_STOPWORDS
+
+    score_cols = []
+    for code in sorted(_LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[code]))
+        score_cols.append(f"len(list_filter(tk, x -> x IN ({words}))) AS s_{code}")
+    codes = sorted(_LANG_STOPWORDS)
+    g = "greatest(" + ", ".join(f"s_{c}" for c in codes) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'und' "
+    for c in codes[:-1]:
+        case += f"WHEN s_{c} = {g} THEN '{c}' "
+    case += f"ELSE '{codes[-1]}' END AS lang_pred"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         (regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+'))[1:200] AS tk
+  FROM documents),
+sc AS (SELECT doc_id, {", ".join(score_cols)} FROM toks)
+SELECT doc_id, {case} FROM sc
+"""
+
+
+T_LANG_ID_SQL = _lang_id_sql()
 
 
 def t_simhash(sf_dir: str):
@@ -217,19 +273,44 @@ def t_simhash(sf_dir: str):
 
 
 def t_fingerprint(sf_dir: str):
-    """Winnowing-style rolling fingerprint: min stable-u64 over token 4-grams
-    (document fingerprinting; engine-only)."""
+    """Winnowing-style rolling fingerprint: min 64-bit md5 hash over token
+    4-grams.  The hash is the little-endian first 8 md5 bytes — exactly
+    DuckDB's ``md5_number_upper`` — so the whole operator is SQL-oracled
+    (round-1 used FNV, which no SQL function reproduces)."""
+    import hashlib
+
     ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _h(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
 
     def f(t: pa.Table) -> pa.Table:
         out = np.zeros(len(t), dtype=np.int64)
         for i, x in enumerate(t["text"].to_pylist()):
             toks = word_tokens(x) if x else []
             if len(toks) >= 4:
-                grams = [" ".join(toks[j : j + 4]) for j in range(len(toks) - 3)]
-                out[i] = int(stable_u64(np.asarray(grams, dtype=object)).min() >> np.uint64(1))
+                out[i] = min(_h(" ".join(toks[j : j + 4])) for j in range(len(toks) - 3)) >> 1
             elif toks:
-                out[i] = int(stable_u64(np.asarray([" ".join(toks)], dtype=object))[0] >> np.uint64(1))
+                out[i] = _h(" ".join(toks)) >> 1
         return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(out, type=pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+T_FINGERPRINT_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, CASE
+    WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+    WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(1, len(toks) - 2),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))
+  END AS grams FROM t)
+SELECT doc_id,
+       CASE WHEN len(grams) = 0 THEN 0
+            ELSE CAST(list_min(list_transform(grams, s -> md5_number_upper(s) >> 1)) AS BIGINT)
+       END AS fingerprint
+FROM g
+"""
