@@ -104,11 +104,17 @@ class ClassifierConfig:
 @dataclass(frozen=True)
 class ClusteringConfig:
     """Transitive clustering (reference analog:
-    /root/reference/src/batch_parallel_classification.py:840-943, config.yml:209-214)."""
+    /root/reference/src/batch_parallel_classification.py:840-943, config.yml:209-214).
+
+    ``algorithm``: 'connected_components' (default; distributed min-label
+    propagation with a driver union-find fast path), 'label_propagation'
+    (deterministic async majority-vote LPA), or 'louvain' (multi-level
+    modularity) — the reference's config-string selection at :871-935."""
 
     min_edge_weight: float = 0.5
     min_cluster_size: int = 1
     max_rounds: int = 100
+    algorithm: str = "connected_components"
 
 
 @dataclass(frozen=True)

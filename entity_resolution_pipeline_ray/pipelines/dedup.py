@@ -35,6 +35,7 @@ from ..rayops import (
     attach_pair_sides,
     pack_matrix,
     pack_ragged,
+    read_parquet_clean,
     safe_join,
     unpack_matrix,
     unpack_ragged,
@@ -43,7 +44,7 @@ from ..stages.blocking import candidate_pairs
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 def _fsl_mat(col, width: int) -> np.ndarray:
@@ -283,7 +284,7 @@ def _nvec_dim(ds) -> int:
 def _normalized_embeddings(sf_dir: str):
     """(vec_id, nvec) with nvec an L2-normalized FixedSizeList<double> — computed
     once, reused by both embedding-dedup plans."""
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def f(t: pa.Table) -> pa.Table:
         m = np.array(t["embedding"].to_pylist(), dtype=np.float64)

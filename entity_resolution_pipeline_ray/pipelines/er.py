@@ -18,7 +18,7 @@ import pyarrow as pa
 from ..config import DEFAULT_CONFIG, ERConfig
 from ..sources.pages import PagesSpec, labeled_pairs_table, labels_table, pages_dataset
 from ..stages.blocking import candidate_pairs, emit_block_keys
-from ..stages.clustering import edges_from_scores, propagate_labels
+from ..stages.clustering import cluster_labels, edges_from_scores
 from ..stages.extract import extract_docs
 from ..stages.scoring import score_pairs
 from ..stages.signatures import compute_doc_features
@@ -105,7 +105,14 @@ def run_er_pipeline(
     _tick("scores")
     edges = edges_from_scores(scores, cfg.clustering.min_edge_weight)
     all_ids = doc_features.select_columns(["doc_id"])
-    clusters = propagate_labels(edges, all_ids, cfg.clustering, num_partitions=cfg.execution.join_num_partitions)
+    clusters = cluster_labels(edges, all_ids, cfg.clustering, num_partitions=cfg.execution.join_num_partitions)
+    if cfg.clustering.min_cluster_size > 1:
+        from ..stages.clustering import cluster_sizes, filter_min_cluster_size
+
+        clusters = clusters.materialize()
+        clusters = filter_min_cluster_size(
+            clusters, cluster_sizes(clusters), cfg.clustering.min_cluster_size
+        )
     _tick("cluster")
     return {
         "docs": docs,
@@ -236,7 +243,7 @@ def run_er_pipeline_checkpointed(
     def _clusters():
         edges = edges_from_scores(scores, cfg.clustering.min_edge_weight)
         all_ids = feats.select_columns(["doc_id"])
-        return propagate_labels(edges, all_ids, cfg.clustering, num_partitions=cfg.execution.join_num_partitions)
+        return cluster_labels(edges, all_ids, cfg.clustering, num_partitions=cfg.execution.join_num_partitions)
 
     clusters, resumed["clusters"] = run_stage(workdir, "clusters", _clusters)
     out["clusters"] = clusters

@@ -80,7 +80,7 @@ class FakeMediaDecoder:
 def decode_media(media_ds, *, concurrency: int = 4, batch_size: int = 64, decoder_cls=FakeMediaDecoder):
     """Actor-pool decode stage over a binary media column.  Small batch_size on
     purpose: rows are wide (whole files); a batch × pool must fit worker heaps."""
-    from ..rayops import actor_num_cpus
+    from ..rayops import read_parquet_clean, actor_num_cpus
 
     return media_ds.map_batches(
         decoder_cls, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, concurrency),
@@ -92,7 +92,7 @@ def m_media_features(sf_dir: str):
     """Oracle-checkable multimodal plumbing demo: treat documents.text utf-8
     bytes as an opaque payload, run the actor-pool decode stage, emit
     (media_id, n_bytes, md5 hex) — byte-level ops DuckDB can mirror."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_media(t: pa.Table) -> pa.Table:
         payloads = [x.encode("utf-8") if x else b"" for x in t["text"].to_pylist()]

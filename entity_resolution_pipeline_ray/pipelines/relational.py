@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+
+from ..rayops import read_parquet_clean
 from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
 
@@ -47,7 +49,7 @@ def _round_cols(ds, spec: dict[str, int]):
 
 
 def _pq(sf_dir: str, name: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 # --------------------------------------------------------------------- aggregates

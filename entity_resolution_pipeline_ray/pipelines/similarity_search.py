@@ -18,9 +18,11 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..rayops import read_parquet_clean
+
 
 def _embeddings(sf_dir: str):
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
 def _fixed_queries(sf_dir: str, n_queries: int = 4):

@@ -17,6 +17,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
+
+from ..rayops import read_parquet_clean
 from ray.data.aggregate import Count, Mean, Min
 
 from ..functions.hashing import md5_hex, simhash64, stable_u64
@@ -30,7 +32,7 @@ from ..functions.text import (
 
 
 def _docs(sf_dir: str, columns):
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def t_normalize(sf_dir: str):

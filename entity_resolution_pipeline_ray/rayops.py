@@ -11,6 +11,46 @@ def _block_num_rows(block) -> int:
     return block.num_rows
 
 
+@ray.remote
+def _block_last_key(t, key_col: str):
+    return t[key_col][-1].as_py() if t.num_rows else None
+
+
+@ray.remote
+def _block_first_per_key(t, key_col: str, prev_last):
+    import numpy as np
+    import pyarrow as pa
+
+    if t.num_rows == 0:
+        return t
+    k = t[key_col].to_numpy(zero_copy_only=False)
+    keep = np.ones(len(k), dtype=bool)
+    keep[1:] = k[1:] != k[:-1]
+    if prev_last is not None and k[0] == prev_last:
+        keep[0] = False
+    return t.filter(pa.array(keep))
+
+
+def first_per_key(ds, key_col: str):
+    """One representative row per distinct ``key_col`` value, via range-sort +
+    boundary-aware local first-wins (same plan as blocking.distinct_pairs —
+    Ray's hash-aggregate finalizer is ~10-15k groups/s, far too slow for
+    row-cardinality keys).  Which row represents a key is partition-dependent;
+    callers must only rely on key-determined payloads (e.g. interning by
+    content hash, where every row with the key carries identical content)."""
+    sorted_ds = ds.sort(key_col).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    lasts = ray.get([_block_last_key.remote(r, key_col) for r in refs])
+    prevs = [None]
+    for l in lasts[:-1]:
+        prevs.append(l if l is not None else prevs[-1])
+    return rd.from_arrow_refs(
+        [_block_first_per_key.remote(r, key_col, p) for r, p in zip(refs, prevs)]
+    )
+
+
 def configure_context(*, quiet: bool = True) -> None:
     """Session-level DataContext setup for this engine.
 
@@ -35,6 +75,22 @@ def configure_context(*, quiet: bool = True) -> None:
     if n_cpus <= 4:
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.25
+
+
+def read_parquet_clean(path, *, columns=None, **kw):
+    """``read_parquet`` + schema-metadata strip (fused, zero-copy).
+
+    Pandas-written parquet carries a ``pandas`` schema-metadata dict that makes
+    ``pa.Schema`` UNHASHABLE — every downstream schema-dedup in Ray then warns
+    "Failed to hash the schemas" and falls back to O(n) unification.  Stripping
+    the metadata at the read fixes both."""
+
+    def strip(t):
+        return t.replace_schema_metadata(None)
+
+    return rd.read_parquet(path, columns=columns, **kw).map_batches(
+        strip, batch_format="pyarrow", batch_size=None
+    )
 
 
 def adaptive_partitions(n_rows: int, *, rows_per_partition: int = 200_000, cap: int = 64) -> int:

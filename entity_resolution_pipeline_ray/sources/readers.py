@@ -26,17 +26,19 @@ def read_pages(path: str, *, columns: list[str] | None = None):
     """
     import ray.data as rd
 
+    from ..rayops import read_parquet_clean
+
     if os.path.isdir(path):
         csvs = sorted(glob.glob(os.path.join(path, "**", "*.csv"), recursive=True))
         pqs = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
         if pqs or not csvs:
-            return rd.read_parquet(path, columns=columns)
+            return read_parquet_clean(path, columns=columns)
         ds = rd.read_csv(csvs)
         return ds.select_columns(columns) if columns else ds
     if path.endswith(".csv"):
         ds = rd.read_csv(path)
         return ds.select_columns(columns) if columns else ds
-    return rd.read_parquet(path, columns=columns)
+    return read_parquet_clean(path, columns=columns)
 
 
 def read_labeled_pairs(path: str) -> pa.Table:

@@ -168,6 +168,134 @@ def propagate_labels(
     )
 
 
+def _load_edges_driver(edges_ds):
+    """(src, dst, w) numpy arrays from the slim edge Dataset."""
+    srcs, dsts, ws = [], [], []
+    for b in edges_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        srcs.append(b["src"].to_numpy(zero_copy_only=False).astype(np.int64))
+        dsts.append(b["dst"].to_numpy(zero_copy_only=False).astype(np.int64))
+        ws.append(b["w"].to_numpy(zero_copy_only=False).astype(np.float64))
+    if not srcs:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, np.empty(0, dtype=np.float64)
+    return np.concatenate(srcs), np.concatenate(dsts), np.concatenate(ws)
+
+
+def _assign_from_label_map(all_ids_ds, label_map: dict):
+    """Broadcast a node→label dict and map every doc id (identity default)."""
+    import ray
+
+    ref = ray.put(label_map)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lm = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = np.fromiter((lm.get(int(d), int(d)) for d in ids), dtype=np.int64, count=len(ids))
+        return pa.table({"doc_id": t["doc_id"], "cluster_id": pa.array(out, type=pa.int64())})
+
+    return all_ids_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _adjacency(src, dst, w):
+    adj: dict[int, dict[int, float]] = {}
+    for a, b, ww in zip(src, dst, w):
+        a, b, ww = int(a), int(b), float(ww)
+        if a == b:
+            continue
+        adj.setdefault(a, {})[b] = adj.get(a, {}).get(b, 0.0) + ww
+        adj.setdefault(b, {})[a] = adj.get(b, {}).get(a, 0.0) + ww
+    return adj
+
+
+def _label_propagation_driver(src, dst, w, max_rounds: int) -> dict[int, int]:
+    """Deterministic asynchronous LPA: nodes in ascending id order adopt the
+    weight-majority neighbor label (ties → smallest label).  Reference analog:
+    the networkx label-propagation option
+    (/root/reference/src/batch_parallel_classification.py:871-935)."""
+    adj = _adjacency(src, dst, w)
+    labels = {n: n for n in adj}
+    order = sorted(adj)
+    for _ in range(max_rounds):
+        changed = False
+        for n in order:
+            scores: dict[int, float] = {}
+            for m, ww in adj[n].items():
+                l = labels[m]
+                scores[l] = scores.get(l, 0.0) + ww
+            if not scores:
+                continue
+            best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            if best != labels[n]:
+                labels[n] = best
+                changed = True
+        if not changed:
+            break
+    return labels
+
+
+def _louvain_driver(src, dst, w, max_rounds: int) -> dict[int, int]:
+    """Louvain local-moving phase (modularity, weighted), deterministic
+    ascending-id node order, repeated until no move improves modularity.
+    Standard public algorithm (Blondel et al. 2008 phase 1) implemented from
+    scratch; single-level — match graphs are shallow near-dup clusters, so the
+    hierarchy phase adds nothing.  Reference analog: the networkx louvain
+    option (:871-935)."""
+    adj = _adjacency(src, dst, w)
+    m2 = sum(sum(nb.values()) for nb in adj.values())  # = 2m
+    if m2 == 0:
+        return {}
+    comm = {n: n for n in adj}
+    deg = {n: sum(nb.values()) for n, nb in adj.items()}
+    comm_deg = dict(deg)
+    moved = True
+    rounds = 0
+    while moved and rounds < max_rounds:
+        moved = False
+        rounds += 1
+        for n in sorted(adj):
+            cn = comm[n]
+            links: dict[int, float] = {}
+            for mm, ww in adj[n].items():
+                links[comm[mm]] = links.get(comm[mm], 0.0) + ww
+            comm_deg[cn] -= deg[n]
+            # gain of STAYING is the baseline — a move must beat it, not zero
+            best_c = cn
+            best_gain = links.get(cn, 0.0) - comm_deg[cn] * deg[n] / m2
+            for c, l_nc in sorted(links.items()):
+                if c == cn:
+                    continue
+                gain = l_nc - comm_deg[c] * deg[n] / m2
+                if gain > best_gain + 1e-12:
+                    best_c, best_gain = c, gain
+            comm_deg[best_c] = comm_deg.get(best_c, 0.0) + deg[n]
+            if best_c != cn:
+                comm[n] = best_c
+                moved = True
+    return comm
+
+
+def cluster_labels(edges_ds, all_ids_ds, cfg: ClusteringConfig, num_partitions: int = 32):
+    """Config-selected clustering (reference :871-935): connected components
+    (the default and only distributed-at-scale plan), label propagation, or
+    louvain.  The two alternates are community detection on the match graph —
+    graphs of predicted-match edges are near-dup clusters, small enough for a
+    driver pass; the components path remains the 100 TB plan."""
+    algo = getattr(cfg, "algorithm", "connected_components")
+    if algo == "connected_components":
+        return propagate_labels(edges_ds, all_ids_ds, cfg, num_partitions=num_partitions)
+    if algo not in ("label_propagation", "louvain"):
+        raise ValueError(f"unknown clustering algorithm {algo!r}")
+    src, dst, w = _load_edges_driver(edges_ds)
+    fn = _label_propagation_driver if algo == "label_propagation" else _louvain_driver
+    labels = fn(src, dst, w, cfg.max_rounds)
+    # canonical cluster id = min member id (same contract as components)
+    groups: dict[int, list[int]] = {}
+    for n, l in labels.items():
+        groups.setdefault(l, []).append(n)
+    label_map = {n: min(members) for members in groups.values() for n in members}
+    return _assign_from_label_map(all_ids_ds, label_map)
+
+
 def cluster_sizes(clusters_ds):
     """clusters → (cluster_id, cluster_size) (reference cluster stats analog,
     /root/reference/src/reporting.py:1148-1170)."""

@@ -431,12 +431,21 @@ def score_pairs(
             payload_ref = ray.put(payload_map_from_features(doc_features_ds))
         from ..rayops import actor_num_cpus, actor_pool_bounds
 
+        lo, hi = actor_pool_bounds(ex.scorer_concurrency)
+        try:
+            # a materialized pair set with fewer blocks than the pool minimum
+            # can't feed every actor — split it so the pool is actually used
+            nb = pairs_ds.num_blocks()
+            if nb is not None and 0 < nb < lo:
+                pairs_ds = pairs_ds.repartition(hi).materialize()
+        except Exception:
+            pass
         return pairs_ds.map_batches(
             BroadcastPairScorer,
             fn_constructor_args=(payload_ref, model_json, num_perm, cfg.prefilter),
             batch_format="pyarrow",
             batch_size=ex.scorer_batch_size,
-            concurrency=actor_pool_bounds(ex.scorer_concurrency),
+            concurrency=(lo, hi),
             num_cpus=actor_num_cpus(),
         )
     # join plan (the at-scale path): pairs ⋈ docs ON left_id, then ON right_id.

@@ -91,6 +91,44 @@ def build_vocabulary(
     return {tok: (i, float(idf[i])) for i, tok in enumerate(top["token"])}
 
 
+def _text_features(texts, hasher: MinHasher, shingle_size: int, vocab: dict):
+    """Text-derived features for a batch of texts: (token_counts, sigs,
+    tf_idx list, tf_val list).  Pure function of the text — the unit the
+    interned path computes once per UNIQUE text."""
+    n = len(texts)
+    sigs = np.empty((n, hasher.num_perm), dtype=np.uint64)
+    tf_idx: list[np.ndarray] = []
+    tf_val: list[np.ndarray] = []
+    token_counts = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = word_tokens(t) if t else []
+        token_counts[i] = len(toks)
+        sh = word_shingles(toks, shingle_size)
+        sigs[i] = hasher.signature(
+            stable_u64(np.asarray(sh, dtype=object)) if sh else np.empty(0, dtype=np.uint64)
+        )
+        # hashed-vocab TF-IDF (sparse, L2-normalized)
+        tf: dict[int, float] = {}
+        for tok in toks:
+            ent = vocab.get(tok)
+            if ent is not None:
+                tf[ent[0]] = tf.get(ent[0], 0.0) + ent[1]
+        if tf:
+            idx = np.fromiter(tf.keys(), dtype=np.uint32, count=len(tf))
+            val = np.fromiter(tf.values(), dtype=np.float32, count=len(tf))
+            order = np.argsort(idx)
+            idx, val = idx[order], val[order]
+            norm = float(np.linalg.norm(val))
+            if norm > 0:
+                val = val / norm
+        else:
+            idx = np.empty(0, dtype=np.uint32)
+            val = np.empty(0, dtype=np.float32)
+        tf_idx.append(idx)
+        tf_val.append(val)
+    return token_counts, sigs, tf_idx, tf_val
+
+
 class SignatureVectorizer:
     """Actor-pool stage: holds MinHash permutations + broadcast vocabulary warm
     (setup once per actor — the reference's per-worker-client pattern,
@@ -104,37 +142,9 @@ class SignatureVectorizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        n = len(texts)
-        sigs = np.empty((n, self.hasher.num_perm), dtype=np.uint64)
-        tf_idx: list[np.ndarray] = []
-        tf_val: list[np.ndarray] = []
-        token_counts = np.zeros(n, dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = word_tokens(t) if t else []
-            token_counts[i] = len(toks)
-            sh = word_shingles(toks, self.shingle_size)
-            sigs[i] = self.hasher.signature(
-                stable_u64(np.asarray(sh, dtype=object)) if sh else np.empty(0, dtype=np.uint64)
-            )
-            # hashed-vocab TF-IDF (sparse, L2-normalized)
-            tf: dict[int, float] = {}
-            for tok in toks:
-                ent = self.vocab.get(tok)
-                if ent is not None:
-                    tf[ent[0]] = tf.get(ent[0], 0.0) + ent[1]
-            if tf:
-                idx = np.fromiter(tf.keys(), dtype=np.uint32, count=len(tf))
-                val = np.fromiter(tf.values(), dtype=np.float32, count=len(tf))
-                order = np.argsort(idx)
-                idx, val = idx[order], val[order]
-                norm = float(np.linalg.norm(val))
-                if norm > 0:
-                    val = val / norm
-            else:
-                idx = np.empty(0, dtype=np.uint32)
-                val = np.empty(0, dtype=np.float32)
-            tf_idx.append(idx)
-            tf_val.append(val)
+        token_counts, sigs, tf_idx, tf_val = _text_features(
+            texts, self.hasher, self.shingle_size, self.vocab
+        )
         return pa.Table.from_arrays(
             [
                 batch["doc_id"].combine_chunks() if isinstance(batch["doc_id"], pa.ChunkedArray) else batch["doc_id"],
@@ -150,6 +160,68 @@ class SignatureVectorizer:
         )
 
 
+class TextFeatureVectorizer:
+    """Actor-pool stage for the INTERNED path: text-derived features per unique
+    text, keyed by content hash, list payloads packed to join-safe binary."""
+
+    def __init__(self, minhash_cfg: MinHashConfig, vocab_ref):
+        self.hasher = MinHasher(minhash_cfg.num_perm, minhash_cfg.seed)
+        self.shingle_size = minhash_cfg.shingle_size
+        self.vocab = ray.get(vocab_ref) if vocab_ref is not None else {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..rayops import pack_matrix, pack_ragged
+
+        token_counts, sigs, tf_idx, tf_val = _text_features(
+            batch["text"].to_pylist(), self.hasher, self.shingle_size, self.vocab
+        )
+        return pa.table(
+            {
+                "text_hash": batch["text_hash"],
+                "token_count": pa.array(token_counts, type=pa.int64()),
+                "sig_bin": pack_matrix(sigs),
+                "tfi_bin": pack_ragged(tf_idx),
+                "tfv_bin": pack_ragged(tf_val),
+            }
+        )
+
+
+def _with_text_hash(batch: pa.Table) -> pa.Table:
+    """Append a 63-bit content hash of the raw text (interning key)."""
+    texts = np.asarray(batch["text"].to_pylist(), dtype=object)
+    texts = np.where(texts == None, "", texts)  # noqa: E711 — elementwise None test
+    h = (stable_u64(texts) >> np.uint64(1)).astype(np.int64)
+    return batch.append_column("text_hash", pa.array(h, type=pa.int64()))
+
+
+def estimate_duplicate_fraction(docs_ds, num_docs: int, k: int = 1024) -> float:
+    """Exact-duplicate fraction estimate via a bottom-k distinct-count sketch
+    over content hashes: one cheap map pass, k smallest hashes per batch,
+    tiny driver merge.  D ≈ (k-1)·2^63 / kth-smallest; error ~1/sqrt(k)."""
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        texts = np.asarray(t["text"].to_pylist(), dtype=object)
+        texts = np.where(texts == None, "", texts)  # noqa: E711
+        h = np.unique((stable_u64(texts) >> np.uint64(1)).astype(np.int64))
+        if len(h) > k:
+            h = np.partition(h, k - 1)[:k]
+        return pa.table({"h": pa.array(h, type=pa.int64())})
+
+    parts = [
+        b["h"].to_numpy(zero_copy_only=False)
+        for b in docs_ds.select_columns(["text"])
+        .map_batches(bottomk, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    ]
+    merged = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+    if len(merged) < k:
+        distinct = float(len(merged))
+    else:
+        kth = float(np.partition(merged, k - 1)[k - 1])
+        distinct = (k - 1) * float(2**63) / max(kth, 1.0)
+    return max(0.0, 1.0 - distinct / max(1, num_docs))
+
+
 def compute_doc_features(
     docs_ds,
     minhash_cfg: MinHashConfig,
@@ -158,22 +230,90 @@ def compute_doc_features(
     concurrency: int = 4,
     batch_size: int = 512,
     with_tfidf: bool = True,
+    intern: str = "auto",
+    intern_min_dup_fraction: float = 0.10,
 ):
-    """docs → doc_features.  Two passes when with_tfidf: (1) vocabulary shuffle,
-    (2) actor-pool vectorize.  The docs input is consumed twice, so callers
-    should pass a (cheap) re-creatable or materialized small Dataset."""
+    """docs → doc_features.
+
+    ``intern`` controls string interning (reference parity: unique strings are
+    deduplicated before embedding, /root/reference/src/batch_parallel_preprocessing.py:280
+    + /root/reference/src/batch_parallel_embedding.py:108-116):
+    - "auto" (default): a bottom-k sketch estimates the exact-duplicate
+      fraction; when >= ``intern_min_dup_fraction`` the signature/TF-IDF work
+      runs once per UNIQUE text and fans back out by content hash — the win on
+      boilerplate-heavy web corpora.  Below it, the direct path (the dedup
+      sort + fan-out join would cost more than the duplicate work saves).
+    - "always" / "never": force the plan (tests pin both paths identical).
+    """
+    from ..rayops import actor_num_cpus, actor_pool_bounds
+
+    num_docs = None
     vocab_ref = None
     if with_tfidf:
         num_docs = docs_ds.count()
+        # vocabulary/IDF over ALL docs (duplicates count toward df — a corpus
+        # statistic), identical in both plans
         vocab = build_vocabulary(docs_ds, tfidf_cfg, max(1, num_docs))
         vocab_ref = ray.put(vocab)
-    from ..rayops import actor_num_cpus, actor_pool_bounds
 
-    return docs_ds.map_batches(
-        SignatureVectorizer,
+    use_intern = intern == "always"
+    if intern == "auto":
+        if num_docs is None:
+            num_docs = docs_ds.count()
+        use_intern = (
+            estimate_duplicate_fraction(docs_ds, num_docs) >= intern_min_dup_fraction
+        )
+    if not use_intern:
+        return docs_ds.map_batches(
+            SignatureVectorizer,
+            fn_constructor_args=(minhash_cfg, vocab_ref),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=actor_pool_bounds(concurrency),
+            num_cpus=actor_num_cpus(),
+        )
+
+    # ---- interned plan: hash → unique reps → vectorize once → fan-out join
+    from ..rayops import adaptive_partitions, first_per_key, safe_join, unpack_matrix, unpack_ragged
+
+    hashed = docs_ds.map_batches(_with_text_hash, batch_format="pyarrow").materialize()
+    if num_docs is None:
+        num_docs = hashed.count()
+    reps = first_per_key(hashed.select_columns(["text_hash", "text"]), "text_hash")
+    rep_feats = reps.map_batches(
+        TextFeatureVectorizer,
         fn_constructor_args=(minhash_cfg, vocab_ref),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=actor_pool_bounds(concurrency),
         num_cpus=actor_num_cpus(),
+    ).materialize()  # barrier: actor pool must not share an execution with the join shuffle
+    slim = hashed.select_columns(["doc_id", "url", "title", "domain", "text_hash"])
+    joined = safe_join(
+        slim,
+        rep_feats,
+        num_partitions=adaptive_partitions(num_docs),
+        on=("text_hash",),
+        right_on=("text_hash",),
     )
+    num_perm = minhash_cfg.num_perm
+
+    def unpack(t: pa.Table) -> pa.Table:
+        sigs = unpack_matrix(t["sig_bin"], np.uint64, num_perm)
+        tfi = unpack_ragged(t["tfi_bin"], np.uint32)
+        tfv = unpack_ragged(t["tfv_bin"], np.float32)
+        return pa.Table.from_arrays(
+            [
+                t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"],
+                t["url"].combine_chunks() if isinstance(t["url"], pa.ChunkedArray) else t["url"],
+                t["title"].combine_chunks() if isinstance(t["title"], pa.ChunkedArray) else t["title"],
+                t["domain"].combine_chunks() if isinstance(t["domain"], pa.ChunkedArray) else t["domain"],
+                t["token_count"].combine_chunks() if isinstance(t["token_count"], pa.ChunkedArray) else t["token_count"],
+                pa.FixedSizeListArray.from_arrays(pa.array(sigs.ravel(), type=pa.uint64()), num_perm),
+                pa.array(list(tfi), type=pa.list_(pa.uint32())),
+                pa.array(list(tfv), type=pa.list_(pa.float32())),
+            ],
+            names=DOC_FEATURES_COLUMNS,
+        )
+
+    return joined.map_batches(unpack, batch_format="pyarrow")

@@ -109,3 +109,63 @@ def test_min_cluster_size_filter():
     sizes = cluster_sizes(cl)
     filtered = filter_min_cluster_size(cl, sizes, 2, num_partitions=2).to_pandas()
     assert set(filtered["doc_id"]) == {1, 2, 3}
+
+
+def _two_cliques_edges():
+    """Two 4-cliques {1..4} and {11..14} joined by one weak bridge 4-11."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    src, dst = [], []
+    for grp in ([1, 2, 3, 4], [11, 12, 13, 14]):
+        for i, a in enumerate(grp):
+            for b in grp[i + 1 :]:
+                src.append(a)
+                dst.append(b)
+    src.append(4)
+    dst.append(11)
+    w = [0.9] * (len(src) - 1) + [0.55]
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, type=pa.int64()), "dst": pa.array(dst, type=pa.int64()),
+                  "w": pa.array(w, type=pa.float32())})
+    )
+    all_ids = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4, 11, 12, 13, 14, 99], type=pa.int64())})
+    )
+    return edges, all_ids
+
+
+def test_clustering_algorithm_config_selection():
+    """Config-selected algorithms on a known graph: components merge across the
+    bridge, louvain and label propagation keep the two cliques separate
+    (reference's config-string selection, batch_parallel_classification.py:871-935)."""
+    import dataclasses
+
+    from entity_resolution_pipeline_ray.config import ClusteringConfig
+    from entity_resolution_pipeline_ray.stages.clustering import cluster_labels
+
+    edges, all_ids = _two_cliques_edges()
+
+    def clusters_of(algorithm):
+        cfg = ClusteringConfig(algorithm=algorithm)
+        df = cluster_labels(edges, all_ids, cfg).to_pandas().set_index("doc_id")["cluster_id"]
+        return df
+
+    cc = clusters_of("connected_components")
+    assert cc.loc[[1, 2, 3, 4, 11, 12, 13, 14]].nunique() == 1  # one component
+    assert cc.loc[99] == 99  # isolated doc is its own cluster
+
+    for algo in ("louvain", "label_propagation"):
+        c = clusters_of(algo)
+        assert c.loc[[1, 2, 3, 4]].nunique() == 1, algo
+        assert c.loc[[11, 12, 13, 14]].nunique() == 1, algo
+        assert c.loc[1] != c.loc[11], algo  # bridge does NOT merge communities
+        assert c.loc[99] == 99, algo
+        # canonical id = min member id
+        assert c.loc[1] == 1 and c.loc[11] == 11, algo
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        clusters_of("nope")

@@ -50,3 +50,50 @@ def test_scores_schema(er_result):
     names = set(sc.names)
     assert {"left_id", "right_id", "prob", "match"} <= names
     assert any(n.startswith("feat_") for n in names)
+
+
+def test_interned_signatures_identical_to_direct():
+    """String interning (signatures once per unique text, fan-out by content
+    hash) must be invisible in the output; the auto gate must engage on a
+    duplicate-rich corpus and stay off on a mostly-unique one."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from entity_resolution_pipeline_ray.config import DEFAULT_CONFIG as cfg
+    from entity_resolution_pipeline_ray.sources.pages import PagesSpec, pages_dataset
+    from entity_resolution_pipeline_ray.stages.extract import extract_docs
+    from entity_resolution_pipeline_ray.stages.signatures import (
+        compute_doc_features,
+        estimate_duplicate_fraction,
+    )
+
+    docs = extract_docs(pages_dataset(PagesSpec(num_pages=200, num_shards=2))).materialize()
+    # duplicate-rich corpus: every text appears ~3x under distinct doc ids
+    base = docs.to_pandas()
+    dup = pa.Table.from_pandas(
+        __import__("pandas").concat(
+            [base, base.assign(doc_id=base.doc_id + 1_000_000), base.assign(doc_id=base.doc_id + 2_000_000)]
+        ),
+        preserve_index=False,
+    )
+    dup_ds = rd.from_arrow(dup).materialize()
+
+    frac = estimate_duplicate_fraction(dup_ds, dup.num_rows)
+    assert frac > 0.5, frac
+    # below k distinct values the sketch is exact — compare to ground truth
+    frac_uniq = estimate_duplicate_fraction(docs, docs.count())
+    true_uniq = 1.0 - base["text"].fillna("").nunique() / len(base)
+    assert abs(frac_uniq - true_uniq) < 1e-9, (frac_uniq, true_uniq)
+
+    direct = compute_doc_features(dup_ds, cfg.minhash, cfg.tfidf, intern="never").to_pandas()
+    interned = compute_doc_features(dup_ds, cfg.minhash, cfg.tfidf, intern="always").to_pandas()
+    d = direct.sort_values("doc_id").reset_index(drop=True)
+    i = interned.sort_values("doc_id").reset_index(drop=True)
+    assert len(d) == len(i) == dup.num_rows
+    for c in ["doc_id", "url", "title", "domain", "token_count"]:
+        assert (d[c].to_numpy() == i[c].to_numpy()).all(), c
+    for c in ["minhash_sig", "tfidf_idx", "tfidf_val"]:
+        for a, b in zip(d[c], i[c]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=c)
