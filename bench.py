@@ -25,6 +25,12 @@ import subprocess
 import sys
 import time
 
+# must be set BEFORE ray.init so worker processes inherit it
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "entity_resolution_pipeline_ray", "ray_data_logging.yaml"),
+)
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 ER_PAGES = int(os.environ.get("GRAFT_ER_PAGES", "20000"))

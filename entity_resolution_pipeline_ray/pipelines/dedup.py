@@ -42,9 +42,57 @@ from ..rayops import (
 )
 from ..stages.blocking import candidate_pairs
 
+# Side tables up to this many rows are broadcast as columnar payloads
+# (sorted ids + value matrix, searchsorted gather); above it, pair
+# verification goes through the two-sided hash join (attach_pair_sides) —
+# the same dual-plan threshold discipline as stages/scoring.score_pairs.
+BROADCAST_THRESHOLD_ROWS = 2_000_000
+
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
     return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+@ray.remote
+def _sorted_cols_partial(t: pa.Table, id_col: str, val_cols: tuple):
+    if t.num_rows == 0:
+        return None
+    out = {"ids": t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)}
+    for c in val_cols:
+        col = t[c]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_fixed_size_list(arr.type):
+            w = arr.type.list_size
+            out[c] = np.asarray(arr.flatten().to_numpy(zero_copy_only=False)).reshape(len(arr), w)
+        else:
+            out[c] = arr.to_numpy(zero_copy_only=False)
+    return out
+
+
+def _broadcast_payload(side_ds, id_col: str, val_cols: tuple):
+    """Columnar (sorted ids, value arrays) payload built by parallel per-block
+    tasks — the small-side plan for pair verification."""
+    parts = [
+        p
+        for p in ray.get(
+            [_sorted_cols_partial.remote(r, id_col, val_cols) for r in side_ds.to_arrow_refs()]
+        )
+        if p is not None
+    ]
+    if not parts:
+        return None
+    ids = np.concatenate([p["ids"] for p in parts])
+    order = np.argsort(ids, kind="mergesort")
+    payload = {"ids": ids[order]}
+    for c in val_cols:
+        vals = [p[c] for p in parts]
+        payload[c] = (np.vstack(vals) if vals[0].ndim == 2 else np.concatenate(vals))[order]
+    return payload
+
+
+def _payload_gather(payload: dict, ids, col: str):
+    pos = np.searchsorted(payload["ids"], np.asarray(ids, dtype=np.int64))
+    return payload[col][pos]  # candidate ids always exist in the side table
 
 
 def _fsl_mat(col, width: int) -> np.ndarray:
@@ -91,7 +139,8 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.6, minhash_cfg: MinHashC
     >= threshold.  Returns (left_id, right_id, est_jaccard), est rounded."""
     cfg = minhash_cfg or MinHashConfig()
     sketches = _doc_sketches(_docs(sf_dir), cfg).materialize()
-    nparts = adaptive_partitions(sketches.count())
+    n_docs = sketches.count()
+    nparts = adaptive_partitions(n_docs)
 
     def emit_keys(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -109,6 +158,31 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.6, minhash_cfg: MinHashC
     blocks = sketches.map_batches(emit_keys, batch_format="pyarrow")
     pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=500), num_partitions=nparts)
 
+    def emit(li, ri, sl, sr) -> pa.Table:
+        est = (np.asarray(sl, dtype=np.uint64) == np.asarray(sr, dtype=np.uint64)).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "left_id": pa.array(np.asarray(li, dtype=np.int64)[keep], type=pa.int64()),
+                "right_id": pa.array(np.asarray(ri, dtype=np.int64)[keep], type=pa.int64()),
+                "est_jaccard": pa.array(np.round(est[keep], 4), type=pa.float64()),
+            }
+        )
+
+    empty = _EMPTY_PAIRS.append_column("est_jaccard", pa.array([], type=pa.float64()))
+    if n_docs <= BROADCAST_THRESHOLD_ROWS:
+        pref = ray.put(_broadcast_payload(sketches, "doc_id", ("minhash_sig",)))
+
+        def verify_b(t: pa.Table) -> pa.Table:
+            pm = ray.get(pref)
+            if len(t) == 0 or pm is None:
+                return empty
+            li = t["left_id"].to_numpy(zero_copy_only=False)
+            ri = t["right_id"].to_numpy(zero_copy_only=False)
+            return emit(li, ri, _payload_gather(pm, li, "minhash_sig"), _payload_gather(pm, ri, "minhash_sig"))
+
+        return pairs.map_batches(verify_b, batch_format="pyarrow")
+
     def sig_bin(t: pa.Table) -> pa.Table:
         # joins reject list payloads — ship signatures as fixed-size binary
         return pa.table({"doc_id": t["doc_id"], "sig_bin": pack_matrix(_fsl_mat(t["minhash_sig"], cfg.num_perm))})
@@ -116,22 +190,17 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.6, minhash_cfg: MinHashC
     side = sketches.map_batches(sig_bin, batch_format="pyarrow")
     enriched = attach_pair_sides(pairs, side, id_col="doc_id", cols=("sig_bin",), num_partitions=nparts)
 
-    def verify(t: pa.Table) -> pa.Table:
+    def verify_j(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return _EMPTY_PAIRS.append_column("est_jaccard", pa.array([], type=pa.float64()))
-        sl = unpack_matrix(t["l_sig_bin"], np.uint64, cfg.num_perm)
-        sr = unpack_matrix(t["r_sig_bin"], np.uint64, cfg.num_perm)
-        est = (sl == sr).mean(axis=1)
-        keep = est >= threshold
-        return pa.table(
-            {
-                "left_id": pc.cast(t["left_id"], pa.int64()).filter(pa.array(keep)),
-                "right_id": pc.cast(t["right_id"], pa.int64()).filter(pa.array(keep)),
-                "est_jaccard": pa.array(np.round(est[keep], 4), type=pa.float64()),
-            }
+            return empty
+        return emit(
+            t["left_id"].to_numpy(zero_copy_only=False),
+            t["right_id"].to_numpy(zero_copy_only=False),
+            unpack_matrix(t["l_sig_bin"], np.uint64, cfg.num_perm),
+            unpack_matrix(t["r_sig_bin"], np.uint64, cfg.num_perm),
         )
 
-    return enriched.map_batches(verify, batch_format="pyarrow")
+    return enriched.map_batches(verify_j, batch_format="pyarrow")
 
 
 def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8):
@@ -146,7 +215,8 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8):
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(sh.astype(np.int64), type=pa.int64())})
 
     hashed = docs.map_batches(f, batch_format="pyarrow").materialize()
-    nparts = adaptive_partitions(hashed.count())
+    n_docs = hashed.count()
+    nparts = adaptive_partitions(n_docs)
 
     def emit_keys(t: pa.Table) -> pa.Table:
         h = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -165,26 +235,47 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8):
 
     blocks = hashed.map_batches(emit_keys, batch_format="pyarrow")
     pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=500), num_partitions=nparts)
-    enriched = attach_pair_sides(
-        pairs, hashed, id_col="doc_id", cols=("simhash",), num_partitions=nparts
-    )
 
-    def verify(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return _EMPTY_PAIRS.append_column("hamming", pa.array([], type=pa.int64()))
-        hl = t["l_simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        hr = t["r_simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        d = hamming64(hl, hr)
+    def emit(li, ri, hl, hr) -> pa.Table:
+        d = hamming64(np.asarray(hl, dtype=np.uint64), np.asarray(hr, dtype=np.uint64))
         keep = d <= max_hamming
         return pa.table(
             {
-                "left_id": pc.cast(t["left_id"], pa.int64()).filter(pa.array(keep)),
-                "right_id": pc.cast(t["right_id"], pa.int64()).filter(pa.array(keep)),
+                "left_id": pa.array(np.asarray(li, dtype=np.int64)[keep], type=pa.int64()),
+                "right_id": pa.array(np.asarray(ri, dtype=np.int64)[keep], type=pa.int64()),
                 "hamming": pa.array(d[keep].astype(np.int64), type=pa.int64()),
             }
         )
 
-    return enriched.map_batches(verify, batch_format="pyarrow")
+    empty = _EMPTY_PAIRS.append_column("hamming", pa.array([], type=pa.int64()))
+    if n_docs <= BROADCAST_THRESHOLD_ROWS:
+        pref = ray.put(_broadcast_payload(hashed, "doc_id", ("simhash",)))
+
+        def verify_b(t: pa.Table) -> pa.Table:
+            pm = ray.get(pref)
+            if len(t) == 0 or pm is None:
+                return empty
+            li = t["left_id"].to_numpy(zero_copy_only=False)
+            ri = t["right_id"].to_numpy(zero_copy_only=False)
+            return emit(li, ri, _payload_gather(pm, li, "simhash"), _payload_gather(pm, ri, "simhash"))
+
+        return pairs.map_batches(verify_b, batch_format="pyarrow")
+
+    enriched = attach_pair_sides(
+        pairs, hashed, id_col="doc_id", cols=("simhash",), num_partitions=nparts
+    )
+
+    def verify_j(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        return emit(
+            t["left_id"].to_numpy(zero_copy_only=False),
+            t["right_id"].to_numpy(zero_copy_only=False),
+            t["l_simhash"].to_numpy(zero_copy_only=False),
+            t["r_simhash"].to_numpy(zero_copy_only=False),
+        )
+
+    return enriched.map_batches(verify_j, batch_format="pyarrow")
 
 
 def _shingle_hash_table(docs_ds, shingle_size: int):
@@ -215,19 +306,11 @@ def ngram_jaccard_dup_pairs(sf_dir: str, threshold: float = 0.5, shingle_size: i
         ["left_id", "right_id"]
     )
     shingles = _shingle_hash_table(_docs(sf_dir), shingle_size).materialize()
-    nparts = adaptive_partitions(shingles.count())
-    enriched = attach_pair_sides(
-        cand, shingles, id_col="doc_id", cols=("sh",), num_partitions=nparts
-    )
+    n_docs = shingles.count()
+    nparts = adaptive_partitions(n_docs)
 
-    def verify(t: pa.Table) -> pa.Table:
-        n = len(t)
-        if n == 0:
-            return _EMPTY_PAIRS.append_column("jaccard", pa.array([], type=pa.float64()))
-        li = t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ri = t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lrows = unpack_ragged(t["l_sh"], np.uint64)
-        rrows = unpack_ragged(t["r_sh"], np.uint64)
+    def emit(li, ri, lrows, rrows) -> pa.Table:
+        n = len(li)
         jac = np.empty(n, dtype=np.float64)
         for i in range(n):
             a, b = lrows[i], rrows[i]
@@ -237,13 +320,43 @@ def ngram_jaccard_dup_pairs(sf_dir: str, threshold: float = 0.5, shingle_size: i
         keep = jac >= threshold
         return pa.table(
             {
-                "left_id": pa.array(li[keep], type=pa.int64()),
-                "right_id": pa.array(ri[keep], type=pa.int64()),
+                "left_id": pa.array(np.asarray(li, dtype=np.int64)[keep], type=pa.int64()),
+                "right_id": pa.array(np.asarray(ri, dtype=np.int64)[keep], type=pa.int64()),
                 "jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
             }
         )
 
-    return enriched.map_batches(verify, batch_format="pyarrow")
+    empty = _EMPTY_PAIRS.append_column("jaccard", pa.array([], type=pa.float64()))
+    if n_docs <= BROADCAST_THRESHOLD_ROWS:
+        pref = ray.put(_broadcast_payload(shingles, "doc_id", ("sh",)))
+
+        def verify_b(t: pa.Table) -> pa.Table:
+            pm = ray.get(pref)
+            if len(t) == 0 or pm is None:
+                return empty
+            li = t["left_id"].to_numpy(zero_copy_only=False)
+            ri = t["right_id"].to_numpy(zero_copy_only=False)
+            lrows = [np.frombuffer(b, dtype=np.uint64) for b in _payload_gather(pm, li, "sh")]
+            rrows = [np.frombuffer(b, dtype=np.uint64) for b in _payload_gather(pm, ri, "sh")]
+            return emit(li, ri, lrows, rrows)
+
+        return cand.map_batches(verify_b, batch_format="pyarrow")
+
+    enriched = attach_pair_sides(
+        cand, shingles, id_col="doc_id", cols=("sh",), num_partitions=nparts
+    )
+
+    def verify_j(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        return emit(
+            t["left_id"].to_numpy(zero_copy_only=False),
+            t["right_id"].to_numpy(zero_copy_only=False),
+            unpack_ragged(t["l_sh"], np.uint64),
+            unpack_ragged(t["r_sh"], np.uint64),
+        )
+
+    return enriched.map_batches(verify_j, batch_format="pyarrow")
 
 
 # All-pairs exact shingle Jaccard >= 0.5.  The engine computes the same thing
@@ -417,29 +530,50 @@ def embedding_dup_pairs_lsh(
     blocks = normed.map_batches(emit_keys, batch_format="pyarrow")
     pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=max_block_size), num_partitions=nparts)
 
+    empty = pa.table({"left_vec_id": pa.array([], type=pa.int64()), "right_vec_id": pa.array([], type=pa.int64()),
+                      "cosine": pa.array([], type=pa.float64())})
+
+    def emit(li, ri, l, r) -> pa.Table:
+        cos = (np.asarray(l, dtype=np.float64) * np.asarray(r, dtype=np.float64)).sum(axis=1)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "left_vec_id": pa.array(np.asarray(li, dtype=np.int64)[keep], type=pa.int64()),
+                "right_vec_id": pa.array(np.asarray(ri, dtype=np.int64)[keep], type=pa.int64()),
+                "cosine": pa.array(np.round(cos[keep], 6), type=pa.float64()),
+            }
+        )
+
+    if n <= BROADCAST_THRESHOLD_ROWS:
+        pref = ray.put(_broadcast_payload(normed, "vec_id", ("nvec",)))
+
+        def verify_b(t: pa.Table) -> pa.Table:
+            pm = ray.get(pref)
+            if len(t) == 0 or pm is None:
+                return empty
+            li = t["left_id"].to_numpy(zero_copy_only=False)
+            ri = t["right_id"].to_numpy(zero_copy_only=False)
+            return emit(li, ri, _payload_gather(pm, li, "nvec"), _payload_gather(pm, ri, "nvec"))
+
+        return pairs.map_batches(verify_b, batch_format="pyarrow")
+
     def vec_bin(t: pa.Table) -> pa.Table:
         return pa.table({"vec_id": t["vec_id"], "nvec_bin": pack_matrix(_fsl_mat(t["nvec"], dim))})
 
     side = normed.map_batches(vec_bin, batch_format="pyarrow")
     enriched = attach_pair_sides(pairs, side, id_col="vec_id", cols=("nvec_bin",), num_partitions=nparts)
 
-    def verify(t: pa.Table) -> pa.Table:
+    def verify_j(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return pa.table({"left_vec_id": pa.array([], type=pa.int64()), "right_vec_id": pa.array([], type=pa.int64()),
-                             "cosine": pa.array([], type=pa.float64())})
-        l = unpack_matrix(t["l_nvec_bin"], np.float64, dim)
-        r = unpack_matrix(t["r_nvec_bin"], np.float64, dim)
-        cos = (l * r).sum(axis=1)
-        keep = cos >= threshold
-        return pa.table(
-            {
-                "left_vec_id": pc.cast(t["left_id"], pa.int64()).filter(pa.array(keep)),
-                "right_vec_id": pc.cast(t["right_id"], pa.int64()).filter(pa.array(keep)),
-                "cosine": pa.array(np.round(cos[keep], 6), type=pa.float64()),
-            }
+            return empty
+        return emit(
+            t["left_id"].to_numpy(zero_copy_only=False),
+            t["right_id"].to_numpy(zero_copy_only=False),
+            unpack_matrix(t["l_nvec_bin"], np.float64, dim),
+            unpack_matrix(t["r_nvec_bin"], np.float64, dim),
         )
 
-    return enriched.map_batches(verify, batch_format="pyarrow")
+    return enriched.map_batches(verify_j, batch_format="pyarrow")
 
 
 def dedup_apply_exact(sf_dir: str):

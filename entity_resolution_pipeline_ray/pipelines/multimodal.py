@@ -18,6 +18,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..rayops import read_parquet_clean
+
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),
@@ -80,7 +82,7 @@ class FakeMediaDecoder:
 def decode_media(media_ds, *, concurrency: int = 4, batch_size: int = 64, decoder_cls=FakeMediaDecoder):
     """Actor-pool decode stage over a binary media column.  Small batch_size on
     purpose: rows are wide (whole files); a batch × pool must fit worker heaps."""
-    from ..rayops import read_parquet_clean, actor_num_cpus
+    from ..rayops import actor_num_cpus
 
     return media_ds.map_batches(
         decoder_cls, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, concurrency),

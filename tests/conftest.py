@@ -4,11 +4,17 @@ in the test tree that owns a Ray session)."""
 from __future__ import annotations
 
 import logging
+import os
 import sys
 
 import pytest
 
 sys.path.insert(0, "/root/repo")
+# quiet worker-side schema-hash warnings; must be set before ray.init
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    "/root/repo/entity_resolution_pipeline_ray/ray_data_logging.yaml",
+)
 
 
 @pytest.fixture(scope="session", autouse=True)

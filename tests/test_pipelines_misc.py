@@ -163,3 +163,21 @@ def test_lang_id_on_documents():
     out = t_lang_id(SF).to_pandas()
     assert len(out) == 500
     assert set(out["lang_pred"]) <= {"en", "de", "fr", "es", "und"}
+
+
+def test_dedup_join_plan_matches_broadcast(monkeypatch):
+    """The at-scale join verification plan must produce the same pairs as the
+    broadcast plan (forced via BROADCAST_THRESHOLD_ROWS=0)."""
+    import entity_resolution_pipeline_ray.pipelines.dedup as D
+
+    def rows(ds):
+        df = ds.to_pandas()
+        return sorted(map(tuple, df[df.columns[:2]].to_numpy()))
+
+    bcast_mh = rows(D.minhash_dup_pairs(SF, threshold=0.6))
+    bcast_sh = rows(D.simhash_dup_pairs(SF, max_hamming=8))
+    bcast_lsh = rows(D.embedding_dup_pairs_lsh(SF))
+    monkeypatch.setattr(D, "BROADCAST_THRESHOLD_ROWS", 0)
+    assert rows(D.minhash_dup_pairs(SF, threshold=0.6)) == bcast_mh
+    assert rows(D.simhash_dup_pairs(SF, max_hamming=8)) == bcast_sh
+    assert rows(D.embedding_dup_pairs_lsh(SF)) == bcast_lsh

@@ -7,7 +7,13 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
+
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    "/root/repo/entity_resolution_pipeline_ray/ray_data_logging.yaml",
+)
 
 import numpy as np
 import pandas as pd
