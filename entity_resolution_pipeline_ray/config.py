@@ -94,7 +94,7 @@ class ClassifierConfig:
     convergence_tolerance: float = 1e-4
     l2_lambda: float = 1e-4
     batch_size: int = 4096
-    max_training_pairs: int = 150_000  # seeded subsample above this (reference corpus: ~77.5k pairs)
+    max_training_pairs: int = 80_000  # seeded subsample above this (reference trained on ~77.5k pairs)
     class_weight: str = "balanced"
     decision_threshold: float = 0.6
     train_ratio: float = 0.7

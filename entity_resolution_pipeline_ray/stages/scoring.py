@@ -306,12 +306,35 @@ def _sides_from_payload_map(pm: dict, left_ids, right_ids, num_perm: int) -> tup
     return side(left_ids), side(right_ids)
 
 
+# Per-WORKER-PROCESS state cache: Ray reuses idle worker processes across map
+# tasks, so state keyed by ObjectRef persists exactly like actor state — but
+# tasks schedule elastically (no pool minimum to ramp, no reserved CPUs).
+# The payload itself is zero-copy out of plasma (numeric + fixed-width-unicode
+# arrays), so the first ray.get per process is cheap too.
+_PROC_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _PROC_CACHE:
+        _PROC_CACHE[key] = ray.get(ref)
+    return _PROC_CACHE[key]
+
+
+def _cached_build(key, build):
+    if key not in _PROC_CACHE:
+        _PROC_CACHE[key] = build()
+    return _PROC_CACHE[key]
+
+
 class BroadcastPairScorer:
-    """Actor-pool stage for the broadcast plan: payload map + model held warm;
-    pairs batch in → (left_id, right_id, feat_*, prob, match) out."""
+    """Broadcast-plan scorer: payload map + model held warm per worker
+    process; pairs batch in → (left_id, right_id, feat_*, prob, match) out.
+    Runs as a TASK-based map (state via _PROC_CACHE) — the reference's
+    per-worker warm-client pattern without actor-pool scheduling constraints."""
 
     def __init__(self, payload_ref, model_json: str | None, num_perm: int, prefilter=None):
-        self.pm = ray.get(payload_ref)
+        self.pm = _cached_get(payload_ref)
         self.model = LRModel.from_json(model_json) if model_json else None
         self.num_perm = num_perm
         self.prefilter = prefilter
@@ -433,20 +456,24 @@ def score_pairs(
 
         lo, hi = actor_pool_bounds(ex.scorer_concurrency)
         try:
-            # a materialized pair set with fewer blocks than the pool minimum
-            # can't feed every actor — split it so the pool is actually used
+            # split a pair set with too few blocks so the map can parallelize
             nb = pairs_ds.num_blocks()
             if nb is not None and 0 < nb < lo:
                 pairs_ds = pairs_ds.repartition(hi).materialize()
         except Exception:
             pass
+
+        def score_batch(batch: pa.Table) -> pa.Table:
+            scorer = _cached_build(
+                ("scorer", payload_ref.hex(), model_json, num_perm, str(cfg.prefilter)),
+                lambda: BroadcastPairScorer(payload_ref, model_json, num_perm, cfg.prefilter),
+            )
+            return scorer(batch)
+
         return pairs_ds.map_batches(
-            BroadcastPairScorer,
-            fn_constructor_args=(payload_ref, model_json, num_perm, cfg.prefilter),
+            score_batch,
             batch_format="pyarrow",
             batch_size=ex.scorer_batch_size,
-            concurrency=(lo, hi),
-            num_cpus=actor_num_cpus(),
         )
     # join plan (the at-scale path): pairs ⋈ docs ON left_id, then ON right_id.
     # Partition count is adaptive: each hash-shuffle partition is an aggregator

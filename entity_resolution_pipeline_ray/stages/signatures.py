@@ -245,8 +245,6 @@ def compute_doc_features(
       sort + fan-out join would cost more than the duplicate work saves).
     - "always" / "never": force the plan (tests pin both paths identical).
     """
-    from ..rayops import actor_num_cpus, actor_pool_bounds
-
     num_docs = None
     vocab_ref = None
     if with_tfidf:
@@ -263,14 +261,27 @@ def compute_doc_features(
         use_intern = (
             estimate_duplicate_fraction(docs_ds, num_docs) >= intern_min_dup_fraction
         )
+
+    def _task_map(vectorizer_cls, cache_tag):
+        # task-based map with per-worker-process warm state (scoring._PROC_CACHE):
+        # same warm-setup economics as an actor pool, without pool-minimum
+        # scheduling constraints or per-stage actor ramp
+        from .scoring import _cached_build
+
+        key = (cache_tag, vocab_ref.hex() if vocab_ref is not None else None,
+               minhash_cfg.num_perm, minhash_cfg.seed, minhash_cfg.shingle_size)
+
+        def vectorize(batch):
+            v = _cached_build(key, lambda: vectorizer_cls(minhash_cfg, vocab_ref))
+            return v(batch)
+
+        return vectorize
+
     if not use_intern:
         return docs_ds.map_batches(
-            SignatureVectorizer,
-            fn_constructor_args=(minhash_cfg, vocab_ref),
+            _task_map(SignatureVectorizer, "sigvec"),
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=actor_pool_bounds(concurrency),
-            num_cpus=actor_num_cpus(),
         )
 
     # ---- interned plan: hash → unique reps → vectorize once → fan-out join
@@ -281,13 +292,10 @@ def compute_doc_features(
         num_docs = hashed.count()
     reps = first_per_key(hashed.select_columns(["text_hash", "text"]), "text_hash")
     rep_feats = reps.map_batches(
-        TextFeatureVectorizer,
-        fn_constructor_args=(minhash_cfg, vocab_ref),
+        _task_map(TextFeatureVectorizer, "textvec"),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=actor_pool_bounds(concurrency),
-        num_cpus=actor_num_cpus(),
-    ).materialize()  # barrier: actor pool must not share an execution with the join shuffle
+    ).materialize()  # barrier before the fan-out join shuffle
     slim = hashed.select_columns(["doc_id", "url", "title", "domain", "text_hash"])
     joined = safe_join(
         slim,
