@@ -187,17 +187,20 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 2, 8
-    hw = _hardware_ceiling(lo_cpus, hi_cpus)
     # the sandbox VM's throughput drifts +-30% over minutes (shared host);
-    # interleave repeated legs and take per-leg medians to cancel the drift
+    # interleave repeated legs AND the hardware-ceiling probe, then take
+    # per-series medians so each series samples the same drift distribution
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
-    lo_secs, hi_secs = [], []
+    lo_secs, hi_secs, hw_samples = [], [], []
     for _ in range(repeats):
         lo_secs.append(child(lo_cpus)["sec"])
         hi_secs.append(child(hi_cpus)["sec"])
+        hw_samples.append(_hardware_ceiling(lo_cpus, hi_cpus))
     lo_secs.sort()
     hi_secs.sort()
+    hw_samples.sort()
     med = lambda xs: xs[len(xs) // 2]
+    hw = med(hw_samples)
     r_lo = {"sec": med(lo_secs), "pages_per_sec": pages / med(lo_secs)}
     r_hi = {"sec": med(hi_secs), "pages_per_sec": pages / med(hi_secs)}
     eff = (r_lo["sec"] / r_hi["sec"]) / (hi_cpus / lo_cpus)
@@ -213,6 +216,7 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "samples_sec_lo": [round(x, 1) for x in lo_secs],
         "samples_sec_hi": [round(x, 1) for x in hi_secs],
+        "samples_hw_ceiling": [round(x, 3) for x in hw_samples],
         "hardware_ceiling_efficiency": round(hw, 3),
         "efficiency_vs_hardware_ceiling": round(eff / hw, 3) if hw else None,
         "note": (

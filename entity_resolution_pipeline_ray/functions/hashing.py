@@ -121,25 +121,37 @@ def band_keys(signatures: np.ndarray, num_bands: int) -> np.ndarray:
     return acc
 
 
-def simhash64(token_lists) -> np.ndarray:
-    """64-bit SimHash per document from its token list (unweighted).
+def md5_u64(s: str) -> int:
+    """Little-endian first 8 md5 bytes — EXACTLY DuckDB's ``md5_number_upper``,
+    so any operator built on this hash is SQL-oracled."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
 
-    Near-duplicates have small Hamming distance between simhashes.
-    """
+
+def simhash64(token_lists) -> np.ndarray:
+    """64-bit SimHash per document from its token multiset (unweighted).
+
+    Near-duplicates have small Hamming distance between simhashes.  Token
+    hash = md5_u64 (DuckDB ``md5_number_upper`` parity) so both the
+    fingerprint and Hamming-verified near-dup pairs are exactly
+    SQL-reproducible (round-1 used a SipHash no SQL function computes).
+    Repeated tokens are memoized per batch — web text is zipfian."""
     out = np.zeros(len(token_lists), dtype=np.uint64)
     bits = np.arange(64, dtype=np.uint64)
+    memo: dict[str, int] = {}
     for i, toks in enumerate(token_lists):
         if not toks:
             continue
-        h = stable_u64(np.asarray(toks, dtype=object))
+        h = np.empty(len(toks), dtype=np.uint64)
+        for j, tk in enumerate(toks):
+            v = memo.get(tk)
+            if v is None:
+                v = md5_u64(tk)
+                memo[tk] = v
+            h[j] = v
         # (n_tokens, 64) bit matrix → column sums vs n/2
         bitmat = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
         votes = bitmat.sum(axis=0) * 2 - len(toks)
-        word = np.uint64(0)
-        for j in range(64):
-            if votes[j] > 0:
-                word |= np.uint64(1) << np.uint64(j)
-        out[i] = word
+        out[i] = ((votes > 0).astype(np.uint64) << bits).sum(dtype=np.uint64)
     return out
 
 

@@ -359,6 +359,39 @@ def ngram_jaccard_dup_pairs(sf_dir: str, threshold: float = 0.5, shingle_size: i
     return enriched.map_batches(verify_j, batch_format="pyarrow")
 
 
+# All-pairs SimHash near-dup mirror: Hamming via bit_count(xor), candidate
+# blocking mirrored exactly (a pair is emitted iff SOME 16-bit simhash chunk
+# matches — the engine's 4-rotation prefix blocking; no block ever exceeds the
+# size cap at oracle scale).
+D_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk
+  FROM documents),
+hv AS (SELECT doc_id, md5_number_upper(unnest(tk)) AS v FROM toks),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (v >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hv, range(0, 64) r(b) GROUP BY doc_id, b),
+words0 AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN vote > 0 THEN (1::UBIGINT << CAST(b AS INTEGER))
+                     ELSE 0::UBIGINT END) AS w
+  FROM votes GROUP BY doc_id),
+s AS (
+  SELECT t.doc_id, coalesce(w, 0::UBIGINT) AS w
+  FROM toks t LEFT JOIN words0 USING (doc_id))
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       CAST(bit_count(xor(a.w, b.w)) AS BIGINT) AS hamming
+FROM s a, s b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.w, b.w)) <= 8
+  AND ((a.w & 65535::UBIGINT) = (b.w & 65535::UBIGINT)
+    OR ((a.w >> 16) & 65535::UBIGINT) = ((b.w >> 16) & 65535::UBIGINT)
+    OR ((a.w >> 32) & 65535::UBIGINT) = ((b.w >> 32) & 65535::UBIGINT)
+    OR ((a.w >> 48) & 65535::UBIGINT) = ((b.w >> 48) & 65535::UBIGINT))
+"""
+
+
 # All-pairs exact shingle Jaccard >= 0.5.  The engine computes the same thing
 # through LSH candidates (128 perms / 64 bands: a >=0.5-Jaccard pair misses
 # all bands with probability 0.75^64 ≈ 1e-8, i.e. never at test scale) and

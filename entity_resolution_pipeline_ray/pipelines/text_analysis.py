@@ -260,8 +260,9 @@ T_LANG_ID_SQL = _lang_id_sql()
 
 
 def t_simhash(sf_dir: str):
-    """Document fingerprint: 64-bit SimHash over tokens (engine-only; stable
-    across runs — hex string output)."""
+    """Document fingerprint: 64-bit SimHash over the token multiset (md5-based
+    token hash = DuckDB ``md5_number_upper``, so the bit-voting sketch is
+    fully SQL-oracled; hex string output)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
@@ -272,6 +273,32 @@ def t_simhash(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# Bit-vote per (doc, bit) over the unnested token multiset, then OR the
+# positive-vote bits together.  votes = ones*2 - n_tokens matches the engine's
+# sum(+-1) exactly; empty docs fall out of the vote table and get sketch 0.
+SIMHASH_WORD_SQL = """
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk
+  FROM documents),
+hv AS (SELECT doc_id, md5_number_upper(unnest(tk)) AS v FROM toks),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (v >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hv, range(0, 64) r(b) GROUP BY doc_id, b),
+words AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN vote > 0 THEN (1::UBIGINT << CAST(b AS INTEGER))
+                     ELSE 0::UBIGINT END) AS w
+  FROM votes GROUP BY doc_id)
+"""
+
+T_SIMHASH_SQL = f"""
+WITH {SIMHASH_WORD_SQL.strip()}
+SELECT t.doc_id, lower(lpad(to_hex(coalesce(w, 0::UBIGINT)), 16, '0')) AS simhash
+FROM toks t LEFT JOIN words USING (doc_id)
+"""
 
 
 def t_fingerprint(sf_dir: str):
