@@ -204,6 +204,12 @@ def run_scaling() -> dict:
     r_lo = {"sec": med(lo_secs), "pages_per_sec": pages / med(lo_secs)}
     r_hi = {"sec": med(hi_secs), "pages_per_sec": pages / med(hi_secs)}
     eff = (r_lo["sec"] / r_hi["sec"]) / (hi_cpus / lo_cpus)
+    # least-interference estimate: the MIN of each series is the sample least
+    # polluted by other tenants of this shared host (samples range 3x within a
+    # run); paired with the BEST ceiling sample it bounds what this pipeline
+    # would measure on a quiet machine
+    eff_min = (lo_secs[0] / hi_secs[0]) / (hi_cpus / lo_cpus)
+    hw_best = hw_samples[-1]
     return {
         "metric": "ER throughput scaling, fresh ray.init sessions, identical Parquet input",
         "pages": pages,
@@ -219,6 +225,8 @@ def run_scaling() -> dict:
         "samples_hw_ceiling": [round(x, 3) for x in hw_samples],
         "hardware_ceiling_efficiency": round(hw, 3),
         "efficiency_vs_hardware_ceiling": round(eff / hw, 3) if hw else None,
+        "scaling_efficiency_least_interference": round(eff_min, 3),
+        "efficiency_vs_ceiling_least_interference": round(eff_min / hw_best, 3) if hw_best else None,
         "note": (
             "single-box sandbox: this VM itself delivers only ~3.2x real speedup from 2 to 8 "
             "workers (pure-python multiprocessing baseline = the hardware ceiling reported "

@@ -124,6 +124,76 @@ def nullify_sentinels(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.if_else(mask, pa.scalar(None, type=col.type), col)
 
 
+# ---------------------------------------------------------------- typed year extraction
+# Reference analog: the birth/death-year battery over person-name strings
+# (/root/reference/src/birth_death_regexes.py:13-147 — 15 sequential patterns).
+# Re-designed here as ONE prioritized battery with explicit kinds: explicit
+# b./d. prefixes outrank floruit, floruit outranks plain ranges, ranges
+# outrank one-sided years, a lone approximate year is the fallback.  Unlike
+# the reference (whose one-sided branch decides birth-vs-death by substring
+# tests against the WHOLE string), the kind is a property of the matched
+# pattern itself — "d. 1984" can never be read as a birth year.
+
+_LY_YEAR = r"(\d{2,4}(?:\?|\s+or\s+\d{1,4})?)"
+_LY_APPROX = r"(?:approximately|ca\.|circa)\s+"
+_LY_DASH = r"\s*[-–—]\s*"
+
+_LIFE_YEAR_BATTERY: list[tuple[re.Pattern, str]] = [
+    (re.compile(rf"(?:\bb\.|\bborn)\s+(?:{_LY_APPROX})?{_LY_YEAR}"), "birth"),
+    (re.compile(rf"(?:\bd\.|\bdied)\s+(?:{_LY_APPROX})?{_LY_YEAR}"), "death"),
+    (re.compile(rf"(?:\bfl\.|\bfloruit)\s+{_LY_YEAR}(?:{_LY_DASH}{_LY_YEAR})?"), "floruit"),
+    (re.compile(rf"\(\s*{_LY_YEAR}{_LY_DASH}{_LY_YEAR}\s*\)"), "range"),
+    (re.compile(rf"\(\s*{_LY_YEAR}{_LY_DASH}\s*\)"), "birth"),
+    (re.compile(rf"\(\s*{_LY_DASH}{_LY_YEAR}\s*\)"), "death"),
+    (re.compile(rf"(?:{_LY_APPROX})?{_LY_YEAR}{_LY_DASH}(?:{_LY_APPROX})?{_LY_YEAR}"), "range"),
+    (re.compile(rf"(?:{_LY_APPROX})?{_LY_YEAR}{_LY_DASH}"), "birth"),
+    (re.compile(rf"{_LY_DASH}(?:{_LY_APPROX})?{_LY_YEAR}"), "death"),
+    (re.compile(rf"{_LY_APPROX}{_LY_YEAR}"), "birth"),
+]
+
+_LY_DIGITS = re.compile(r"\d+")
+
+
+def _clean_year(year_str: str | None) -> int | None:
+    """First digit run of a matched year token ('1812?' → 1812, '565 or 566' → 565)."""
+    if not year_str:
+        return None
+    m = _LY_DIGITS.search(year_str)
+    return int(m.group(0)) if m else None
+
+
+def parse_life_years(s: str | None) -> tuple[int | None, int | None]:
+    """(birth_year, death_year) from a person-name-style string; (None, None)
+    when no pattern matches.  Handles explicit prefixes ('b. 1901',
+    'died 1984'), floruit ('fl. 1500-1550' → active range), parenthesized and
+    plain ranges ('(1870-1937)', '565 - approximately 665'), one-sided ranges
+    ('1900-', '-1980'), uncertainty markers ('1812?', '565 or 566'), and a
+    lone approximate year ('circa 1800')."""
+    if not s:
+        return None, None
+    for pattern, kind in _LIFE_YEAR_BATTERY:
+        m = pattern.search(s)
+        if not m:
+            continue
+        g = m.groups()
+        if kind == "birth":
+            return _clean_year(g[0]), None
+        if kind == "death":
+            return None, _clean_year(g[0])
+        # "range" and "floruit": two groups (floruit's second may be absent)
+        return _clean_year(g[0]), _clean_year(g[1] if len(g) > 1 else None)
+    return None, None
+
+
+def parse_life_years_batch(values) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized-shape wrapper: object arrays of (birth, death) with None holes."""
+    births = np.empty(len(values), dtype=object)
+    deaths = np.empty(len(values), dtype=object)
+    for i, v in enumerate(values):
+        births[i], deaths[i] = parse_life_years(v)
+    return births, deaths
+
+
 # A small multilingual stopword map for the n-gram language heuristic.
 _LANG_STOPWORDS = {
     "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "on"},

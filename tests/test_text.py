@@ -126,3 +126,34 @@ def test_quality_stats_vectorized_matches_scalar():
     s = _quality_stats_scalar(texts)
     for k in s:
         np.testing.assert_allclose(v[k].astype(float), s[k].astype(float), atol=1e-12, err_msg=k)
+
+
+def test_parse_life_years_battery():
+    """Typed year extraction over person-name-style strings (reference battery
+    parity: /root/reference/src/birth_death_regexes.py)."""
+    from entity_resolution_pipeline_ray.functions.text import parse_life_years
+
+    cases = {
+        "Smith, John, 1944-2001": (1944, 2001),
+        "565 - approximately 665": (565, 665),
+        "approximately 1370-approximately 1450": (1370, 1450),
+        "(1870-1937)": (1870, 1937),
+        "(1900-)": (1900, None),
+        "(-1980)": (None, 1980),
+        "b. 1901": (1901, None),
+        "born circa 1850": (1850, None),
+        "d. 1984": (None, 1984),
+        "died approximately 1200": (None, 1200),
+        "fl. 1500-1550": (1500, 1550),
+        "fl. 1500": (1500, None),
+        "circa 1800": (1800, None),
+        "1900-": (1900, None),
+        "- 1980": (None, 1980),
+        "1812? - 1870": (1812, 1870),
+        "Jones, 565 or 566-640?": (565, 640),
+        "Doe, Jane": (None, None),
+        "": (None, None),
+        None: (None, None),
+    }
+    for s, expected in cases.items():
+        assert parse_life_years(s) == expected, (s, parse_life_years(s), expected)
