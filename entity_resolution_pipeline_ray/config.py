@@ -62,6 +62,12 @@ class FeatureConfig:
     include: tuple[str, ...] = ()
     exclude: tuple[str, ...] = ()
     standardize: bool = False
+    # G4: recursive feature elimination with CV (reference rfe_* knobs at
+    # config.yml / batch_parallel_feature_engineering.py:969-1048) — disabled
+    # by default, same as the reference
+    rfecv: bool = False
+    rfe_step: int = 1
+    rfe_cv_folds: int = 3
 
 
 @dataclass(frozen=True)

@@ -424,7 +424,6 @@ def q_split_counts(sf_dir: str):
     """Seeded 70/30 shuffle-split sizes (O5, /root/reference/src/batch_parallel_classification.py:396-430):
     the split itself is seed-deterministic; the oracle checks the partition sizes."""
     docs = _pq(sf_dir, "documents", ["doc_id"])
-    n = docs.count()
     shuffled = docs.random_shuffle(seed=42)
     train, test = shuffled.split_proportionately([0.7])
     return pa.table(

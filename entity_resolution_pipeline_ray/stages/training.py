@@ -177,6 +177,59 @@ def threshold_sweep(y: np.ndarray, p: np.ndarray, thresholds=None) -> dict:
     return best
 
 
+def _rfe_elimination_order(X: np.ndarray, y: np.ndarray, ccfg: ClassifierConfig, step: int) -> list[int]:
+    """Recursive feature elimination: repeatedly fit, drop the ``step`` weakest
+    features by |weight|.  Returns column indices weakest-first."""
+    active = list(range(X.shape[1]))
+    order: list[int] = []
+    while len(active) > 1:
+        w, _ = train_logistic(X[:, active], y, ccfg)
+        k = min(step, len(active) - 1)
+        weakest = np.argsort(np.abs(w), kind="mergesort")[:k]
+        for j in sorted(weakest, reverse=True):
+            order.append(active.pop(int(j)))
+    order.append(active[0])
+    return order
+
+
+def rfecv_select(
+    X: np.ndarray,
+    y: np.ndarray,
+    ccfg: ClassifierConfig,
+    *,
+    step: int = 1,
+    cv_folds: int = 3,
+    max_rows: int = 10_000,
+) -> list[int]:
+    """Recursive feature elimination with cross-validation, from scratch
+    (reference analog: sklearn RFECV at
+    /root/reference/src/batch_parallel_feature_engineering.py:969-1048, step/cv/f1
+    from config).  Per fold: rank features by RFE on the train split, score
+    validation F1 at every kept-feature count; the count with the best mean CV
+    F1 wins, and the final feature set is the strongest-k from an RFE ranking
+    on all rows.  Returns selected column indices (ascending)."""
+    rng = np.random.RandomState(ccfg.random_seed)
+    if len(y) > max_rows:
+        keep = rng.choice(len(y), size=max_rows, replace=False)
+        X, y = X[keep], y[keep]
+    d = X.shape[1]
+    folds = np.arange(len(y)) % cv_folds
+    folds = folds[rng.permutation(len(y))]
+    scores = np.zeros(d + 1, dtype=np.float64)  # scores[k] = mean CV F1 with k features
+    for f in range(cv_folds):
+        tr, va = folds != f, folds == f
+        order = _rfe_elimination_order(X[tr], y[tr], ccfg, step)
+        for k in range(1, d + 1):
+            cols = sorted(order[d - k :])  # strongest k
+            w, b = train_logistic(X[tr][:, cols], y[tr], ccfg)
+            p = sigmoid(X[va][:, cols] @ w + b)
+            scores[k] += evaluate(y[va], p, ccfg.decision_threshold)["f1"]
+    scores /= cv_folds
+    best_k = int(np.argmax(scores[1:]) + 1)  # ties → fewest features
+    final_order = _rfe_elimination_order(X, y, ccfg, step)
+    return sorted(final_order[d - best_k :])
+
+
 def train_matcher(labeled_pairs: pa.Table, doc_features_ds, cfg: ERConfig, *, payload_ref=None) -> LRModel:
     """End-to-end: featurize ground truth → config feature selection → seeded
     split → (optional) scaler fit on train → GD train → threshold sweep."""
@@ -187,6 +240,14 @@ def train_matcher(labeled_pairs: pa.Table, doc_features_ds, cfg: ERConfig, *, pa
     X_full, y, _ = features_for_labeled_pairs(labeled_pairs, doc_features_ds, cfg, payload_ref=payload_ref)
     X = X_full[:, sel_idx]
     Xtr, ytr, Xte, yte = train_test_split(X, y, ccfg.train_ratio, ccfg.random_seed)
+    if fcfg is not None and getattr(fcfg, "rfecv", False):
+        # G4: narrow the config-selected set by CV'd recursive elimination
+        # (fit on the TRAIN split only — the test split stays untouched)
+        rfe_cols = rfecv_select(Xtr, ytr, ccfg, step=fcfg.rfe_step, cv_folds=fcfg.rfe_cv_folds)
+        selected = [selected[i] for i in rfe_cols]
+        sel_idx = [FEATURE_NAMES.index(n) for n in selected]
+        X = X_full[:, sel_idx]
+        Xtr, ytr, Xte, yte = train_test_split(X, y, ccfg.train_ratio, ccfg.random_seed)
     mean = std = None
     if fcfg is not None and fcfg.standardize:
         mean = Xtr.mean(axis=0)

@@ -71,3 +71,38 @@ def test_model_json_roundtrip(tmp_path):
     assert (m2.weights == m.weights).all() and m2.bias == 0.25 and m2.threshold == 0.7
     X = np.array([[1.0, 1.0]])
     assert m.predict_proba(X)[0] == m2.predict_proba(X)[0]
+
+
+def test_rfecv_selects_informative_features():
+    """G4: CV'd recursive elimination keeps the signal features and drops noise
+    (reference analog: sklearn RFECV, batch_parallel_feature_engineering.py:969-1048)."""
+    import numpy as np
+
+    from entity_resolution_pipeline_ray.config import ClassifierConfig
+    from entity_resolution_pipeline_ray.stages.training import rfecv_select
+
+    rng = np.random.RandomState(0)
+    n, d = 3000, 6
+    X = rng.randn(n, d)
+    # y depends only on features 0 and 1
+    logits = 3.0 * X[:, 0] - 2.5 * X[:, 1]
+    y = (logits + 0.3 * rng.randn(n) > 0).astype(np.float64)
+    ccfg = ClassifierConfig(max_iterations=40, decision_threshold=0.5)
+    cols = rfecv_select(X, y, ccfg, step=1, cv_folds=3)
+    assert 0 in cols and 1 in cols, cols
+    assert len(cols) <= 4, cols  # most noise features eliminated
+
+
+def test_rfecv_in_train_matcher_keeps_f1_gate():
+    import dataclasses
+
+    from entity_resolution_pipeline_ray.config import DEFAULT_CONFIG, FeatureConfig
+    from entity_resolution_pipeline_ray.pipelines.er import pairwise_f1_against_gold, run_er_on_spec
+    from entity_resolution_pipeline_ray.sources.pages import PagesSpec, labeled_pairs_table
+
+    spec = PagesSpec(num_pages=300, num_shards=2)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, features=FeatureConfig(rfecv=True, rfe_cv_folds=2))
+    res = run_er_on_spec(spec, cfg)
+    assert 1 <= len(res["model"].feature_names) <= 10
+    m = pairwise_f1_against_gold(res["clusters"], labeled_pairs_table(spec))
+    assert m["f1"] >= 0.99, m
