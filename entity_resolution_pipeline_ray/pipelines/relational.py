@@ -76,19 +76,38 @@ def q1_pricing_summary(sf_dir: str):
             }
         )
 
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_extendedprice", alias_name="avg_price"),
-            Count(alias_name="count_order"),
+    # combiner plan: the output has ~6 groups, so Ray's hash-aggregate fixed
+    # cost (aggregator actors + finalize) dwarfs the work — per-batch partial
+    # sums stream out of the workers and a tiny driver merge finishes
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
         )
+        return g
+
+    parts = [
+        b
+        for b in ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas")
+        .iter_batches(batch_size=1 << 20, batch_format="pandas")
+    ]
+    agg = (
+        pd.concat(parts).groupby(keys, sort=False, as_index=False).sum()
+        if parts
+        else pd.DataFrame(columns=keys + ["sum_qty", "sum_base_price", "sum_disc_price", "count_order"])
     )
-    return _round_cols(out, {"sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 6, "avg_price": 4})
+    agg["avg_qty"] = np.round(agg["sum_qty"] / agg["count_order"], 6)
+    agg["avg_price"] = np.round(agg["sum_base_price"] / agg["count_order"], 4)
+    agg["sum_base_price"] = np.round(agg["sum_base_price"], 2)
+    agg["sum_disc_price"] = np.round(agg["sum_disc_price"], 2)
+    agg["count_order"] = agg["count_order"].astype(np.int64)
+    cols = keys + ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price", "count_order"]
+    return pa.Table.from_pandas(agg[cols], preserve_index=False)
 
 
 Q1_SQL = """
