@@ -561,7 +561,11 @@ def embedding_dup_pairs_lsh(
         )
 
     blocks = normed.map_batches(emit_keys, batch_format="pyarrow")
-    pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=max_block_size), num_partitions=nparts)
+    # partition the candidate shuffle by BLOCK rows (n x (1 + n_planes) probe
+    # keys, quadratic in-bucket expansion) — sizing it by the vector count
+    # alone starves the self-join at 2 partitions
+    pair_parts = adaptive_partitions(n * (n_planes + 1), rows_per_partition=500)
+    pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=max_block_size), num_partitions=pair_parts)
 
     empty = pa.table({"left_vec_id": pa.array([], type=pa.int64()), "right_vec_id": pa.array([], type=pa.int64()),
                       "cosine": pa.array([], type=pa.float64())})
@@ -588,7 +592,9 @@ def embedding_dup_pairs_lsh(
             ri = t["right_id"].to_numpy(zero_copy_only=False)
             return emit(li, ri, _payload_gather(pm, li, "nvec"), _payload_gather(pm, ri, "nvec"))
 
-        return pairs.map_batches(verify_b, batch_format="pyarrow")
+        # bounded batches: the gather materializes two (batch, dim) float64
+        # matrices — keep them cache-sized
+        return pairs.map_batches(verify_b, batch_format="pyarrow", batch_size=16384)
 
     def vec_bin(t: pa.Table) -> pa.Table:
         return pa.table({"vec_id": t["vec_id"], "nvec_bin": pack_matrix(_fsl_mat(t["nvec"], dim))})
