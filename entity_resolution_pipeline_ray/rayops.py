@@ -120,23 +120,40 @@ def drop_empty_blocks(ds):
     Triggers execution of ``ds`` (it must, to see the blocks) — use at join
     boundaries, which are barriers anyway.
     """
+    return _live_blocks(ds)[0]
+
+
+def _live_blocks(ds):
+    """(dataset restricted to non-empty blocks, total row count)."""
     refs = ds.to_arrow_refs()
     if not refs:
-        return ds
+        return ds, 0
     counts = ray.get([_block_num_rows.remote(r) for r in refs])
+    total = int(sum(counts))
     keep = [r for r, c in zip(refs, counts) if c > 0]
     if len(keep) == len(refs):
-        return ds
+        return ds, total
     if not keep:
         # preserve one empty block so schema-bearing consumers still work
-        return ds.limit(0)
-    return rd.from_arrow_refs(keep)
+        return ds.limit(0), 0
+    return rd.from_arrow_refs(keep), total
 
 
 def safe_join(left, right, *, num_partitions: int, on: tuple, right_on: tuple, join_type: str = "inner", **kw):
-    """``Dataset.join`` with empty-block sanitization on both sides."""
-    return drop_empty_blocks(left).join(
-        drop_empty_blocks(right),
+    """``Dataset.join`` with empty-block sanitization on both sides.
+
+    A side that is empty END TO END is short-circuited: its surviving empty
+    block carries the PRE-map schema (``map_batches`` never runs its UDF on
+    empty blocks), so Acero would fail to find the join key in it.  All engine
+    joins are inner, so an empty side means an empty result — return the 0-row
+    side unjoined (downstream ``map_batches`` skip it the same way)."""
+    assert join_type == "inner", "engine joins are inner; empty-side shortcut assumes it"
+    lds, ln = _live_blocks(left)
+    rds, rn = _live_blocks(right)
+    if ln == 0 or rn == 0:
+        return lds if ln == 0 else rds
+    return lds.join(
+        rds,
         join_type=join_type,
         num_partitions=num_partitions,
         on=on,

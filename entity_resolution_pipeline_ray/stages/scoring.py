@@ -310,20 +310,29 @@ def _sides_from_payload_map(pm: dict, left_ids, right_ids, num_perm: int) -> tup
 # tasks, so state keyed by ObjectRef persists exactly like actor state — but
 # tasks schedule elastically (no pool minimum to ramp, no reserved CPUs).
 # The payload itself is zero-copy out of plasma (numeric + fixed-width-unicode
-# arrays), so the first ray.get per process is cheap too.
+# arrays), so the first ray.get per process is cheap too.  Bounded FIFO: a
+# long session scoring against many models/payloads must not accumulate them.
 _PROC_CACHE: dict = {}
+_PROC_CACHE_MAX = 8
+
+
+def _cache_put(key, value):
+    while len(_PROC_CACHE) >= _PROC_CACHE_MAX:
+        _PROC_CACHE.pop(next(iter(_PROC_CACHE)))
+    _PROC_CACHE[key] = value
+    return value
 
 
 def _cached_get(ref):
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     if key not in _PROC_CACHE:
-        _PROC_CACHE[key] = ray.get(ref)
+        return _cache_put(key, ray.get(ref))
     return _PROC_CACHE[key]
 
 
 def _cached_build(key, build):
     if key not in _PROC_CACHE:
-        _PROC_CACHE[key] = build()
+        return _cache_put(key, build())
     return _PROC_CACHE[key]
 
 

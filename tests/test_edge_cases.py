@@ -1,0 +1,97 @@
+"""Degenerate-input edges: empty corpora, all-duplicate corpora, single rows.
+The 100-TB posture means partitions WILL occasionally be empty or pathological;
+every operator must pass them through rather than crash."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    """An sf dir whose documents/embeddings tables have the right schema and
+    ZERO rows."""
+    d = tmp_path_factory.mktemp("empty_sf")
+    docs = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+            "lang": pa.array([], type=pa.string()),
+            "source": pa.array([], type=pa.string()),
+            "n_chars": pa.array([], type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    emb = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "embedding": pa.array([], type=pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(emb, os.path.join(d, "embeddings.parquet"))
+    return str(d)
+
+
+def test_dedup_ops_on_empty_corpus(empty_sf):
+    import entity_resolution_pipeline_ray.pipelines.dedup as D
+
+    assert D.minhash_dup_pairs(empty_sf).count() == 0
+    assert D.simhash_dup_pairs(empty_sf).count() == 0
+    assert D.ngram_jaccard_dup_pairs(empty_sf).count() == 0
+    assert D.embedding_dup_pairs(empty_sf).count() == 0
+    assert D.embedding_dup_pairs_lsh(empty_sf).count() == 0
+    assert D.dedup_apply_exact(empty_sf).count() == 0
+
+
+def test_text_ops_on_empty_corpus(empty_sf):
+    import entity_resolution_pipeline_ray.pipelines.text_analysis as T
+
+    for fn in [T.t_normalize, T.t_string_hash, T.t_token_count, T.t_quality,
+               T.t_quality_full, T.t_lang_id, T.t_simhash, T.t_fingerprint]:
+        out = fn(empty_sf)
+        assert out.count() == 0, fn.__name__
+
+
+def test_signatures_on_all_duplicate_corpus():
+    """intern='always' on a corpus where EVERY text is identical: one rep,
+    full fan-out, identical signatures everywhere."""
+    import ray.data as rd
+
+    from entity_resolution_pipeline_ray.config import DEFAULT_CONFIG as cfg
+    from entity_resolution_pipeline_ray.stages.signatures import compute_doc_features
+
+    n = 64
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "url": pa.array([f"https://x.test/{i}" for i in range(n)]),
+                "title": pa.array(["same title"] * n),
+                "domain": pa.array(["x.test"] * n),
+                "text": pa.array(["the same body of text repeated verbatim"] * n),
+            }
+        )
+    ).materialize()
+    out = compute_doc_features(docs, cfg.minhash, cfg.tfidf, intern="always").to_pandas()
+    assert len(out) == n
+    sigs = {tuple(np.asarray(s)) for s in out["minhash_sig"]}
+    assert len(sigs) == 1  # every doc got the single rep's signature
+
+
+def test_clustering_on_no_edges():
+    import ray.data as rd
+
+    from entity_resolution_pipeline_ray.config import ClusteringConfig
+    from entity_resolution_pipeline_ray.stages.clustering import cluster_labels
+
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array([], type=pa.int64()), "dst": pa.array([], type=pa.int64()),
+                  "w": pa.array([], type=pa.float32())})
+    )
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array([7, 8, 9], type=pa.int64())}))
+    for algo in ("connected_components", "louvain", "label_propagation"):
+        df = cluster_labels(edges, ids, ClusteringConfig(algorithm=algo)).to_pandas()
+        assert sorted(df["cluster_id"]) == [7, 8, 9], algo  # all singletons
