@@ -106,6 +106,7 @@ def er_report(res: dict, pairwise_metrics: dict | None = None) -> dict:
             "threshold": model.threshold,
             "metrics": model.metrics,
             "feature_importance": model.feature_importance(),
+            "weights": {n: float(w) for n, w in zip(model.feature_names, model.weights)},
         },
         "clusters": cluster_report(res["clusters"]),
     }
@@ -144,9 +145,17 @@ def render_markdown(report: dict) -> str:
     return "\n".join(lines) + "\n"
 
 
-def save_report(report: dict, json_path: str, md_path: str | None = None) -> None:
+def save_report(report: dict, json_path: str, md_path: str | None = None, figures_dir: str | None = None) -> list[str]:
+    """json + optional md + optional SVG figures dir (reference's reports/ +
+    figures/ layout, /root/reference/src/reporting.py:56-108).  Returns the
+    list of figure paths written (empty when figures_dir is None)."""
     with open(json_path, "w") as f:
         json.dump(report, f, indent=1)
     if md_path:
         with open(md_path, "w") as f:
             f.write(render_markdown(report))
+    if figures_dir:
+        from .figures import save_figures
+
+        return save_figures(report, figures_dir)
+    return []

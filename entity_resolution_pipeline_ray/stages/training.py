@@ -166,6 +166,34 @@ def evaluate(y: np.ndarray, p: np.ndarray, threshold: float) -> dict:
     }
 
 
+def confidence_histogram(y: np.ndarray, p: np.ndarray, threshold: float, bins: int = 20) -> dict:
+    """Binned confidence-of-the-predicted-class split by correctness — the
+    data behind the reference's confidence_by_correctness figure
+    (/root/reference/src/reporting.py:1075-1091) without retaining per-pair rows."""
+    pred = p >= threshold
+    conf = np.where(pred, p, 1.0 - p)
+    correct = pred == (y > 0.5)
+    edges = np.linspace(0.0, 1.0, bins + 1)
+    hc, _ = np.histogram(conf[correct], bins=edges)
+    hi, _ = np.histogram(conf[~correct], bins=edges)
+    return {
+        "bin_edges": [round(float(e), 4) for e in edges[:-1]],
+        "correct": hc.astype(int).tolist(),
+        "incorrect": hi.astype(int).tolist(),
+    }
+
+
+def feature_separation(X: np.ndarray, y: np.ndarray, names: list[str]) -> dict[str, float]:
+    """|mean_match - mean_non_match| / pooled std per feature — the reference's
+    separation-power ranking (/root/reference/src/reporting.py:404-435)."""
+    pos, neg = X[y > 0.5], X[y <= 0.5]
+    if not len(pos) or not len(neg):
+        return {n: 0.0 for n in names}
+    pooled = (pos.std(axis=0) + neg.std(axis=0)) / 2.0
+    sep = np.abs(pos.mean(axis=0) - neg.mean(axis=0)) / np.where(pooled < 1e-12, 1.0, pooled)
+    return {n: round(float(s), 6) for n, s in zip(names, sep)}
+
+
 def threshold_sweep(y: np.ndarray, p: np.ndarray, thresholds=None) -> dict:
     """Pick the F1-best threshold over 0.1..0.9 (reference :577-617)."""
     thresholds = thresholds if thresholds is not None else [round(0.1 * k, 1) for k in range(1, 10)]
@@ -260,7 +288,15 @@ def train_matcher(labeled_pairs: pa.Table, doc_features_ds, cfg: ERConfig, *, pa
     w, b = train_logistic(Xtr, ytr, ccfg)
     p_te = sigmoid(Xte_t @ w + b)
     best = threshold_sweep(yte, p_te)
-    metrics = {"test": best, "train_rows": int(len(ytr)), "test_rows": int(len(yte))}
+    metrics = {
+        "test": best,
+        "train_rows": int(len(ytr)),
+        "test_rows": int(len(yte)),
+        # figure inputs (pipelines/figures.py) — both O(n_features)/O(bins)
+        # summaries of the splits, NOT per-pair retention
+        "test_confidence_hist": confidence_histogram(yte, p_te, best["threshold"]),
+        "feature_separation": feature_separation(Xtr, ytr, selected),
+    }
     return LRModel(
         feature_names=selected,
         weights=w,

@@ -45,10 +45,24 @@ def test_full_report_and_sinks(er_small, tmp_path):
     md = render_markdown(rep)
     assert "# Entity Resolution Run Report" in md and "Feature importance" in md
     jp, mp = str(tmp_path / "r.json"), str(tmp_path / "r.md")
-    save_report(rep, jp, mp)
+    figs = save_report(rep, jp, mp, figures_dir=str(tmp_path / "figures"))
     assert os.path.getsize(jp) > 0 and os.path.getsize(mp) > 0
     imp = rep["model"]["feature_importance"]
     assert abs(sum(imp.values()) - 1.0) < 1e-9
+    # figures: the full ER report carries every figure input (S7 parity with
+    # the reference's figures/ dir, /root/reference/src/reporting.py:56-108)
+    names = {os.path.basename(p) for p in figs}
+    assert {
+        "feature_importance.svg",
+        "feature_weights.svg",
+        "feature_separation.svg",
+        "test_confusion_matrix.svg",
+        "confidence_by_correctness.svg",
+        "cluster_sizes.svg",
+    } <= names
+    for p in figs:
+        svg = open(p).read()
+        assert svg.startswith("<svg") and svg.rstrip().endswith("</svg>")
 
 
 def test_feature_stats_by_label():
