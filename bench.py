@@ -131,26 +131,39 @@ def run_full() -> dict:
 
     queries: dict[str, float] = {}
 
+    # the shared-host VM drifts +-2x over minutes: repeat every timed leg and
+    # take the per-leg MEDIAN (samples published alongside) so one noisy
+    # window doesn't define the recorded number
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+
     # benchmark the engine on pre-materialized Parquet (the production input
     # shape — see ensure_corpus), not the synthetic-generator scaffolding
     spec = PagesSpec(num_pages=ER_PAGES, num_shards=32)
     d = ensure_corpus(spec)
     labeled = pq.read_table(os.path.join(d, "labeled_pairs.parquet"))
     rd.read_parquet(os.path.join(d, "pages")).count()  # warm page cache
-    t0 = time.time()
-    res = run_er_pipeline(rd.read_parquet(os.path.join(d, "pages")), labeled)
-    res["clusters"].count()
-    er_sec = time.time() - t0
+    er_samples = []
+    for _ in range(repeats):
+        t0 = time.time()
+        res = run_er_pipeline(rd.read_parquet(os.path.join(d, "pages")), labeled)
+        res["clusters"].count()
+        er_samples.append(time.time() - t0)
+    er_sec = med(er_samples)
     queries[f"er_pipeline_{ER_PAGES}_pages"] = round(er_sec, 2)
 
     qmap = E.queries()
     # warm the page cache so per-query numbers measure compute + shuffle
     for name in ORACLE_QUERIES:
         _consume(qmap[name](SF_DIR))
+    q_samples: dict[str, list[float]] = {n: [] for n in ORACLE_QUERIES}
+    for _ in range(repeats):
+        for name in ORACLE_QUERIES:
+            t0 = time.time()
+            _consume(qmap[name](SF_DIR))
+            q_samples[name].append(time.time() - t0)
     for name in ORACLE_QUERIES:
-        t0 = time.time()
-        _consume(qmap[name](SF_DIR))
-        queries[name] = round(time.time() - t0, 2)
+        queries[name] = round(med(q_samples[name]), 2)
     ray.shutdown()
     return {
         "metric": f"ER end-to-end sec on {ER_PAGES} synthetic pages (planted clusters) + operator pipelines at {SF_DIR}",
@@ -160,6 +173,9 @@ def run_full() -> dict:
         "sf": SF_DIR.rstrip("/").rsplit("/", 1)[-1],
         "num_cpus": NUM_CPUS,
         "er_pages_per_sec": round(ER_PAGES / er_sec, 1),
+        "repeats": repeats,
+        "er_samples_sec": [round(x, 2) for x in er_samples],
+        "query_samples_sec": {n: [round(x, 2) for x in xs] for n, xs in q_samples.items()},
     }
 
 

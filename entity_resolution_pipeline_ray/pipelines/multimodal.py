@@ -87,6 +87,11 @@ def decode_media(media_ds, *, concurrency: int = 4, batch_size: int = 64, decode
     return media_ds.map_batches(
         decoder_cls, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, concurrency),
         num_cpus=actor_num_cpus(),
+        # decode is stateless-per-batch: on actor loss, Ray Data reschedules the
+        # batch on a fresh pool actor; Ray's own actor restart would fail anyway
+        # once the fused ctor args leave the object store (ray#53727) and logs
+        # an error-level line about it on every run
+        max_restarts=0,
     )
 
 
