@@ -135,15 +135,14 @@ def oracle_sql() -> dict[str, str]:
         "t_simhash": T.T_SIMHASH_SQL,
         "t_fingerprint": T.T_FINGERPRINT_SQL,
         "d_apply_exact": D.DEDUP_APPLY_EXACT_SQL,
+        "d_minhash_pairs": D.D_MINHASH_SQL,
         "d_simhash_pairs": D.D_SIMHASH_SQL,
         "d_ngram_jaccard_pairs": D.NGRAM_JACCARD_SQL,
         "d_embedding_pairs": D.EMBEDDING_DUP_SQL,
+        "d_embedding_pairs_lsh": D.D_EMBEDDING_LSH_SQL,
         "s_knn_bruteforce": S.KNN_BRUTEFORCE_SQL,
+        "s_knn_lsh": S.KNN_LSH_SQL,
         "m_media_features": M.M_MEDIA_SQL,
-        # d_minhash_pairs / d_embedding_pairs_lsh / s_knn_lsh: MinHash-perm /
-        # hyperplane-LSH sketches no SQL function reproduces — rows-only
-        # (d_embedding_pairs_lsh recall + precision pinned vs the exact
-        # baseline in tests/test_pipelines_misc.py).
         # er_extract / er_clusters: corpus is generated (not a DuckDB view) —
         # rows-only; quality is gated by pytest (pairwise F1 >= 0.99).
     }

@@ -127,6 +127,41 @@ def md5_u64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
 
 
+def md5_u64_arr(strings) -> np.ndarray:
+    """``md5_u64`` over a sequence of strings → uint64 array.
+
+    The shingle hash for the dedup MinHash path: DuckDB ``md5_number_upper``
+    parity makes the whole MinHash signature (and therefore the LSH pair set)
+    exactly SQL-reproducible, like ``simhash64`` above."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+    return out
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """The engine's random-hyperplane matrix — deterministic from (seed, shape);
+    shared by the LSH embedding paths and their SQL oracles."""
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def hyperplane_code_sql(col: str, n_planes: int, dim: int, seed: int) -> str:
+    """SQL expression computing the engine's hyperplane sign-bit code for a
+    DOUBLE[] column ``col`` — the plane constants inlined as full-precision
+    literals (repr round-trips to the identical float64).  Sign of the dot
+    product is scale-invariant, so the code matches whether the engine hashed
+    raw or L2-normalized vectors."""
+    planes = hyperplanes(n_planes, dim, seed)
+    bits = []
+    for p in range(n_planes):
+        lit = "[" + ",".join(repr(float(x)) for x in planes[p]) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({col}, {lit}) > 0"
+            f" THEN {1 << p}::UBIGINT ELSE 0::UBIGINT END)"
+        )
+    return "(" + " | ".join(bits) + ")"
+
+
 def simhash64(token_lists) -> np.ndarray:
     """64-bit SimHash per document from its token multiset (unweighted).
 

@@ -28,7 +28,16 @@ import ray.data as rd
 from ray.data.aggregate import Min
 
 from ..config import BlockingConfig, MinHashConfig
-from ..functions.hashing import MinHasher, band_keys, hamming64, simhash64, stable_u64
+from ..functions.hashing import (
+    MinHasher,
+    band_keys,
+    hamming64,
+    hyperplane_code_sql,
+    hyperplanes,
+    md5_u64_arr,
+    simhash64,
+    stable_u64,
+)
 from ..functions.text import word_shingles, word_tokens
 from ..rayops import (
     adaptive_partitions,
@@ -118,9 +127,9 @@ def _doc_sketches(docs_ds, minhash_cfg: MinHashConfig):
         for i, x in enumerate(t["text"].to_pylist()):
             toks = word_tokens(x) if x else []
             sh = word_shingles(toks, minhash_cfg.shingle_size)
-            sigs[i] = hasher.signature(
-                stable_u64(np.asarray(sh, dtype=object)) if sh else np.empty(0, dtype=np.uint64)
-            )
+            # md5-based shingle hash (DuckDB md5_number_upper parity) so the
+            # signature — and the emitted pair set — is SQL-oracle-checkable
+            sigs[i] = hasher.signature(md5_u64_arr(sh) if sh else np.empty(0, dtype=np.uint64))
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -159,13 +168,16 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.6, minhash_cfg: MinHashC
     pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=500), num_partitions=nparts)
 
     def emit(li, ri, sl, sr) -> pa.Table:
+        # est = k/num_perm is an exact dyadic rational — emitted UNROUNDED so
+        # the float64 value matches DuckDB's CAST(k AS DOUBLE)/num_perm bit-for-bit
+        # (round() would differ: numpy rounds half-even, DuckDB half-away)
         est = (np.asarray(sl, dtype=np.uint64) == np.asarray(sr, dtype=np.uint64)).mean(axis=1)
         keep = est >= threshold
         return pa.table(
             {
                 "left_id": pa.array(np.asarray(li, dtype=np.int64)[keep], type=pa.int64()),
                 "right_id": pa.array(np.asarray(ri, dtype=np.int64)[keep], type=pa.int64()),
-                "est_jaccard": pa.array(np.round(est[keep], 4), type=pa.float64()),
+                "est_jaccard": pa.array(est[keep], type=pa.float64()),
             }
         )
 
@@ -418,6 +430,53 @@ FROM p WHERE uni > 0 AND inter * 1.0 / uni >= 0.5
 """
 
 
+def _minhash_sql(threshold: float = 0.6, cfg: MinHashConfig | None = None) -> str:
+    """Exact SQL replica of ``minhash_dup_pairs``: same md5 shingle hashes
+    (``md5_number_upper``), the same 128 permutation constants inlined as
+    literals (HUGEINT product, mod 2^64), the same band-collision candidate
+    rule (some band of ``r`` consecutive slots fully agrees), and the same
+    exact-dyadic ``est_jaccard`` = agree/num_perm.  FNV band-key collisions are
+    the only divergence channel (~2^-64 per pair — never at oracle scale)."""
+    c = cfg or MinHashConfig()
+    mh = MinHasher(c.num_perm, c.seed)
+    r = c.num_perm // c.num_bands
+    perm_rows = ",\n    ".join(
+        f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)" for i, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    band_eq = " AND ".join(f"a.s[{r}*j+{o + 1}] = b.s[{r}*j+{o + 1}]" for o in range(r))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(CASE
+    WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+    WHEN len(tk) <= {c.shingle_size} THEN [array_to_string(tk, ' ')]
+    ELSE list_transform(range(1, len(tk) - {c.shingle_size - 2}),
+                        i -> concat_ws(' ', {", ".join(f"tk[i+{o}]" for o in range(c.shingle_size))}))
+  END) AS s FROM toks),
+hv AS (SELECT doc_id, md5_number_upper(s) AS h FROM sh),
+perms(i, a, b) AS (VALUES
+    {perm_rows}),
+mins AS (
+  SELECT doc_id, i,
+         min(CAST((a * CAST(h AS HUGEINT) + b) % 18446744073709551616 AS UBIGINT)) AS mv
+  FROM hv, perms GROUP BY doc_id, i),
+sig AS (SELECT doc_id, list(mv ORDER BY i) AS s FROM mins GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         len(list_filter(range(0, {c.num_perm}), i -> a.s[i+1] = b.s[i+1])) AS agree
+  FROM sig a, sig b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_filter(range(0, {c.num_bands}), j -> {band_eq})) > 0)
+SELECT left_id, right_id, CAST(agree AS DOUBLE) / {c.num_perm} AS est_jaccard
+FROM cand WHERE CAST(agree AS DOUBLE) / {c.num_perm} >= {threshold}
+"""
+
+
+D_MINHASH_SQL = _minhash_sql()
+
+
 # ----------------------------------------------------------------- embedding dedup
 
 
@@ -541,7 +600,7 @@ def embedding_dup_pairs_lsh(
         )
     nparts = adaptive_partitions(n)
     dim = _nvec_dim(normed)
-    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    planes = hyperplanes(n_planes, dim, seed)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     def emit_keys(t: pa.Table) -> pa.Table:
@@ -613,6 +672,33 @@ def embedding_dup_pairs_lsh(
         )
 
     return enriched.map_batches(verify_j, batch_format="pyarrow")
+
+
+def _embedding_lsh_sql(threshold: float = 0.3, n_planes: int = 6, seed: int = 42, dim: int = 64) -> str:
+    """SQL replica of ``embedding_dup_pairs_lsh``.  The engine's multi-probe
+    bucketing (each vector emits its code plus every 1-bit flip) makes a pair a
+    candidate iff Hamming(code_a, code_b) <= 2 — written directly as
+    ``bit_count(xor(...))``.  Cosine is computed in float64 (DuckDB's
+    ``list_cosine_similarity`` is float32 — too coarse to match a rounded
+    engine value), with the plane constants inlined via
+    ``hyperplane_code_sql``.  ``dim`` is the testdata embedding width (64 in
+    every sf dir); the engine itself reads the width from data."""
+    code = hyperplane_code_sql("e", n_planes, dim, seed)
+    return f"""
+WITH c AS (
+  SELECT vec_id, e, {code} AS code, sqrt(list_dot_product(e, e)) AS nrm
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+scored AS (
+  SELECT a.vec_id AS left_vec_id, b.vec_id AS right_vec_id,
+         list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+  FROM c a, c b
+  WHERE a.vec_id < b.vec_id AND bit_count(xor(a.code, b.code)) <= 2)
+SELECT left_vec_id, right_vec_id, round(cos, 6) AS cosine
+FROM scored WHERE cos >= {threshold}
+"""
+
+
+D_EMBEDDING_LSH_SQL = _embedding_lsh_sql()
 
 
 def dedup_apply_exact(sf_dir: str):

@@ -18,6 +18,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..functions.hashing import hyperplane_code_sql, hyperplanes
 from ..rayops import read_parquet_clean
 
 
@@ -114,8 +115,7 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 4, n_planes: int = 6, see
     # plane count adapts only to dim at build; deterministic from seed
     emb0 = _embeddings(sf_dir).take(1)
     dim = len(emb0[0]["embedding"])
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
+    planes = hyperplanes(n_planes, dim, seed)
 
     def bucket_of(m: np.ndarray) -> np.ndarray:
         return ((m @ planes.T) > 0).astype(np.uint8) @ (1 << np.arange(n_planes, dtype=np.uint64))
@@ -175,3 +175,32 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 4, n_planes: int = 6, see
     top = pdf.groupby("query_id", sort=True).head(k).copy()
     top["rank"] = top.groupby("query_id").cumcount() + 1
     return pa.Table.from_pandas(top[["query_id", "vec_id", "rank"]].astype(np.int64), preserve_index=False)
+
+
+def _knn_lsh_sql(k: int = 10, n_queries: int = 4, n_planes: int = 6, seed: int = 42, dim: int = 64) -> str:
+    """SQL replica of ``knn_lsh``: radius-2 multi-probe means a corpus vector is
+    scored for a query iff Hamming(code_q, code_v) <= 2; ranking uses the same
+    (score DESC, vec_id ASC) order.  Score is float64 cosine (dot over the
+    product of norms — DuckDB's ``list_cosine_similarity`` is float32, too
+    coarse near ties).  ``dim`` is the testdata embedding width (64 in every sf
+    dir); the engine reads it from data."""
+    code = hyperplane_code_sql("e", n_planes, dim, seed)
+    return f"""
+WITH c AS (
+  SELECT vec_id, e, {code} AS code, sqrt(list_dot_product(e, e)) AS nrm
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+q AS (SELECT vec_id AS query_id, e AS qe, code AS qcode, nrm AS qnrm
+      FROM c ORDER BY vec_id LIMIT {n_queries}),
+scored AS (
+  SELECT q.query_id, c.vec_id, list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) AS score
+  FROM q, c
+  WHERE c.vec_id <> q.query_id AND bit_count(xor(q.qcode, c.code)) <= 2)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
+KNN_LSH_SQL = _knn_lsh_sql()
