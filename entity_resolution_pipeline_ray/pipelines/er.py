@@ -77,9 +77,31 @@ def run_er_pipeline(
 
         payload_ref = _ray.put(payload_map_from_features(doc_features))
     _tick("payload")
+    # Training featurizes the labeled pairs (task-based broadcast scorer) and
+    # fits a tiny LR on the driver — independent of block/pair generation, so
+    # on a large CPU budget the two run CONCURRENTLY (elastic scorer tasks
+    # backfill whatever the pair join's shuffle leaves idle).  Small sessions
+    # keep the sequential path: overlapping a shuffle's aggregator actors with
+    # other work on <16 CPUs risks starvation, and there is nothing to backfill.
+    train_fut = train_ex = None
     if model is None:
-        model = train_matcher(labeled_pairs, doc_features, cfg, payload_ref=payload_ref)
-    _tick("train")
+        import ray as _ray
+
+        overlap = (
+            materialize_intermediate
+            and payload_ref is not None
+            and _ray.cluster_resources().get("CPU", 0) >= 16
+        )
+        if overlap:
+            from concurrent.futures import ThreadPoolExecutor
+
+            train_ex = ThreadPoolExecutor(max_workers=1)
+            train_fut = train_ex.submit(
+                train_matcher, labeled_pairs, doc_features, cfg, payload_ref=payload_ref
+            )
+        else:
+            model = train_matcher(labeled_pairs, doc_features, cfg, payload_ref=payload_ref)
+    _tick("train" if train_fut is None else "train_submit")
     blocks = emit_block_keys(doc_features, cfg.minhash, cfg.blocking)
     if materialize_intermediate:
         # blocks are consumed twice (size census + self-join) and are slim
@@ -99,6 +121,10 @@ def run_er_pipeline(
         # pairs are slim (two int64s), so the pin is cheap
         pairs = pairs.materialize()
     _tick("pairs")
+    if train_fut is not None:
+        model = train_fut.result()
+        train_ex.shutdown(wait=False)
+        _tick("train_join")
     scores = score_pairs(pairs, doc_features, model, cfg, payload_ref=payload_ref)
     if materialize_intermediate:
         scores = scores.materialize()
