@@ -70,3 +70,29 @@ def test_empty_text_docs_emit_no_band_keys():
     # doc 1: no bands (empty sig), no title key (empty title)
     assert 1 not in set(blocks["doc_id"])
     assert (blocks["doc_id"] == 2).sum() == MinHashConfig().num_bands + 1
+
+
+def test_sorted_group_pairs_matches_bruteforce_across_boundaries():
+    """Groups that straddle sorted-block boundaries (incl. one hot group wider
+    than any single sorted block) must enumerate exactly the brute-force pair
+    set — the head-run handoff in sorted_group_pairs is what's under test."""
+    import collections
+    import itertools
+
+    from entity_resolution_pipeline_ray.stages.blocking import sorted_group_pairs
+
+    rng = np.random.RandomState(0)
+    keys = np.concatenate([rng.randint(0, 300, size=2000), np.full(1200, 7)])
+    ids = np.arange(len(keys), dtype=np.int64)
+    rng.shuffle(ids)
+    tbl = pa.table({"block_key": pa.array(keys.astype(np.int64)), "doc_id": pa.array(ids)})
+    got_t = sorted_group_pairs(rd.from_arrow(tbl).repartition(7)).to_pandas()
+    got = set(zip(got_t["left_id"], got_t["right_id"]))
+
+    groups = collections.defaultdict(list)
+    for k, i in zip(keys, ids):
+        groups[int(k)].append(int(i))
+    exp = set()
+    for lst in groups.values():
+        exp.update(itertools.combinations(sorted(lst), 2))
+    assert got == exp
