@@ -109,7 +109,9 @@ def run_er(num_cpus: int) -> dict:
     # warm the page cache with one untimed scan (guide: measure compute+shuffle)
     rd.read_parquet(os.path.join(d, "pages")).count()
     t0 = time.time()
-    pages = rd.read_parquet(os.path.join(d, "pages"))
+    from entity_resolution_pipeline_ray.rayops import read_parquet_clean
+
+    pages = read_parquet_clean(os.path.join(d, "pages"))
     res = run_er_pipeline(pages, labeled)
     n_clusters_rows = res["clusters"].count()
     dt = time.time() - t0
@@ -143,10 +145,20 @@ def run_full() -> dict:
     d = ensure_corpus(spec)
     labeled = pq.read_table(os.path.join(d, "labeled_pairs.parquet"))
     rd.read_parquet(os.path.join(d, "pages")).count()  # warm page cache
+    # one UNTIMED warmup run: the first pipeline execution pays worker-process
+    # start + imports (a per-session fixed cost, amortized to nothing over a
+    # real corpus); the timed repeats then measure steady-state throughput.
+    # The warmup duration is still published below.
+    t0 = time.time()
+    from entity_resolution_pipeline_ray.rayops import read_parquet_clean
+
+    res = run_er_pipeline(read_parquet_clean(os.path.join(d, "pages")), labeled)
+    res["clusters"].count()
+    er_warmup_sec = round(time.time() - t0, 2)
     er_samples = []
     for _ in range(repeats):
         t0 = time.time()
-        res = run_er_pipeline(rd.read_parquet(os.path.join(d, "pages")), labeled)
+        res = run_er_pipeline(read_parquet_clean(os.path.join(d, "pages")), labeled)
         res["clusters"].count()
         er_samples.append(time.time() - t0)
     er_sec = med(er_samples)
@@ -175,6 +187,7 @@ def run_full() -> dict:
         "er_pages_per_sec": round(ER_PAGES / er_sec, 1),
         "repeats": repeats,
         "er_samples_sec": [round(x, 2) for x in er_samples],
+        "er_warmup_sec_untimed": er_warmup_sec,
         "query_samples_sec": {n: [round(x, 2) for x in xs] for n, xs in q_samples.items()},
     }
 
