@@ -60,7 +60,10 @@ def features_for_labeled_pairs(labeled_pairs: pa.Table, doc_features_ds, cfg: ER
     from ..rayops import adaptive_partitions
 
     pairs_ds = rd.from_arrow(ids.select(["left_id", "right_id"]))
-    nparts = adaptive_partitions(ids.num_rows, rows_per_partition=25_000)
+    # ~5k pairs per task: the per-pair string DPs are the cost, so spread the
+    # (at most max_training_pairs) rows wide — 25k-row partitions left a
+    # 32-CPU session 4/32 busy and made training the overlap straggler
+    nparts = adaptive_partitions(ids.num_rows, rows_per_partition=5_000)
     import ray as _r
 
     if int(_r.cluster_resources().get("CPU", 8)) > 1 and nparts > 1:
