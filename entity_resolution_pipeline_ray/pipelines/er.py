@@ -79,10 +79,10 @@ def run_er_pipeline(
     _tick("payload")
     # Training featurizes the labeled pairs (task-based broadcast scorer) and
     # fits a tiny LR on the driver — independent of block/pair generation, so
-    # on a large CPU budget the two run CONCURRENTLY (elastic scorer tasks
-    # backfill whatever the pair join's shuffle leaves idle).  Small sessions
-    # keep the sequential path: overlapping a shuffle's aggregator actors with
-    # other work on <16 CPUs risks starvation, and there is nothing to backfill.
+    # on a multi-core budget the two run CONCURRENTLY (elastic scorer tasks
+    # backfill whatever the pair sort leaves idle — both paths are pure tasks,
+    # no reserved actors, so neither can starve the other).  Tiny sessions keep
+    # the sequential path: nothing to backfill below a handful of CPUs.
     train_fut = train_ex = None
     if model is None:
         import ray as _ray
@@ -90,7 +90,7 @@ def run_er_pipeline(
         overlap = (
             materialize_intermediate
             and payload_ref is not None
-            and _ray.cluster_resources().get("CPU", 0) >= 16
+            and _ray.cluster_resources().get("CPU", 0) >= 8
         )
         if overlap:
             from concurrent.futures import ThreadPoolExecutor
