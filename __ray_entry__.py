@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "s_knn_bruteforce": S.knn_bruteforce,
         "s_knn_lsh": S.knn_lsh,
+        "s_knn_ivf": S.knn_ivf,
         # --- multimodal plumbing ---
         "m_media_features": M.m_media_features,
         # --- entity resolution (flagship; corpus generated, not in DuckDB views) ---
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "d_embedding_pairs_lsh": D.D_EMBEDDING_LSH_SQL,
         "s_knn_bruteforce": S.KNN_BRUTEFORCE_SQL,
         "s_knn_lsh": S.KNN_LSH_SQL,
+        "s_knn_ivf": S.KNN_IVF_SQL,
         "m_media_features": M.M_MEDIA_SQL,
         # er_extract / er_clusters: corpus is generated (not a DuckDB view) —
         # rows-only; quality is gated by pytest (pairwise F1 >= 0.99).

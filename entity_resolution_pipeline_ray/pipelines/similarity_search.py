@@ -204,3 +204,185 @@ WHERE rank <= {k}
 
 
 KNN_LSH_SQL = _knn_lsh_sql()
+
+
+def _sq_dists(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Squared L2 from every row of ``m`` to every centroid, via the
+    ||x||² − 2x·y + ||y||² expansion (the exact formula the SQL oracle uses,
+    so tie behavior matches)."""
+    x2 = (m * m).sum(axis=1)[:, None]
+    c2 = (cents * cents).sum(axis=1)[None, :]
+    return x2 - 2.0 * (m @ cents.T) + c2
+
+
+def knn_ivf(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 4,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    n_probe: int = 4,
+):
+    """IVF-Flat ANN: k-means coarse quantizer + per-query probing of the
+    ``n_probe`` nearest cells — the classic inverted-file scale path (at 100 TB
+    only ~n_probe/n_cells of the corpus is scanned per query, and the cell
+    assignment is a reusable partitioning key for the corpus).
+
+    The k-means is distributed and deterministic: seeds are the embeddings of
+    the ``n_cells`` lowest vec_ids (no RNG), each Lloyd iteration is one
+    ``map_batches`` pass emitting per-cell partial (sum, count) — a combiner,
+    never a shuffle — reduced on the driver to the (n_cells × dim) update.
+    The final scan fuses cell assignment + probe filtering + cosine scoring in
+    one streaming pass; per-block partial top-k rows merge on the driver.
+    Ranking order is (cosine DESC, vec_id ASC), ties included, like the other
+    kNN variants.  With ``n_probe == n_cells`` this is exhaustive and equals
+    ``knn_bruteforce`` exactly (pinned by test).
+    """
+    qids, qmat = _fixed_queries(sf_dir, n_queries)
+    _, seed_mat = _fixed_queries(sf_dir, n_cells)
+    cents = seed_mat.astype(np.float64)
+    emb = _embeddings(sf_dir)
+
+    for _ in range(n_iters):
+        cref = ray.put(cents)
+
+        def partial_sums(t: pa.Table, _cref=cref) -> pa.Table:
+            c = ray.get(_cref)
+            m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+            a = np.argmin(_sq_dists(m, c), axis=1)  # ties → lowest cid
+            cids, inv = np.unique(a, return_inverse=True)
+            sums = np.zeros((len(cids), m.shape[1]), dtype=np.float64)
+            np.add.at(sums, inv, m)
+            return pa.table(
+                {
+                    "cid": pa.array(cids.astype(np.int64)),
+                    "cnt": pa.array(np.bincount(inv).astype(np.int64)),
+                    "s": pa.array([row.tolist() for row in sums]),
+                }
+            )
+
+        parts = emb.map_batches(partial_sums, batch_format="pyarrow", batch_size=4096).to_pandas()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for cid, cnt, s in zip(parts["cid"], parts["cnt"], parts["s"]):
+            sums[int(cid)] += np.asarray(s, dtype=np.float64)
+            counts[int(cid)] += int(cnt)
+        # empty cell keeps its previous centroid (mirrored by the oracle's
+        # left-join + coalesce)
+        cents = np.where(counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], cents)
+
+    # per-query probe sets: n_probe nearest final centroids, ties → lowest cid
+    qd2 = _sq_dists(qmat, cents)
+    probe_sets = []
+    for qi in range(len(qids)):
+        order = np.lexsort((np.arange(len(cents)), qd2[qi]))
+        probe_sets.append(frozenset(int(c) for c in order[:n_probe]))
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((qids, qn, probe_sets, cents))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids_q, qm, probes, c = ray.get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        cells = np.argmin(_sq_dists(m, c), axis=1)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(ids_q)):
+            mask = np.isin(cells, list(probes[qi])) & (ids != ids_q[qi])
+            rows = np.nonzero(mask)[0]
+            if len(rows) == 0:
+                continue
+            s = mn[rows] @ qm[qi]
+            # per-block top-k by the FINAL (score desc, vec_id asc) total order
+            # — tie-safe, so the driver merge of partials is exact
+            order = np.lexsort((ids[rows], -s))
+            sel = order[: min(k, len(rows))]
+            out_q.extend([int(ids_q[qi])] * len(sel))
+            out_v.extend(ids[rows[sel]].tolist())
+            out_s.extend(s[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = emb.map_batches(partial_topk, batch_format="pyarrow", batch_size=2048)
+    pdf = partials.to_pandas()
+    if pdf.empty:
+        return pa.table({"query_id": pa.array([], type=pa.int64()), "vec_id": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64())})
+    pdf = pdf.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    top = pdf.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(top[["query_id", "vec_id", "rank"]].astype(np.int64), preserve_index=False)
+
+
+def _knn_ivf_sql(
+    k: int = 10, n_queries: int = 4, n_cells: int = 16, n_iters: int = 2, n_probe: int = 4, dim: int = 64
+) -> str:
+    """Exact SQL replica of ``knn_ivf``: same deterministic seeds (lowest
+    vec_ids), the same squared-L2 expansion for assignment (ties → lowest cid
+    via the ORDER BY), per-cell means via avg(e[i]) with empty cells keeping
+    the previous centroid (left join + coalesce), the same probe rule, and the
+    same float64 cosine ranking.  The Lloyd iterations are unrolled as CTE
+    pairs (asgN → centN+1)."""
+
+    def d2(x, cent):
+        return (
+            f"list_dot_product({x},{x}) - 2*list_dot_product({x},{cent})"
+            f" + list_dot_product({cent},{cent})"
+        )
+
+    ctes = [
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"""cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e AS ce
+  FROM c ORDER BY vec_id LIMIT {n_cells})""",
+    ]
+    for t in range(n_iters):
+        ctes.append(f"""asg{t} AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT c.vec_id, c.e, t.cid,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY {d2("c.e", "t.ce")}, t.cid) AS rn
+    FROM c, cent{t} t) WHERE rn = 1)""")
+        ctes.append(f"""cent{t + 1} AS (
+  SELECT t.cid, coalesce(m.me, t.ce) AS ce
+  FROM cent{t} t LEFT JOIN (
+    SELECT cid, list(v ORDER BY i) AS me FROM (
+      SELECT cid, i, avg(e[CAST(i AS INT)]) AS v
+      FROM asg{t}, range(1, {dim + 1}) r(i) GROUP BY cid, i)
+    GROUP BY cid) m ON t.cid = m.cid)""")
+    T = n_iters
+    ctes.append(f"""asgf AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT c.vec_id, c.e, t.cid,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY {d2("c.e", "t.ce")}, t.cid) AS rn
+    FROM c, cent{T} t) WHERE rn = 1)""")
+    ctes.append(f"""q AS (
+  SELECT vec_id AS query_id, e AS qe, sqrt(list_dot_product(e, e)) AS qn
+  FROM c ORDER BY vec_id LIMIT {n_queries})""")
+    ctes.append(f"""probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, t.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {d2("q.qe", "t.ce")}, t.cid) AS rn
+    FROM q, cent{T} t) WHERE rn <= {n_probe})""")
+    ctes.append("""scored AS (
+  SELECT q.query_id, a.vec_id,
+         list_dot_product(q.qe, a.e) / (q.qn * sqrt(list_dot_product(a.e, a.e))) AS score
+  FROM q JOIN probes p ON p.query_id = q.query_id
+         JOIN asgf a ON a.cid = p.cid
+  WHERE a.vec_id <> q.query_id)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+    )
+
+
+KNN_IVF_SQL = _knn_ivf_sql()

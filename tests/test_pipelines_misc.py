@@ -181,3 +181,38 @@ def test_dedup_join_plan_matches_broadcast(monkeypatch):
     assert rows(D.minhash_dup_pairs(SF, threshold=0.6)) == bcast_mh
     assert rows(D.simhash_dup_pairs(SF, max_hamming=8)) == bcast_sh
     assert rows(D.embedding_dup_pairs_lsh(SF)) == bcast_lsh
+
+
+def test_knn_ivf_exhaustive_probe_equals_bruteforce():
+    """Probing every cell makes IVF exhaustive — must equal brute force
+    exactly (same tie-safe (score desc, vec_id asc) total order)."""
+    from entity_resolution_pipeline_ray.pipelines.similarity_search import knn_bruteforce, knn_ivf
+
+    bf = knn_bruteforce(SF).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    ex = knn_ivf(SF, n_probe=16, n_cells=16).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert ex.equals(bf)
+
+
+def test_knn_ivf_recall_and_oracle():
+    import duckdb
+
+    from entity_resolution_pipeline_ray.pipelines.similarity_search import (
+        KNN_IVF_SQL,
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    mine = knn_ivf(SF).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    oracle = con.sql(KNN_IVF_SQL).df().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    con.close()
+    assert (mine["vec_id"].to_numpy() == oracle["vec_id"].to_numpy()).all()
+    # probing 4/16 cells keeps recall well above the scan fraction
+    exact = knn_bruteforce(SF, k=10).to_pandas()
+    recalls = []
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(mine[mine["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5
