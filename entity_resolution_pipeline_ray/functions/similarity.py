@@ -77,6 +77,133 @@ def levenshtein_sim(a: str, b: str) -> float:
     return 1.0 - prev[lb] / la
 
 
+def _codepoint_matrix(strs) -> tuple[np.ndarray, np.ndarray]:
+    """(n,) sequence of str → ((n, W) uint32 codepoint matrix zero-padded to the
+    longest string, (n,) int64 lengths).  numpy U-dtype arrays are fixed-width
+    UCS4, so the view is a single copy-free reinterpretation.  Precondition:
+    no embedded NUL characters (impossible in extracted titles/urls — numpy U
+    arrays cannot round-trip them anyway)."""
+    a = np.asarray(strs, dtype=np.str_)
+    n = len(a)
+    w = max(1, a.dtype.itemsize // 4)
+    if a.dtype.itemsize == 0:  # all-empty input: view would be 0-width
+        return np.zeros((n, 1), dtype=np.uint32), np.zeros(n, dtype=np.int64)
+    m = a.view(np.uint32).reshape(n, w)
+    return m, (m != 0).sum(axis=1).astype(np.int64)
+
+
+def levenshtein_sim_batch(A, B) -> np.ndarray:
+    """Vectorized ``levenshtein_sim`` over parallel string sequences.
+
+    Row DP with the pairs axis vectorized: the i/j loops are Python but every
+    cell update is an O(n_pairs) numpy op, ~3-5x the scalar kernel on title-
+    sized strings and growing with batch size.  Equal pairs short-circuit.
+    Bit-identical to the scalar kernel (pinned by tests)."""
+    am_all, la_all = _codepoint_matrix(A)
+    bm_all, lb_all = _codepoint_matrix(B)
+    n = len(am_all)
+    out = np.empty(n, dtype=np.float64)
+    eq = np.asarray(A, dtype=np.str_) == np.asarray(B, dtype=np.str_)
+    out[eq] = 1.0  # equal → 1.0 (incl. two empties)
+    either_empty = ~eq & ((la_all == 0) | (lb_all == 0))
+    out[either_empty] = 0.0
+    todo = ~eq & ~either_empty
+    if not todo.any():
+        return out
+    idx = np.nonzero(todo)[0]
+    # re-pack the DP subset so W is the subset's own max width
+    am, la = _codepoint_matrix(np.asarray(A, dtype=np.str_)[idx])
+    bm, lb = _codepoint_matrix(np.asarray(B, dtype=np.str_)[idx])
+    k = len(idx)
+    La, Lb = am.shape[1], bm.shape[1]
+    am = np.where(am == 0, np.uint32(0xFFFFFFFF), am)
+    bm = np.where(bm == 0, np.uint32(0xFFFFFFFE), bm)
+    prev = np.broadcast_to(np.arange(Lb + 1, dtype=np.int32), (k, Lb + 1)).copy()
+    dist = np.empty(k, dtype=np.int32)
+    for i in range(La):
+        cur = np.empty((k, Lb + 1), dtype=np.int32)
+        cur[:, 0] = i + 1
+        sub = prev[:, :-1] + (am[:, i : i + 1] != bm).astype(np.int32)
+        m = np.minimum(sub, prev[:, 1:] + 1)
+        run = cur[:, 0].copy()
+        for j in range(Lb):
+            run = np.minimum(m[:, j], run + 1)
+            cur[:, j + 1] = run
+        hit = la == i + 1
+        if hit.any():
+            dist[hit] = cur[hit, lb[hit]]
+        prev = cur
+    out[idx] = 1.0 - dist / np.maximum(la, lb)
+    return out
+
+
+def jaro_winkler_batch(A, B, prefix_scale: float = 0.1) -> np.ndarray:
+    """Vectorized ``jaro_winkler`` over parallel string sequences.
+
+    The greedy match loop runs over character position i (Python) with the
+    pairs axis fully vectorized: window masks, first-available-match argmax,
+    and transposition counting are all (n_pairs, len) numpy ops.  Bit-identical
+    to the scalar kernel (pinned by tests)."""
+    am, la = _codepoint_matrix(A)
+    bm, lb = _codepoint_matrix(B)
+    n, La = am.shape
+    Lb = bm.shape[1]
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    md = np.maximum(0, np.maximum(la, lb) // 2 - 1)
+    jarr = np.arange(Lb)
+    b_avail = bm != 0
+    a_match = np.zeros((n, La), dtype=bool)
+    b_match = np.zeros((n, Lb), dtype=bool)
+    rows = np.arange(n)
+    for i in range(La):
+        ai = am[:, i]
+        cand = (
+            (jarr >= (i - md)[:, None])
+            & (jarr <= (i + md)[:, None])
+            & b_avail
+            & (bm == ai[:, None])
+            & (ai != 0)[:, None]
+        )
+        j = cand.argmax(axis=1)
+        found = cand[rows, j]
+        rsel = rows[found]
+        jsel = j[found]
+        b_avail[rsel, jsel] = False
+        b_match[rsel, jsel] = True
+        a_match[rsel, i] = True
+    m = a_match.sum(axis=1)
+    mm = int(m.max()) if n else 0
+    if mm == 0:
+        outj = np.zeros(n, dtype=np.float64)
+    else:
+        # matched chars of each side in order → padded (n, mm) matrices; the
+        # transposition count is the positionwise mismatch count // 2
+        pa = np.cumsum(a_match, axis=1) - 1
+        pb = np.cumsum(b_match, axis=1) - 1
+        seq_a = np.zeros((n, mm), dtype=np.uint32)
+        seq_b = np.zeros((n, mm), dtype=np.uint32)
+        ra, ca = np.nonzero(a_match)
+        seq_a[ra, pa[ra, ca]] = am[ra, ca]
+        rb, cb = np.nonzero(b_match)
+        seq_b[rb, pb[rb, cb]] = bm[rb, cb]
+        t = ((seq_a != seq_b) & (np.arange(mm) < m[:, None])).sum(axis=1) // 2
+        mf = m.astype(np.float64)
+        outj = np.where(
+            m > 0,
+            (mf / np.maximum(la, 1) + mf / np.maximum(lb, 1) + (mf - t) / np.maximum(mf, 1)) / 3.0,
+            0.0,
+        )
+    outj = np.where((la == 0) & (lb == 0), 1.0, np.where((la == 0) | (lb == 0), 0.0, outj))
+    pmax = min(4, La, Lb)
+    if pmax > 0:
+        peq = (am[:, :pmax] == bm[:, :pmax]) & (am[:, :pmax] != 0)
+        prefix = np.cumprod(peq, axis=1).sum(axis=1)
+    else:
+        prefix = np.zeros(n, dtype=np.int64)
+    return outj + prefix * prefix_scale * (1.0 - outj)
+
+
 def jaro(a: str, b: str) -> float:
     """Jaro similarity (public algorithm; from scratch)."""
     la, lb = len(a), len(b)

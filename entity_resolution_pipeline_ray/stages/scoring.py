@@ -29,8 +29,6 @@ import ray
 from ..config import ERConfig
 from ..functions.similarity import (
     harmonic_mean,
-    jaro_winkler,
-    levenshtein_sim,
     minhash_agreement,
     sigmoid_ratio,
     token_jaccard,
@@ -101,31 +99,74 @@ def _sparse_cosine(idx_l, val_l, idx_r, val_r) -> float:
 
 
 class _StringSimCache:
-    """Memoized Jaro-Winkler / Levenshtein — hot blocks repeat the same title
-    pairs thousands of times (hard-negative templates)."""
+    """Cross-batch memo for per-unique-title-pair string features — hot blocks
+    repeat the same title pairs thousands of times (hard-negative templates).
+    Keyed by canonical (min, max) pair; bounded so a long-lived worker process
+    scoring many corpora cannot grow without limit."""
 
     def __init__(self, maxsize: int = 200_000):
-        self.jw: dict[tuple[str, str], float] = {}
-        self.lev: dict[tuple[str, str], float] = {}
+        self.pair: dict[tuple[str, str], tuple[float, float, float]] = {}  # (jw, lev, token_jaccard)
+        self.tokens: dict[str, frozenset] = {}
         self.maxsize = maxsize
 
-    def jw_sim(self, a: str, b: str) -> float:
-        k = (a, b) if a <= b else (b, a)
-        v = self.jw.get(k)
-        if v is None:
-            v = jaro_winkler(k[0], k[1])
-            if len(self.jw) < self.maxsize:
-                self.jw[k] = v
-        return v
+    def token_set(self, s: str) -> frozenset:
+        ts = self.tokens.get(s)
+        if ts is None:
+            ts = frozenset(word_tokens(s))
+            if len(self.tokens) < self.maxsize:
+                self.tokens[s] = ts
+        return ts
 
-    def lev_sim(self, a: str, b: str) -> float:
+
+def _title_features(titles_l, titles_r, cache: _StringSimCache) -> tuple[np.ndarray, ...]:
+    """(jw, lev, token_jaccard, exact) arrays for parallel title sequences.
+
+    Computed once per UNIQUE (left, right) title pair: candidate pairs inside a
+    hot block repeat few distinct titles, so factorize both sides, dedupe the
+    code pairs, run the batch DP kernels over cache misses only, and gather the
+    results back through the inverse index."""
+    import pandas as pd
+
+    from ..functions.similarity import jaro_winkler_batch, levenshtein_sim_batch
+
+    n = len(titles_l)
+    if n == 0:
+        z = np.empty(0, dtype=np.float64)
+        return z, z.copy(), z.copy(), z.copy()
+    ca, ua = pd.factorize(np.asarray(titles_l, dtype=np.str_))
+    cb, ub = pd.factorize(np.asarray(titles_r, dtype=np.str_))
+    comb = ca.astype(np.int64) * max(1, len(ub)) + cb
+    ucomb, inv = np.unique(comb, return_inverse=True)
+    pa = np.asarray(ua, dtype=np.str_)[ucomb // max(1, len(ub))]
+    pb = np.asarray(ub, dtype=np.str_)[ucomb % max(1, len(ub))]
+    m = len(ucomb)
+    ujw = np.empty(m, dtype=np.float64)
+    ulev = np.empty(m, dtype=np.float64)
+    utj = np.empty(m, dtype=np.float64)
+    miss = []
+    keys = []
+    for i in range(m):
+        a, b = pa[i], pb[i]
         k = (a, b) if a <= b else (b, a)
-        v = self.lev.get(k)
+        keys.append(k)
+        v = cache.pair.get(k)
         if v is None:
-            v = levenshtein_sim(k[0], k[1])
-            if len(self.lev) < self.maxsize:
-                self.lev[k] = v
-        return v
+            miss.append(i)
+        else:
+            ujw[i], ulev[i], utj[i] = v
+    if miss:
+        mi = np.asarray(miss)
+        ma, mb = pa[mi], pb[mi]
+        ujw[mi] = jaro_winkler_batch(ma, mb)
+        ulev[mi] = levenshtein_sim_batch(ma, mb)
+        for j, i in enumerate(miss):
+            ta = cache.token_set(str(ma[j]))
+            tb = cache.token_set(str(mb[j]))
+            utj[i] = token_jaccard(ta, tb)
+            if len(cache.pair) < cache.maxsize:
+                cache.pair[keys[i]] = (float(ujw[i]), float(ulev[i]), float(utj[i]))
+    uex = ((pa == pb) & (pa != "")).astype(np.float64)
+    return ujw[inv], ulev[inv], utj[inv], uex[inv]
 
 
 def pair_feature_matrix(left: dict, right: dict, cache: _StringSimCache | None = None) -> np.ndarray:
@@ -133,8 +174,9 @@ def pair_feature_matrix(left: dict, right: dict, cache: _StringSimCache | None =
 
     Side payload: {"title": list[str], "domain": list[str], "token_count": np,
     "sig": (n, num_perm) u64, "tfidf_idx": list[np], "tfidf_val": list[np]}.
-    Vectorized where the kernel allows (minhash agreement, ratios, products);
-    per-pair Python only for the intrinsically scalar string DPs, memoized.
+    Vectorized throughout: minhash agreement, ratios and products are whole-
+    batch numpy; the string DPs run as batch kernels over unique title pairs
+    (functions/similarity.py::levenshtein_sim_batch / jaro_winkler_batch).
     """
     n = len(left["title"])
     cache = cache or _StringSimCache()
@@ -147,28 +189,12 @@ def pair_feature_matrix(left: dict, right: dict, cache: _StringSimCache | None =
         dtype=np.float64,
         count=n,
     )
-    title_jw = np.empty(n, dtype=np.float64)
-    title_lev = np.empty(n, dtype=np.float64)
-    title_tj = np.empty(n, dtype=np.float64)
-    title_exact = np.empty(n, dtype=np.float64)
-    tok_cache: dict[str, list[str]] = {}
-    for i in range(n):
-        a, b = left["title"][i] or "", right["title"][i] or ""
-        title_jw[i] = cache.jw_sim(a, b)
-        title_lev[i] = cache.lev_sim(a, b)
-        ta = tok_cache.get(a)
-        if ta is None:
-            ta = word_tokens(a)
-            tok_cache[a] = ta
-        tb = tok_cache.get(b)
-        if tb is None:
-            tb = word_tokens(b)
-            tok_cache[b] = tb
-        title_tj[i] = token_jaccard(ta, tb)
-        title_exact[i] = 1.0 if (a == b and a != "") else 0.0
-    dom_eq = np.fromiter(
-        (1.0 if left["domain"][i] == right["domain"][i] else 0.0 for i in range(n)), dtype=np.float64, count=n
-    )
+    tl = ["" if t is None else t for t in left["title"]] if isinstance(left["title"], list) else left["title"]
+    tr = ["" if t is None else t for t in right["title"]] if isinstance(right["title"], list) else right["title"]
+    title_jw, title_lev, title_tj, title_exact = _title_features(tl, tr, cache)
+    dom_eq = (
+        np.asarray(left["domain"], dtype=np.str_) == np.asarray(right["domain"], dtype=np.str_)
+    ).astype(np.float64)
     len_ratio = sigmoid_ratio(left["token_count"], right["token_count"])
     hm = harmonic_mean(cos, title_jw)
     prod = mh * cos

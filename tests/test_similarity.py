@@ -79,3 +79,71 @@ def test_cosine_topk_deterministic():
     idx2, _ = cosine_topk(q, m, 5)
     assert (idx == idx2).all()
     assert (np.diff(scores) <= 1e-12).all()  # descending
+
+
+def test_batch_string_kernels_match_scalar():
+    """The vectorized batch DP kernels must be bit-equivalent to the scalar
+    kernels they replace in the scoring hot path (same model inputs)."""
+    import random
+
+    from entity_resolution_pipeline_ray.functions.similarity import (
+        jaro_winkler_batch,
+        levenshtein_sim_batch,
+    )
+
+    random.seed(11)
+    alpha = "abcdefg é中 -"
+    cases = [
+        ("", ""), ("a", ""), ("", "b"), ("a", "a"), ("ab", "ba"),
+        ("martha", "marhta"), ("dixon", "dicksonx"), ("kitten", "sitting"),
+        ("The Alpha Beta Page", "The Alpha Beta Page Extra"),
+    ]
+    for _ in range(500):
+        la, lb = random.randint(0, 14), random.randint(0, 14)
+        cases.append(
+            ("".join(random.choice(alpha) for _ in range(la)),
+             "".join(random.choice(alpha) for _ in range(lb)))
+        )
+    A = [c[0] for c in cases]
+    B = [c[1] for c in cases]
+    np.testing.assert_allclose(
+        levenshtein_sim_batch(A, B), [levenshtein_sim(a, b) for a, b in cases], atol=1e-12
+    )
+    np.testing.assert_allclose(
+        jaro_winkler_batch(A, B), [jaro_winkler(a, b) for a, b in cases], atol=1e-12
+    )
+
+
+def test_batch_string_kernels_empty_and_allempty():
+    from entity_resolution_pipeline_ray.functions.similarity import (
+        jaro_winkler_batch,
+        levenshtein_sim_batch,
+    )
+
+    assert levenshtein_sim_batch([], []).shape == (0,)
+    assert jaro_winkler_batch([], []).shape == (0,)
+    np.testing.assert_allclose(levenshtein_sim_batch(["", ""], ["", "x"]), [1.0, 0.0])
+    np.testing.assert_allclose(jaro_winkler_batch(["", ""], ["", "x"]), [1.0, 0.0])
+
+
+def test_title_features_unique_pair_gather():
+    """_title_features computes per unique pair and gathers back: repeated
+    pairs must produce identical values to direct scalar computation."""
+    from entity_resolution_pipeline_ray.stages.scoring import _StringSimCache, _title_features
+    from entity_resolution_pipeline_ray.functions.text import word_tokens
+
+    tl = ["Alpha Beta", "Alpha Beta", "Gamma", "", "Alpha Beta", "Delta"]
+    tr = ["Alpha Beta", "Alpha Bets", "Gamma", "", "Alpha Bets", ""]
+    cache = _StringSimCache()
+    jw, lev, tj, ex = _title_features(tl, tr, cache)
+    for i, (a, b) in enumerate(zip(tl, tr)):
+        assert jw[i] == pytest.approx(jaro_winkler(a, b), abs=1e-12)
+        assert lev[i] == pytest.approx(levenshtein_sim(a, b), abs=1e-12)
+        assert tj[i] == pytest.approx(token_jaccard(word_tokens(a), word_tokens(b)), abs=1e-12)
+        assert ex[i] == (1.0 if a == b and a != "" else 0.0)
+    # second call hits the cross-batch cache and must return the same values
+    jw2, lev2, tj2, ex2 = _title_features(tl, tr, cache)
+    np.testing.assert_array_equal(jw, jw2)
+    np.testing.assert_array_equal(lev, lev2)
+    np.testing.assert_array_equal(tj, tj2)
+    np.testing.assert_array_equal(ex, ex2)
