@@ -73,12 +73,17 @@ class StageCheckpoint:
             partitions.append({"file": name, "rows": md.num_rows, "bytes": os.path.getsize(p)})
             total_rows += md.num_rows
         os.rename(tmp, self.data_dir)
+        elapsed = time.time() - t0
         man = {
             "status": "complete",
             "stage": self.stage,
             "rows": total_rows,
             "partitions": partitions,
-            "t_write_sec": round(time.time() - t0, 3),
+            "t_write_sec": round(elapsed, 3),
+            # stage throughput: the dataset is lazy, so execution happens
+            # inside write_parquet and elapsed covers compute + persist —
+            # the per-stage throughput metric the run's lineage reports
+            "rows_per_sec": round(total_rows / elapsed, 1) if elapsed > 0 else None,
             "metrics": metrics or {},
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }

@@ -8,6 +8,7 @@ from entity_resolution_pipeline_ray.config import DEFAULT_CONFIG
 from entity_resolution_pipeline_ray.pipelines.er import (
     pairwise_f1_against_gold,
     run_er_on_spec,
+    run_er_pipeline,
 )
 from entity_resolution_pipeline_ray.sources.pages import PagesSpec, labeled_pairs_table
 
@@ -97,3 +98,21 @@ def test_interned_signatures_identical_to_direct():
     for c in ["minhash_sig", "tfidf_idx", "tfidf_val"]:
         for a, b in zip(d[c], i[c]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=c)
+
+
+def test_streaming_path_matches_materialized(er_result):
+    """materialize_intermediate=False is the 100-TB configuration (no full
+    pinning of docs/doc_features; stages re-execute upstream reads and the
+    executor streams).  It must produce the same clusters as the default
+    pinned path on the same corpus."""
+    from entity_resolution_pipeline_ray.sources.pages import pages_dataset
+
+    spec, res = er_result
+    stream = run_er_pipeline(
+        pages_dataset(spec), labeled_pairs_table(spec), DEFAULT_CONFIG,
+        materialize_intermediate=False,
+    )
+    a = res["clusters"].to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = stream["clusters"].to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+    assert (a["cluster_id"].to_numpy() == b["cluster_id"].to_numpy()).all()
