@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_lang_id": T.t_lang_id,
         "t_simhash": T.t_simhash,
         "t_fingerprint": T.t_fingerprint,
+        "t_life_years": T.t_life_years,
         # --- dedup suite ---
         "d_apply_exact": D.dedup_apply_exact,
         "d_minhash_pairs": D.minhash_dup_pairs,
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "t_lang_id": T.T_LANG_ID_SQL,
         "t_simhash": T.T_SIMHASH_SQL,
         "t_fingerprint": T.T_FINGERPRINT_SQL,
+        "t_life_years": T.T_LIFE_YEARS_SQL,
         "d_apply_exact": D.DEDUP_APPLY_EXACT_SQL,
         "d_minhash_pairs": D.D_MINHASH_SQL,
         "d_simhash_pairs": D.D_SIMHASH_SQL,

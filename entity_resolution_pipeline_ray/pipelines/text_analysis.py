@@ -343,3 +343,141 @@ SELECT doc_id,
        END AS fingerprint
 FROM g
 """
+
+
+# ---------------------------------------------------------------- life years
+# Typed year extraction (M5 battery, reference analog
+# /root/reference/src/birth_death_regexes.py:13-147).  The documents corpus
+# has no year strings, so the query derives a deterministic biography-style
+# column FROM doc_id — both the Ray side and the SQL oracle build the exact
+# same string, then run the battery (Python re here, RE2 there; the patterns
+# use only constructs both engines share).
+
+
+def _bio_string(doc_id: int) -> str:
+    y1 = 1500 + (doc_id * 7) % 400
+    y2 = y1 + 20 + doc_id % 60
+    v = doc_id % 15
+    p = f"Author {doc_id}"
+    return [
+        f"{p}, b. {y1}",
+        f"{p}, born approximately {y1}",
+        f"{p}, d. {y2}",
+        f"{p}, died {y2}",
+        f"{p}, fl. {y1}-{y2}",
+        f"{p} ({y1}-{y2})",
+        f"{p} ({y1}-)",
+        f"{p} (-{y2})",
+        f"{p}, {y1} - approximately {y2}",
+        f"{p}, {y1}-",
+        f"{p}, -{y2}",
+        f"{p}, circa {y1}",
+        f"{p}, b. {y1}?",
+        f"{p}, {y1} or {y1 + 1}-{y2}",
+        p,
+    ][v]
+
+
+def t_life_years(sf_dir: str):
+    """Prioritized birth/death/floruit year battery over derived biography
+    strings; output (doc_id, bio, birth_year, death_year)."""
+    from ..functions.text import parse_life_years_batch
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        bios = [_bio_string(int(i)) for i in ids]
+        births, deaths = parse_life_years_batch(bios)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "bio": pa.array(bios, type=pa.string()),
+                "birth_year": pa.array(births.tolist(), type=pa.int64()),
+                "death_year": pa.array(deaths.tolist(), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# RE2 battery (same pattern constants as functions/text.py; cascade order =
+# battery priority; group refs mirror parse_life_years' kind handling).
+_SQL_Y = r"(\d{2,4}(?:\?|\s+or\s+\d{1,4})?)"
+_SQL_AP = r"(?:approximately|ca\.|circa)\s+"
+_SQL_DA = r"\s*[-–—]\s*"
+_SQL_PATS = {
+    "pb": rf"(?:\bb\.|\bborn)\s+(?:{_SQL_AP})?{_SQL_Y}",
+    "pd": rf"(?:\bd\.|\bdied)\s+(?:{_SQL_AP})?{_SQL_Y}",
+    "pfl": rf"(?:\bfl\.|\bfloruit)\s+{_SQL_Y}(?:{_SQL_DA}{_SQL_Y})?",
+    "ppr": rf"\(\s*{_SQL_Y}{_SQL_DA}{_SQL_Y}\s*\)",
+    "ppb": rf"\(\s*{_SQL_Y}{_SQL_DA}\s*\)",
+    "ppd": rf"\(\s*{_SQL_DA}{_SQL_Y}\s*\)",
+    "pr": rf"(?:{_SQL_AP})?{_SQL_Y}{_SQL_DA}(?:{_SQL_AP})?{_SQL_Y}",
+    "pob": rf"(?:{_SQL_AP})?{_SQL_Y}{_SQL_DA}",
+    "pod": rf"{_SQL_DA}(?:{_SQL_AP})?{_SQL_Y}",
+    "pap": rf"{_SQL_AP}{_SQL_Y}",
+}
+
+
+def _sql_year(expr: str) -> str:
+    return rf"CAST(NULLIF(regexp_extract({expr}, '\d+'), '') AS BIGINT)"
+
+
+def _sql_g(pat: str, group: int) -> str:
+    return _sql_year(f"regexp_extract(bio, '{_SQL_PATS[pat]}', {group})")
+
+
+T_LIFE_YEARS_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         1500 + (doc_id * 7) % 400 AS y1,
+         1500 + (doc_id * 7) % 400 + 20 + doc_id % 60 AS y2,
+         doc_id % 15 AS v
+  FROM documents),
+bios AS (
+  SELECT doc_id, CASE v
+    WHEN 0  THEN 'Author ' || doc_id || ', b. ' || y1
+    WHEN 1  THEN 'Author ' || doc_id || ', born approximately ' || y1
+    WHEN 2  THEN 'Author ' || doc_id || ', d. ' || y2
+    WHEN 3  THEN 'Author ' || doc_id || ', died ' || y2
+    WHEN 4  THEN 'Author ' || doc_id || ', fl. ' || y1 || '-' || y2
+    WHEN 5  THEN 'Author ' || doc_id || ' (' || y1 || '-' || y2 || ')'
+    WHEN 6  THEN 'Author ' || doc_id || ' (' || y1 || '-)'
+    WHEN 7  THEN 'Author ' || doc_id || ' (-' || y2 || ')'
+    WHEN 8  THEN 'Author ' || doc_id || ', ' || y1 || ' - approximately ' || y2
+    WHEN 9  THEN 'Author ' || doc_id || ', ' || y1 || '-'
+    WHEN 10 THEN 'Author ' || doc_id || ', -' || y2
+    WHEN 11 THEN 'Author ' || doc_id || ', circa ' || y1
+    WHEN 12 THEN 'Author ' || doc_id || ', b. ' || y1 || '?'
+    WHEN 13 THEN 'Author ' || doc_id || ', ' || y1 || ' or ' || (y1 + 1) || '-' || y2
+    ELSE 'Author ' || doc_id
+  END AS bio FROM base)
+SELECT doc_id, bio,
+  CASE
+    WHEN regexp_matches(bio, '{_SQL_PATS["pb"]}')  THEN {_sql_g("pb", 1)}
+    WHEN regexp_matches(bio, '{_SQL_PATS["pd"]}')  THEN NULL
+    WHEN regexp_matches(bio, '{_SQL_PATS["pfl"]}') THEN {_sql_g("pfl", 1)}
+    WHEN regexp_matches(bio, '{_SQL_PATS["ppr"]}') THEN {_sql_g("ppr", 1)}
+    WHEN regexp_matches(bio, '{_SQL_PATS["ppb"]}') THEN {_sql_g("ppb", 1)}
+    WHEN regexp_matches(bio, '{_SQL_PATS["ppd"]}') THEN NULL
+    WHEN regexp_matches(bio, '{_SQL_PATS["pr"]}')  THEN {_sql_g("pr", 1)}
+    WHEN regexp_matches(bio, '{_SQL_PATS["pob"]}') THEN {_sql_g("pob", 1)}
+    WHEN regexp_matches(bio, '{_SQL_PATS["pod"]}') THEN NULL
+    WHEN regexp_matches(bio, '{_SQL_PATS["pap"]}') THEN {_sql_g("pap", 1)}
+    ELSE NULL
+  END AS birth_year,
+  CASE
+    WHEN regexp_matches(bio, '{_SQL_PATS["pb"]}')  THEN NULL
+    WHEN regexp_matches(bio, '{_SQL_PATS["pd"]}')  THEN {_sql_g("pd", 1)}
+    WHEN regexp_matches(bio, '{_SQL_PATS["pfl"]}') THEN {_sql_g("pfl", 2)}
+    WHEN regexp_matches(bio, '{_SQL_PATS["ppr"]}') THEN {_sql_g("ppr", 2)}
+    WHEN regexp_matches(bio, '{_SQL_PATS["ppb"]}') THEN NULL
+    WHEN regexp_matches(bio, '{_SQL_PATS["ppd"]}') THEN {_sql_g("ppd", 1)}
+    WHEN regexp_matches(bio, '{_SQL_PATS["pr"]}')  THEN {_sql_g("pr", 2)}
+    WHEN regexp_matches(bio, '{_SQL_PATS["pob"]}') THEN NULL
+    WHEN regexp_matches(bio, '{_SQL_PATS["pod"]}') THEN {_sql_g("pod", 1)}
+    ELSE NULL
+  END AS death_year
+FROM bios
+"""

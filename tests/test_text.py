@@ -157,3 +157,23 @@ def test_parse_life_years_battery():
     }
     for s, expected in cases.items():
         assert parse_life_years(s) == expected, (s, parse_life_years(s), expected)
+
+
+def test_bio_string_battery_covers_all_variants():
+    """t_life_years' derived corpus exercises every battery kind: each of the
+    15 bio formats yields the expected (birth, death) shape."""
+    from entity_resolution_pipeline_ray.functions.text import parse_life_years
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import _bio_string
+
+    # doc_ids 0..14 hit each format once; recompute expected from the formula
+    for doc_id in range(15):
+        y1 = 1500 + (doc_id * 7) % 400
+        y2 = y1 + 20 + doc_id % 60
+        b, d = parse_life_years(_bio_string(doc_id))
+        expected = [
+            (y1, None), (y1, None), (None, y2), (None, y2),  # b./born/d./died
+            (y1, y2), (y1, y2), (y1, None), (None, y2),      # fl., (r), (b-), (-d)
+            (y1, y2), (y1, None), (None, y2), (y1, None),    # plain range/one-sided/circa
+            (y1, None), (y1, y2), (None, None),              # b.?, 'or' range, no years
+        ][doc_id % 15]
+        assert (b, d) == expected, (doc_id, _bio_string(doc_id), (b, d), expected)
