@@ -19,6 +19,7 @@ from typing import Any
 from entity_resolution_pipeline_ray.pipelines import dedup as D
 from entity_resolution_pipeline_ray.pipelines import multimodal as M
 from entity_resolution_pipeline_ray.pipelines import relational as R
+from entity_resolution_pipeline_ray.pipelines import sampling as SP
 from entity_resolution_pipeline_ray.pipelines import similarity_search as S
 from entity_resolution_pipeline_ray.pipelines import text_analysis as T
 
@@ -87,6 +88,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_simhash": T.t_simhash,
         "t_fingerprint": T.t_fingerprint,
         "t_life_years": T.t_life_years,
+        # --- training-data sampling / curation ---
+        "p_source_cap": SP.q_source_cap,
+        "p_stratified_sample": SP.q_stratified_sample,
+        "p_lang_quantiles": SP.q_lang_quantiles,
         # --- dedup suite ---
         "d_apply_exact": D.dedup_apply_exact,
         "d_minhash_pairs": D.minhash_dup_pairs,
@@ -137,6 +142,9 @@ def oracle_sql() -> dict[str, str]:
         "t_simhash": T.T_SIMHASH_SQL,
         "t_fingerprint": T.T_FINGERPRINT_SQL,
         "t_life_years": T.T_LIFE_YEARS_SQL,
+        "p_source_cap": SP.Q_SOURCE_CAP_SQL,
+        "p_stratified_sample": SP.Q_STRATIFIED_SAMPLE_SQL,
+        "p_lang_quantiles": SP.Q_LANG_QUANTILES_SQL,
         "d_apply_exact": D.DEDUP_APPLY_EXACT_SQL,
         "d_minhash_pairs": D.D_MINHASH_SQL,
         "d_simhash_pairs": D.D_SIMHASH_SQL,

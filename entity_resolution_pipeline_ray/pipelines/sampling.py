@@ -1,0 +1,135 @@
+"""Training-data sampling operators over the ``documents`` table.
+
+The web-scale corpus-curation trio the reference pipeline lacks but any
+LLM-data pipeline needs in front of dedup/scoring:
+
+- per-source cap (the per-host cap of crawl curation): first K docs per
+  source in deterministic doc_id order, distributed via range-sort +
+  boundary-aware local ranking (rayops.head_k_per_key) — never a
+  hash-aggregate over row-cardinality keys;
+- deterministic stratified sampling: hash-mod rate per source, a pure
+  map_batches filter (md5_u64 == DuckDB ``md5_number_upper``, so the exact
+  sample is SQL-oracled);
+- exact per-group quantiles via the bounded-domain histogram trick:
+  (lang, n_chars) counts shrink the corpus to its value domain, then a tiny
+  driver cumsum picks DuckDB ``quantile_disc`` indices (ceil(n*q)-1).
+
+Each is a ``queries()`` entry with a DuckDB oracle; column names match the
+SQL exactly (driver hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import md5_u64
+from ..rayops import head_k_per_key, read_parquet_clean
+
+SOURCE_CAP_K = 20
+
+# sample percentage by source; unknown sources fall to the default row
+SAMPLE_RATES = {"src0": 75, "src1": 50, "src2": 25, "src3": 10}
+SAMPLE_RATE_DEFAULT = 5
+
+
+def _docs(sf_dir: str, columns):
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def q_source_cap(sf_dir: str):
+    """First SOURCE_CAP_K docs per source by doc_id (per-host cap)."""
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    return head_k_per_key(ds, "source", "doc_id", SOURCE_CAP_K)
+
+
+Q_SOURCE_CAP_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= {SOURCE_CAP_K}
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic hash-mod sampling at a per-source rate.  The decision is
+    a pure function of doc_id (md5 of its decimal string, mod 100), so the
+    sample is reproducible across runs/partitionings and SQL-checkable."""
+    ds = _docs(sf_dir, ["doc_id", "source", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_pylist()
+        rates = np.array([SAMPLE_RATES.get(s, SAMPLE_RATE_DEFAULT) for s in src], dtype=np.int64)
+        buckets = np.array([md5_u64(str(int(i))) % 100 for i in ids], dtype=np.int64)
+        return t.filter(pa.array(buckets < rates))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_RATE_SQL = " ".join(f"WHEN '{s}' THEN {r}" for s, r in SAMPLE_RATES.items())
+Q_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, source, lang FROM documents
+WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100
+      < (CASE source {_RATE_SQL} ELSE {SAMPLE_RATE_DEFAULT} END)
+"""
+
+
+def q_lang_quantiles(sf_dir: str):
+    """Exact per-lang quantiles of n_chars without sorting the corpus: a
+    partial (lang, n_chars)->count combiner inside map_batches, one small
+    groupby over the value DOMAIN (bounded by distinct char-lengths, not by
+    corpus rows), then a driver cumsum picking quantile_disc indices.  At
+    100 TB the shuffled table is |langs| x |distinct lengths| rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .groupby(["lang", "n_chars"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+
+    def qdisc(vals: np.ndarray, cnts: np.ndarray, q: float) -> int:
+        # DuckDB quantile_disc: element at index ceil(n*q)-1 of the sorted multiset
+        n = int(cnts.sum())
+        idx = max(int(np.ceil(n * q)) - 1, 0)
+        return int(vals[np.searchsorted(np.cumsum(cnts), idx + 1)])
+
+    rows = []
+    for lang, g in counts.sort_values(["lang", "n_chars"]).groupby("lang", sort=True):
+        vals = g["n_chars"].to_numpy()
+        cnts = g["c"].to_numpy()
+        rows.append(
+            {
+                "lang": lang,
+                "n_docs": int(cnts.sum()),
+                "p50_chars": qdisc(vals, cnts, 0.5),
+                "p90_chars": qdisc(vals, cnts, 0.9),
+                "p99_chars": qdisc(vals, cnts, 0.99),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+Q_LANG_QUANTILES_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       quantile_disc(n_chars, 0.5) AS p50_chars,
+       quantile_disc(n_chars, 0.9) AS p90_chars,
+       quantile_disc(n_chars, 0.99) AS p99_chars
+FROM documents GROUP BY lang
+"""

@@ -283,3 +283,65 @@ def actor_pool_bounds(max_actors: int) -> tuple[int, int]:
         n = 8
     lo = max(1, min(max_actors, n - 1))
     return (lo, max(lo, max_actors))
+
+
+@ray.remote
+def _block_key_runs(t, key_col: str):
+    """(first_key, last_key, n_rows, last_run_len) of a sorted block."""
+    if t.num_rows == 0:
+        return (None, None, 0, 0)
+    import numpy as np
+
+    k = t[key_col].to_numpy(zero_copy_only=False)
+    change = np.nonzero(k[1:] != k[:-1])[0]
+    last_run = len(k) - (int(change[-1]) + 1) if len(change) else len(k)
+    return (k[0], k[-1], len(k), last_run)
+
+
+@ray.remote
+def _block_head_k(t, key_col: str, k: int, first_key_offset: int):
+    """Keep rows whose within-key rank (global, sorted order) is < k.
+    ``first_key_offset`` = rows of this block's first key in earlier blocks."""
+    if t.num_rows == 0:
+        return t
+    import numpy as np
+    import pyarrow as pa
+
+    keys = t[key_col].to_numpy(zero_copy_only=False)
+    starts = np.zeros(len(keys), dtype=bool)
+    starts[0] = True
+    starts[1:] = keys[1:] != keys[:-1]
+    run_id = np.cumsum(starts) - 1
+    run_start = np.flatnonzero(starts)
+    rank = np.arange(len(keys)) - run_start[run_id]
+    rank[run_id == 0] += first_key_offset
+    return t.filter(pa.array(rank < k))
+
+
+def head_k_per_key(ds, key_col: str, order_col: str, k: int):
+    """First ``k`` rows per key in (key, order) order — the per-host/source cap
+    of web-crawl sampling (row_number() OVER (PARTITION BY key ORDER BY order)
+    <= k), distributed: range-sort on (key, order) then boundary-aware local
+    ranking.  Each block learns how many rows of its FIRST key precede it via
+    a tiny O(#blocks) driver scan of per-block run summaries — keys spanning
+    many blocks accumulate their offset through the carry, so no block ever
+    sees more than its own rows.  Deterministic whenever (key, order) is
+    unique."""
+    sorted_ds = ds.sort([key_col, order_col]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    runs = ray.get([_block_key_runs.remote(r, key_col) for r in refs])
+    offsets, carry_key, carry_n = [], None, 0
+    for first_key, last_key, n_rows, last_run in runs:
+        off = carry_n if (first_key is not None and first_key == carry_key) else 0
+        offsets.append(off)
+        if n_rows == 0:
+            continue  # keep carry across empty blocks
+        if first_key == last_key:
+            carry_key, carry_n = last_key, off + n_rows
+        else:
+            carry_key, carry_n = last_key, last_run
+    return rd.from_arrow_refs(
+        [_block_head_k.remote(r, key_col, k, off) for r, off in zip(refs, offsets)]
+    )
