@@ -197,6 +197,54 @@ def vbar_svg(labels: list[str], values: list[int], title: str) -> str:
     return _doc(w, h, body)
 
 
+LINE_COLORS = [BLUE, ORANGE, "#1baf7a"]  # categorical slots 1-3 (all-pairs safe)
+
+
+def line_svg(x_vals: list[float], series: dict[str, list[float]], title: str, *, x_label: str = "") -> str:
+    """Up to three 2px lines with 8px point markers, legend + direct end
+    labels (threshold sweep; reference :1429-1466)."""
+    names = list(series)
+    assert 1 <= len(names) <= 3, "line_svg draws one to three series"
+    w, h, left, top, bottom, right = 640, 300, 56, 52, 40, 96
+    plot_w, plot_h = w - left - right, h - top - bottom
+    lo_x, hi_x = min(x_vals), max(x_vals)
+    span_x = (hi_x - lo_x) or 1.0
+    all_v = [v for vs in series.values() for v in vs]
+    lo_y, hi_y = min(0.0, min(all_v, default=0.0)), max(1e-9, max(all_v, default=1.0))
+    span_y = (hi_y - lo_y) or 1.0
+
+    def sx(x: float) -> float:
+        return left + (x - lo_x) / span_x * plot_w
+
+    def sy(v: float) -> float:
+        return top + plot_h - (v - lo_y) / span_y * plot_h
+
+    body = [_text(16, 24, title, size=14, fill=INK, weight="600")]
+    for i, n in enumerate(names):
+        body.append(f'<rect x="{w - 250 + i * 90}" y="14" width="10" height="10" rx="2" fill="{LINE_COLORS[i]}"/>')
+        body.append(_text(w - 236 + i * 90, 23, n, size=11, fill=INK2))
+    for t in _x_ticks(lo_y, hi_y):
+        body.append(f'<line x1="{left}" y1="{sy(t):.1f}" x2="{w - right}" y2="{sy(t):.1f}" stroke="{GRID}" stroke-width="1"/>')
+        body.append(_text(left - 6, sy(t) + 3, f"{t:g}", size=10, fill=MUTED, anchor="end"))
+    base = top + plot_h
+    body.append(f'<line x1="{left}" y1="{base}" x2="{w - right}" y2="{base}" stroke="{AXIS}" stroke-width="1"/>')
+    for t in _x_ticks(lo_x, hi_x):
+        body.append(_text(sx(t), base + 14, f"{t:g}", size=10, fill=MUTED, anchor="middle"))
+    if x_label:
+        body.append(_text(left + plot_w / 2, h - 6, x_label, size=11, fill=MUTED, anchor="middle"))
+    for i, n in enumerate(names):
+        c = LINE_COLORS[i]
+        pts = " ".join(f"{sx(x):.1f},{sy(v):.1f}" for x, v in zip(x_vals, series[n]))
+        body.append(f'<polyline points="{pts}" fill="none" stroke="{c}" stroke-width="2" stroke-linejoin="round"/>')
+        for x, v in zip(x_vals, series[n]):
+            body.append(
+                f'<circle cx="{sx(x):.1f}" cy="{sy(v):.1f}" r="4" fill="{c}" stroke="{SURFACE}" stroke-width="2">'
+                f"<title>{escape(n)} @ {x:g}: {v:.4f}</title></circle>"
+            )
+        body.append(_text(sx(x_vals[-1]) + 8, sy(series[n][-1]) + 4, n, size=10, fill=INK2))
+    return _doc(w, h, body)
+
+
 def save_figures(report: dict, figures_dir: str) -> list[str]:
     """Write every figure derivable from an ``er_report`` dict; returns paths.
     Mirrors the reference's figures/ directory (src/reporting.py:56-108)."""
@@ -230,6 +278,17 @@ def save_figures(report: dict, figures_dir: str) -> list[str]:
             "confidence_by_correctness.svg",
             grouped_hist_svg(ch["bin_edges"], {"correct": ch["correct"], "incorrect": ch["incorrect"]},
                              "Confidence distribution by prediction correctness"),
+        )
+    curve = model.get("metrics", {}).get("threshold_curve")
+    if curve:
+        put(
+            "threshold_sweep.svg",
+            line_svg(
+                [m["threshold"] for m in curve],
+                {k: [m[k] for m in curve] for k in ("precision", "recall", "f1")},
+                "Decision-threshold sweep (test split)",
+                x_label="threshold",
+            ),
         )
     c = report.get("clusters", {})
     hist = c.get("size_histogram")

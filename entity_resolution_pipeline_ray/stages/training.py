@@ -291,8 +291,14 @@ def train_matcher(labeled_pairs: pa.Table, doc_features_ds, cfg: ERConfig, *, pa
     w, b = train_logistic(Xtr, ytr, ccfg)
     p_te = sigmoid(Xte_t @ w + b)
     best = threshold_sweep(yte, p_te)
+    sweep_ts = [round(0.1 * k, 1) for k in range(1, 10)]
     metrics = {
         "test": best,
+        # full P/R/F1 curve behind the F1-best pick (figure input; O(9 x n))
+        "threshold_curve": [
+            {k: m[k] for k in ("threshold", "precision", "recall", "f1")}
+            for m in (evaluate(yte, p_te, t) for t in sweep_ts)
+        ],
         "train_rows": int(len(ytr)),
         "test_rows": int(len(yte)),
         # figure inputs (pipelines/figures.py) — both O(n_features)/O(bins)

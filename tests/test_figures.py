@@ -67,3 +67,18 @@ def test_save_figures_partial_report(tmp_path):
     assert [p.split("/")[-1] for p in out] == ["cluster_sizes.svg"]
     # empty report: no figures, no crash
     assert save_figures({}, str(tmp_path / "figs2")) == []
+
+
+def test_line_svg_and_threshold_sweep_figure(tmp_path):
+    from entity_resolution_pipeline_ray.pipelines.figures import line_svg
+
+    xs = [0.1, 0.5, 0.9]
+    svg = line_svg(xs, {"precision": [0.5, 0.9, 1.0], "recall": [1.0, 0.9, 0.4], "f1": [0.66, 0.9, 0.57]},
+                   "Sweep", x_label="threshold")
+    assert _is_svg(svg) and "precision" in svg and "polyline" in svg and "threshold" in svg
+    rep = {"model": {"metrics": {"threshold_curve": [
+        {"threshold": 0.1, "precision": 0.5, "recall": 1.0, "f1": 0.66},
+        {"threshold": 0.9, "precision": 1.0, "recall": 0.4, "f1": 0.57},
+    ]}}}
+    out = save_figures(rep, str(tmp_path / "figs"))
+    assert [p.split("/")[-1] for p in out] == ["threshold_sweep.svg"]
