@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from entity_resolution_pipeline_ray.pipelines import curation as C
 from entity_resolution_pipeline_ray.pipelines import dedup as D
 from entity_resolution_pipeline_ray.pipelines import multimodal as M
 from entity_resolution_pipeline_ray.pipelines import relational as R
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_join": R.q_asof_join,
         "q_sessions": R.q_sessions,
         "q_running_total": R.q_running_total,
+        "q_window_join": R.q_window_join,
         # --- text analysis / interning (SURVEY §2.2, §2.5) ---
         "t_normalize": T.t_normalize,
         "t_string_hash": T.t_string_hash,
@@ -88,6 +90,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_simhash": T.t_simhash,
         "t_fingerprint": T.t_fingerprint,
         "t_life_years": T.t_life_years,
+        # --- webtext curation (BPE counting, PII scrub, repetition, decontamination) ---
+        "t_bpe_count": C.t_bpe_count,
+        "t_pii_redact": C.t_pii_redact,
+        "t_repetition": C.t_repetition,
+        "d_decontaminate": C.d_decontaminate,
         # --- training-data sampling / curation ---
         "p_source_cap": SP.q_source_cap,
         "p_stratified_sample": SP.q_stratified_sample,
@@ -130,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "q_asof_join": R.Q_ASOF_SQL,
         "q_sessions": R.Q_SESSIONS_SQL,
         "q_running_total": R.Q_RUNNING_SQL,
+        "q_window_join": R.Q_WINDOW_JOIN_SQL,
         "t_normalize": T.T_NORMALIZE_SQL,
         "t_string_hash": T.T_STRING_HASH_SQL,
         "t_string_counts": T.T_STRING_COUNTS_SQL,
@@ -142,6 +150,10 @@ def oracle_sql() -> dict[str, str]:
         "t_simhash": T.T_SIMHASH_SQL,
         "t_fingerprint": T.T_FINGERPRINT_SQL,
         "t_life_years": T.T_LIFE_YEARS_SQL,
+        "t_bpe_count": C.T_BPE_COUNT_SQL,
+        "t_pii_redact": C.T_PII_REDACT_SQL,
+        "t_repetition": C.T_REPETITION_SQL,
+        "d_decontaminate": C.D_DECONTAMINATE_SQL,
         "p_source_cap": SP.Q_SOURCE_CAP_SQL,
         "p_stratified_sample": SP.Q_STRATIFIED_SAMPLE_SQL,
         "p_lang_quantiles": SP.Q_LANG_QUANTILES_SQL,

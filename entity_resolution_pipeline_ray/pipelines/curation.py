@@ -1,0 +1,276 @@
+"""Webtext-curation operators over the ``documents`` table: BPE-ish token
+counting, PII redaction, repetition quality signals, and benchmark n-gram
+decontamination.
+
+These extend the reference's preprocessing surface (normalize → hash → count,
+/root/reference/src/batch_parallel_preprocessing.py:255-430) with the curation
+stages a large-scale training-data pipeline needs.  Every operator streams the
+corpus through vectorized ``map_batches`` and is DuckDB-oracled — both engines
+run RE2, so the regex-defined outputs match bit-exactly on the ASCII corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import md5_u64_arr
+from ..functions.text import word_tokens
+from ..rayops import read_parquet_clean
+
+
+def _docs(sf_dir: str, columns):
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ------------------------------------------------------------- BPE-ish tokens
+# GPT-2-style pretokenizer, restricted to RE2-safe constructs (no lookahead,
+# ASCII classes) so pyarrow and DuckDB count the exact same matches:
+# contractions, optionally-space-prefixed letter runs / digit runs / other
+# runs, then whitespace runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def t_bpe_count(sf_dir: str):
+    """Token counting with a BPE-ish regex (the whitespace counter is
+    ``t_token_count``): one non-overlapping RE2 scan per doc, zero-copy Arrow
+    in and out."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        filled = pc.coalesce(t["text"], pa.scalar("", type=pa.string()))
+        n = pc.count_substring_regex(filled, pattern=BPE_PATTERN)
+        return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+T_BPE_COUNT_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(coalesce(text, ''), '{BPE_PATTERN.replace("'", "''")}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------- PII redaction
+# The corpus has no planted PII, so (like the life-years battery,
+# text_analysis.t_life_years) both sides derive the same deterministic
+# contact string from doc_id, then run the same scrub cascade.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{3}-\d{4}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _contact_strings(doc_ids: np.ndarray) -> list[str]:
+    out = []
+    for i in doc_ids:
+        i = int(i)
+        out.append(
+            f"Reach user{i}@mail{i % 7}.example.com or +1-{200 + i % 700}-"
+            f"{100 + (i * 3) % 900}-{1000 + (i * 7) % 9000} from host "
+            f"{1 + i % 223}.{(i * 5) % 256}.{(i * 11) % 256}.{(i * 13) % 256} today."
+        )
+    return out
+
+
+def t_pii_redact(sf_dir: str):
+    """PII scrubbing: email → ``<EMAIL>``, then phone → ``<PHONE>``, then IPv4
+    → ``<IP>`` (cascade order matters — the email eats its host-like domain
+    before the IP pass).  Vectorized ``replace_substring_regex``; per-type hit
+    counts from the unredacted string."""
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        contact = pa.array(_contact_strings(ids), type=pa.string())
+        red = pc.replace_substring_regex(contact, pattern=EMAIL_RE, replacement="<EMAIL>")
+        red = pc.replace_substring_regex(red, pattern=PHONE_RE, replacement="<PHONE>")
+        red = pc.replace_substring_regex(red, pattern=IP_RE, replacement="<IP>")
+        n_pii = pc.add(
+            pc.add(
+                pc.count_substring_regex(contact, pattern=EMAIL_RE),
+                pc.count_substring_regex(contact, pattern=PHONE_RE),
+            ),
+            pc.count_substring_regex(contact, pattern=IP_RE),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "contact": contact,
+                "redacted": red,
+                "n_pii": pc.cast(n_pii, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+T_PII_REDACT_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         'Reach user' || doc_id || '@mail' || (doc_id % 7) || '.example.com or +1-' ||
+         (200 + doc_id % 700) || '-' || (100 + (doc_id * 3) % 900) || '-' ||
+         (1000 + (doc_id * 7) % 9000) || ' from host ' ||
+         (1 + doc_id % 223) || '.' || ((doc_id * 5) % 256) || '.' ||
+         ((doc_id * 11) % 256) || '.' || ((doc_id * 13) % 256) || ' today.' AS contact
+  FROM documents)
+SELECT doc_id, contact,
+       regexp_replace(regexp_replace(regexp_replace(contact,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g'),
+           '{IP_RE}', '<IP>', 'g') AS redacted,
+       len(regexp_extract_all(contact, '{EMAIL_RE}'))
+         + len(regexp_extract_all(contact, '{PHONE_RE}'))
+         + len(regexp_extract_all(contact, '{IP_RE}')) AS n_pii
+FROM c
+"""
+
+
+# --------------------------------------------------------- repetition signals
+# Gopher-style repetition quality stats: a doc whose token stream is dominated
+# by few distinct tokens is boilerplate.  Token unit = word_tokens (same \\w+
+# tokenizer as TF-IDF / stopword stats).
+
+
+def t_repetition(sf_dir: str):
+    """Per-doc repetition stats: token count, distinct-token count,
+    duplicate-token ratio (1 - distinct/total) and top-token fraction."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_tok = np.zeros(len(texts), dtype=np.int64)
+        n_dist = np.zeros(len(texts), dtype=np.int64)
+        dup = np.zeros(len(texts), dtype=np.float64)
+        top = np.zeros(len(texts), dtype=np.float64)
+        for i, x in enumerate(texts):
+            toks = word_tokens(x) if x else []
+            n = len(toks)
+            if n == 0:
+                continue
+            _, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            n_tok[i] = n
+            n_dist[i] = len(counts)
+            dup[i] = round(1.0 - len(counts) / n, 6)
+            top[i] = round(counts.max() / n, 6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "n_distinct": pa.array(n_dist),
+                "dup_token_ratio": pa.array(dup),
+                "top_token_ratio": pa.array(top),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+T_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk
+  FROM documents),
+c AS (
+  SELECT doc_id, w, count(*) AS n
+  FROM (SELECT doc_id, unnest(tk) AS w FROM toks) GROUP BY doc_id, w),
+a AS (
+  SELECT doc_id, sum(n) AS n_tokens, count(*) AS n_distinct, max(n) AS top_n
+  FROM c GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CASE WHEN a.n_tokens IS NULL THEN 0.0
+            ELSE round(1.0 - a.n_distinct * 1.0 / a.n_tokens, 6) END AS dup_token_ratio,
+       CASE WHEN a.n_tokens IS NULL THEN 0.0
+            ELSE round(a.top_n * 1.0 / a.n_tokens, 6) END AS top_token_ratio
+FROM toks t LEFT JOIN a USING (doc_id)
+"""
+
+
+# ------------------------------------------------------------ decontamination
+# Benchmark n-gram decontamination: flag corpus docs sharing any token 5-gram
+# with the "benchmark" split (docs with doc_id % 20 == 0 stand in for an eval
+# suite).  Scale shape: the benchmark side is tiny BY DEFINITION (an eval
+# suite vs a 100-TB corpus), so its gram-hash set is the canonical broadcast
+# (``ray.put`` once, zero-copy uint64 array in every task); the corpus side
+# streams and checks membership with one vectorized ``np.isin`` per batch.
+
+DECON_NGRAM = 5
+DECON_MOD = 20
+
+
+def _gram_hashes(text: str | None) -> np.ndarray:
+    toks = word_tokens(text) if text else []
+    if len(toks) < DECON_NGRAM:
+        return np.empty(0, dtype=np.uint64)
+    grams = [" ".join(toks[i : i + DECON_NGRAM]) for i in range(len(toks) - DECON_NGRAM + 1)]
+    return md5_u64_arr(grams)
+
+
+def _mod_filter(want_zero: bool):
+    def f(t: pa.Table) -> pa.Table:
+        mod = t["doc_id"].to_numpy(zero_copy_only=False) % DECON_MOD
+        return t.filter(pa.array(mod == 0 if want_zero else mod != 0))
+
+    return f
+
+
+def d_decontaminate(sf_dir: str):
+    """Output (doc_id, contaminated) for every non-benchmark doc."""
+    import ray
+
+    bench = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _mod_filter(True), batch_format="pyarrow"
+    )
+
+    def grams_of(t: pa.Table) -> pa.Table:
+        hs = [_gram_hashes(x) for x in t["text"].to_pylist()]
+        flat = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        return pa.table({"gram_hash": pa.array(np.unique(flat))})
+
+    bench_hashes = np.unique(
+        np.concatenate(
+            [b["gram_hash"].to_numpy() for b in bench.map_batches(grams_of, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+            + [np.empty(0, dtype=np.uint64)]
+        )
+    )
+    ref = ray.put(bench_hashes)
+
+    corpus = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _mod_filter(False), batch_format="pyarrow"
+    )
+
+    def check(t: pa.Table, bench_ref=ref) -> pa.Table:
+        bset = ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) else bench_ref
+        texts = t["text"].to_pylist()
+        hs = [_gram_hashes(x) for x in texts]
+        lens = np.array([len(h) for h in hs], dtype=np.int64)
+        flat = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        hits = np.isin(flat, bset)
+        out = np.zeros(len(texts), dtype=bool)
+        idx = np.repeat(np.arange(len(texts)), lens)
+        np.logical_or.at(out, idx, hits)
+        return pa.table({"doc_id": t["doc_id"], "contaminated": pa.array(out)})
+
+    return corpus.map_batches(check, batch_format="pyarrow")
+
+
+NG = DECON_NGRAM
+D_DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk
+  FROM documents),
+g AS (
+  SELECT doc_id, CASE WHEN len(tk) < {NG} THEN CAST([] AS VARCHAR[])
+    ELSE list_transform(range(1, len(tk) - {NG - 2}),
+         i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))
+  END AS grams FROM toks),
+bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {DECON_MOD} = 0),
+cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % {DECON_MOD} <> 0),
+hit AS (SELECT DISTINCT doc_id FROM cg WHERE gram IN (SELECT gram FROM bg))
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_MOD} <> 0) d
+LEFT JOIN hit h USING (doc_id)
+"""

@@ -564,3 +564,41 @@ SELECT event_id, user_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 6) AS running_value
 FROM events
 """
+
+
+def q_window_join(sf_dir: str, window_seconds: int = 3600):
+    """Windowed range join (feature generation): for each 'click' event, the
+    number of same-user events in the preceding hour ``[ts - 1h, ts)``.  A
+    range join Ray Data lacks — composed as per-user ``map_groups`` with two
+    vectorized ``searchsorted`` sweeps over the ts-sorted group (O(n log n) per
+    user, never the O(n²) pair blowup of a naive range join).  Shuffle key:
+    user_id; partitioning assumption (as for q_asof_join/q_sessions): one
+    user's events fit in one group — salt hot users at web scale."""
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    w = np.timedelta64(window_seconds, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        # strict upper bound at ts (side="left") drops the event itself and any
+        # ts ties — exactly the oracle's b.ts < a.ts
+        n_prior = np.searchsorted(ts, ts, side="left") - np.searchsorted(ts, ts - w, side="left")
+        clicks = (g["event_type"] == "click").to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[clicks],
+                "user_id": g["user_id"].to_numpy()[clicks],
+                "n_prior": n_prior[clicks].astype("int64"),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+Q_WINDOW_JOIN_SQL = """
+SELECT a.event_id, a.user_id, count(b.event_id) AS n_prior
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+LEFT JOIN events b
+  ON a.user_id = b.user_id AND b.ts >= a.ts - INTERVAL 3600 SECOND AND b.ts < a.ts
+GROUP BY a.event_id, a.user_id
+"""

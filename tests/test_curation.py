@@ -1,0 +1,156 @@
+"""Webtext-curation operators (pipelines/curation.py) and the windowed range
+join (pipelines/relational.q_window_join): known-answer unit checks plus
+brute-force equivalence on synthetic inputs.  The DuckDB oracle parity of the
+same operators is covered by tools/check_oracles.py / the driver gate."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from entity_resolution_pipeline_ray.functions.text import word_tokens
+from entity_resolution_pipeline_ray.pipelines.curation import (
+    BPE_PATTERN,
+    DECON_NGRAM,
+    EMAIL_RE,
+    IP_RE,
+    PHONE_RE,
+    _contact_strings,
+    _gram_hashes,
+)
+
+
+def _bpe_count(s: str) -> int:
+    return pc.count_substring_regex(pa.array([s]), pattern=BPE_PATTERN)[0].as_py()
+
+
+def test_bpe_pattern_known_answers():
+    # contraction splits off, space-prefixed runs, digit runs, punct runs
+    assert _bpe_count("it's fine") == 3  # "it" "'s" " fine"
+    assert _bpe_count("hello world") == 2
+    assert _bpe_count("a1b") == 3  # "a" "1" "b"
+    assert _bpe_count("wait... 42!") == 4  # "wait" "..." " 42" "!"
+    assert _bpe_count("") == 0
+
+
+def test_bpe_pattern_counts_cover_string():
+    # non-overlapping matches must tile the whole string for typical text
+    import re
+
+    pat = re.compile(BPE_PATTERN)
+    for s in ["it's fine", "wait... 42!", "  spaced  out  ", "MixedCase99, ok."]:
+        assert "".join(pat.findall(s)) == s
+
+
+def test_pii_regexes_hit_planted_shapes():
+    import re
+
+    [c] = _contact_strings(np.array([123]))
+    assert re.search(EMAIL_RE, c).group(0) == "user123@mail4.example.com"
+    assert re.search(PHONE_RE, c) is not None
+    assert re.search(IP_RE, c) is not None
+    # cascade result contains every placeholder and no residual digits-run PII
+    red = re.sub(EMAIL_RE, "<EMAIL>", c)
+    red = re.sub(PHONE_RE, "<PHONE>", red)
+    red = re.sub(IP_RE, "<IP>", red)
+    assert "<EMAIL>" in red and "<PHONE>" in red and "<IP>" in red
+    assert "@" not in red and not re.search(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", red)
+
+
+def test_gram_hashes_shingle_semantics():
+    short = _gram_hashes("one two three four")  # < DECON_NGRAM tokens
+    assert short.size == 0
+    five = _gram_hashes("one two three four five")
+    assert five.size == 1
+    six = _gram_hashes("one two three four five six")
+    assert six.size == 2
+    # hash = md5_u64 of the space-joined shingle
+    from entity_resolution_pipeline_ray.functions.hashing import md5_u64
+
+    assert five[0] == np.uint64(md5_u64("one two three four five"))
+    assert _gram_hashes(None).size == 0 and _gram_hashes("").size == 0
+
+
+def test_decontaminate_flags_shared_grams(ray_session, tmp_path):
+    # doc 0/20/40 are "benchmark"; doc 1 copies doc 20's text, doc 2 disjoint
+    rows = {
+        0: "alpha beta gamma delta epsilon zeta",
+        20: "the quick brown fox jumps over the lazy dog",
+        40: "totally separate benchmark text goes here now",
+        1: "prefix words the quick brown fox jumps over the lazy dog suffix",
+        2: "completely unrelated content with many distinct tokens here",
+        3: "short text",
+    }
+    t = pa.table(
+        {"doc_id": list(rows), "text": list(rows.values()),
+         "lang": ["en"] * len(rows), "source": ["s"] * len(rows),
+         "n_chars": [len(v) for v in rows.values()]}
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.curation import d_decontaminate
+
+    got = d_decontaminate(str(tmp_path)).to_pandas().set_index("doc_id")["contaminated"]
+    assert bool(got[1]) is True
+    assert bool(got[2]) is False
+    assert bool(got[3]) is False  # < n-gram length -> no grams -> clean
+    assert set(got.index) == {1, 2, 3}
+
+
+def test_repetition_ratios_known_answer(ray_session, tmp_path):
+    rows = {7: "spam spam spam spam", 8: "all tokens here differ", 9: ""}
+    t = pa.table(
+        {"doc_id": list(rows), "text": list(rows.values()),
+         "lang": ["en"] * 3, "source": ["s"] * 3, "n_chars": [len(v) for v in rows.values()]}
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.curation import t_repetition
+
+    got = t_repetition(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert got.loc[7, "n_tokens"] == 4 and got.loc[7, "n_distinct"] == 1
+    assert got.loc[7, "dup_token_ratio"] == 0.75 and got.loc[7, "top_token_ratio"] == 1.0
+    assert got.loc[8, "dup_token_ratio"] == 0.0 and got.loc[8, "top_token_ratio"] == 0.25
+    assert (got.loc[9] == 0).all()
+
+
+def test_window_join_matches_bruteforce(ray_session, tmp_path):
+    rng = np.random.default_rng(11)
+    n = 400
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 6 * 3600, size=n).astype("timedelta64[s]").astype("timedelta64[us]")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.integers(0, 5, size=n).astype(np.int64),
+            "event_type": rng.choice(["click", "view", "purchase"], size=n),
+            "value": rng.random(n),
+            "props": ["{}"] * n,
+        }
+    )
+    # plant exact-tie timestamps to pin the strict < semantics
+    df.loc[1, ["ts", "user_id"]] = [df.loc[0, "ts"], df.loc[0, "user_id"]]
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_path / "events.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_window_join
+
+    got = (
+        q_window_join(str(tmp_path), window_seconds=3600)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    w = np.timedelta64(3600, "s")
+    exp = []
+    for _, r in df[df["event_type"] == "click"].iterrows():
+        same = df[df["user_id"] == r["user_id"]]
+        n_prior = int(((same["ts"] >= r["ts"] - w) & (same["ts"] < r["ts"])).sum())
+        exp.append((r["event_id"], r["user_id"], n_prior))
+    exp = pd.DataFrame(exp, columns=["event_id", "user_id", "n_prior"]).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"n_prior": "int64"}), exp.astype({"n_prior": "int64"}))
