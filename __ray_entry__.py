@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_lang_quantiles": SP.q_lang_quantiles,
         # --- dedup suite ---
         "d_apply_exact": D.dedup_apply_exact,
+        "d_apply_fuzzy": D.dedup_apply_fuzzy,
         "d_minhash_pairs": D.minhash_dup_pairs,
         "d_simhash_pairs": D.simhash_dup_pairs,
         "d_ngram_jaccard_pairs": D.ngram_jaccard_dup_pairs,
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "p_stratified_sample": SP.Q_STRATIFIED_SAMPLE_SQL,
         "p_lang_quantiles": SP.Q_LANG_QUANTILES_SQL,
         "d_apply_exact": D.DEDUP_APPLY_EXACT_SQL,
+        "d_apply_fuzzy": D.D_APPLY_FUZZY_SQL,
         "d_minhash_pairs": D.D_MINHASH_SQL,
         "d_simhash_pairs": D.D_SIMHASH_SQL,
         "d_ngram_jaccard_pairs": D.NGRAM_JACCARD_SQL,

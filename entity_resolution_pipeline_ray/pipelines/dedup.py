@@ -724,3 +724,57 @@ SELECT doc_id, text FROM documents
 WHERE doc_id IN (
   SELECT min(doc_id) FROM documents GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
 """
+
+
+def dedup_apply_fuzzy(sf_dir: str, threshold: float = 0.6):
+    """End-to-end fuzzy dedup apply — the operator a training-data pipeline
+    actually runs: MinHash-LSH near-dup pairs → transitive connected components
+    (``stages.clustering.propagate_labels``: driver union-find below the edge
+    threshold, distributed min-label propagation above) → per-doc decision
+    (rep_doc_id = min doc_id of the near-dup cluster, keep = doc is its own
+    rep).  The corpus streams through the component assignment; only the edge
+    list (proportional to the duplicate set, never the corpus) is driver/
+    broadcast state on the small-graph path."""
+    from ..config import ClusteringConfig
+    from ..stages.clustering import propagate_labels
+
+    pairs = minhash_dup_pairs(sf_dir, threshold=threshold)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t["left_id"], "dst": t["right_id"]}), batch_format="pyarrow"
+    )
+    clusters = propagate_labels(edges, _docs(sf_dir, columns=("doc_id",)), ClusteringConfig())
+
+    def finish(t: pa.Table) -> pa.Table:
+        rep = t["cluster_id"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rep_doc_id": pa.array(rep, type=pa.int64()),
+                "keep": pa.array(rep == ids),
+            }
+        )
+
+    return clusters.map_batches(finish, batch_format="pyarrow")
+
+
+# Recursive-CTE transitive closure over the (SQL-replicated) MinHash pair set:
+# rep = min doc_id reachable in the near-dup graph, keep = doc is its own rep.
+D_APPLY_FUZZY_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT left_id, right_id FROM ({D_MINHASH_SQL}) mh
+),
+edges AS (
+  SELECT left_id AS u, right_id AS v FROM pairs
+  UNION
+  SELECT right_id, left_id FROM pairs),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+rep AS (SELECT u AS doc_id, least(u, min(v)) AS rep0 FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(r.rep0, d.doc_id) AS rep_doc_id,
+       coalesce(r.rep0, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN rep r USING (doc_id)
+"""

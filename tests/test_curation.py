@@ -154,3 +154,25 @@ def test_window_join_matches_bruteforce(ray_session, tmp_path):
         "event_id"
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype({"n_prior": "int64"}), exp.astype({"n_prior": "int64"}))
+
+
+def test_dedup_apply_fuzzy_transitive_components(ray_session, tmp_path):
+    # 1 == 2 (exact), 2 ~ 3 (one token changed) -> component {1,2,3} rep 1;
+    # 10 unrelated -> own rep
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(("CHANGED" if i == 30 else f"tok{i}") for i in range(60))
+    other = " ".join(f"zzz{i}" for i in range(60))
+    rows = {1: base, 2: base, 3: near, 10: other}
+    t = pa.table(
+        {"doc_id": list(rows), "text": list(rows.values()),
+         "lang": ["en"] * 4, "source": ["s"] * 4, "n_chars": [len(v) for v in rows.values()]}
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.dedup import dedup_apply_fuzzy
+
+    got = dedup_apply_fuzzy(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[[1, 2, 3], "rep_doc_id"].tolist() == [1, 1, 1]
+    assert got.loc[10, "rep_doc_id"] == 10
+    assert got["keep"].tolist() == [True, False, False, True]
