@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessions": R.q_sessions,
         "q_running_total": R.q_running_total,
         "q_window_join": R.q_window_join,
+        "q_pivot": R.q_pivot,
+        "q_unpivot": R.q_unpivot,
         # --- text analysis / interning (SURVEY §2.2, §2.5) ---
         "t_normalize": T.t_normalize,
         "t_string_hash": T.t_string_hash,
@@ -139,6 +141,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sessions": R.Q_SESSIONS_SQL,
         "q_running_total": R.Q_RUNNING_SQL,
         "q_window_join": R.Q_WINDOW_JOIN_SQL,
+        "q_pivot": R.Q_PIVOT_SQL,
+        "q_unpivot": R.Q_UNPIVOT_SQL,
         "t_normalize": T.T_NORMALIZE_SQL,
         "t_string_hash": T.T_STRING_HASH_SQL,
         "t_string_counts": T.T_STRING_COUNTS_SQL,

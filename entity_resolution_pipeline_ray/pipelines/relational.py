@@ -602,3 +602,82 @@ LEFT JOIN events b
   ON a.user_id = b.user_id AND b.ts >= a.ts - INTERVAL 3600 SECOND AND b.ts < a.ts
 GROUP BY a.event_id, a.user_id
 """
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot(sf_dir: str):
+    """Pivot (wide aggregate): per-user sum(value) per event type as its own
+    column.  One vectorized pre-projection pass builds the per-type indicator
+    columns, then a single groupby-sum shuffle covers every output column —
+    not one scan/shuffle per type."""
+    ev = _pq(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        cols = {"user_id": t["user_id"]}
+        for ty in EVENT_TYPES:
+            cols[f"sum_{ty}"] = pa.array(np.where(et == ty, val, 0.0), type=pa.float64())
+        return pa.table(cols)
+
+    agg = (
+        ev.map_batches(project, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"sum_{ty}", alias_name=f"sum_{ty}") for ty in EVENT_TYPES])
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        # np.round (scale-rint-divide), not pc.round: pyarrow's kernel lands a
+        # last-ulp off DuckDB's round for some sums and breaks the value hash
+        out = {"user_id": t["user_id"]}
+        for ty in EVENT_TYPES:
+            out[f"sum_{ty}"] = pa.array(
+                np.round(t[f"sum_{ty}"].to_numpy(zero_copy_only=False), 6), type=pa.float64()
+            )
+        return pa.table(out)
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+_PIVOT_COLS = ",\n       ".join(
+    f"round(sum(CASE WHEN event_type = '{ty}' THEN value ELSE 0 END), 6) AS sum_{ty}"
+    for ty in EVENT_TYPES
+)
+Q_PIVOT_SQL = f"""
+SELECT user_id,
+       {_PIVOT_COLS}
+FROM events GROUP BY user_id
+"""
+
+
+def q_unpivot(sf_dir: str):
+    """Unpivot (wide → long): melt the pivot back to (user_id, event_type,
+    total) rows — a vectorized per-batch explode, chained directly on the
+    q_pivot Dataset (pivot → unpivot roundtrip in one streaming plan)."""
+    wide = q_pivot(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        ids = t["user_id"].to_numpy(zero_copy_only=False)
+        users, types, totals = [], [], []
+        for ty in EVENT_TYPES:
+            users.append(ids)
+            types.append(np.full(len(ids), ty, dtype=object))
+            totals.append(t[f"sum_{ty}"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate(users), type=pa.int64()),
+                "event_type": pa.array(np.concatenate(types), type=pa.string()),
+                "total": pa.array(np.concatenate(totals), type=pa.float64()),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+Q_UNPIVOT_SQL = f"""
+UNPIVOT ({Q_PIVOT_SQL.strip()})
+ON {", ".join(f"sum_{ty} AS '{ty}'" for ty in EVENT_TYPES)}
+INTO NAME event_type VALUE total
+"""

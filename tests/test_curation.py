@@ -176,3 +176,27 @@ def test_dedup_apply_fuzzy_transitive_components(ray_session, tmp_path):
     assert got.loc[[1, 2, 3], "rep_doc_id"].tolist() == [1, 1, 1]
     assert got.loc[10, "rep_doc_id"] == 10
     assert got["keep"].tolist() == [True, False, False, True]
+
+
+def test_pivot_unpivot_roundtrip(ray_session, tmp_path):
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "ts": pd.to_datetime(["2024-01-01"] * 6),
+            "user_id": np.array([1, 1, 1, 2, 2, 2], dtype=np.int64),
+            "event_type": ["click", "click", "view", "purchase", "error", "signup"],
+            "value": [1.5, 2.5, 10.0, 7.0, 0.25, 0.75],
+            "props": ["{}"] * 6,
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_path / "events.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import EVENT_TYPES, q_pivot, q_unpivot
+
+    wide = q_pivot(str(tmp_path)).to_pandas().set_index("user_id").sort_index()
+    assert wide.loc[1, "sum_click"] == 4.0 and wide.loc[1, "sum_view"] == 10.0
+    assert wide.loc[2, "sum_purchase"] == 7.0 and wide.loc[1, "sum_purchase"] == 0.0
+    long = q_unpivot(str(tmp_path)).to_pandas()
+    assert len(long) == 2 * len(EVENT_TYPES)
+    assert long["total"].sum() == df["value"].sum()
