@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_simhash": T.t_simhash,
         "t_fingerprint": T.t_fingerprint,
         "t_life_years": T.t_life_years,
+        "t_token_topk": T.t_token_topk,
         # --- webtext curation (BPE counting, PII scrub, repetition, decontamination) ---
         "t_bpe_count": C.t_bpe_count,
         "t_pii_redact": C.t_pii_redact,
@@ -155,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "t_simhash": T.T_SIMHASH_SQL,
         "t_fingerprint": T.T_FINGERPRINT_SQL,
         "t_life_years": T.T_LIFE_YEARS_SQL,
+        "t_token_topk": T.T_TOKEN_TOPK_SQL,
         "t_bpe_count": C.T_BPE_COUNT_SQL,
         "t_pii_redact": C.T_PII_REDACT_SQL,
         "t_repetition": C.T_REPETITION_SQL,

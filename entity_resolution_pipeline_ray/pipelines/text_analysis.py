@@ -345,6 +345,38 @@ FROM g
 """
 
 
+def t_token_topk(sf_dir: str, k: int = 50, driver_merge_threshold: int = 2_000_000):
+    """Global token document-frequency top-k — the vocabulary-build operator
+    (stages/signatures.py:55-91) exposed as a query, with the same dual plan:
+    per-batch partial (token, df) counts, then a driver pandas merge below the
+    doc threshold (Ray's hash-aggregate finalizer runs ~10-15k groups/s — the
+    distributed groupby costs ~15 s of fixed time pandas does in milliseconds)
+    or the distributed groupby-sum at scale.  Deterministic (df DESC, token
+    ASC) boundary tie-break in both plans."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.signatures import token_df_partials
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()
+    partials = ds.map_batches(token_df_partials, batch_format="pyarrow")
+    if n_docs <= driver_merge_threshold:
+        frames = [b.to_pandas() for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+        merged = pd.concat(frames).groupby("token", sort=False)["df"].sum().reset_index()
+        top = merged.sort_values(["df", "token"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+    counts = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+    return counts.sort(["df", "token"], descending=[True, False]).limit(k)
+
+
+T_TOKEN_TOPK_SQL = """
+SELECT token, count(*) AS df FROM (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+'))) AS token
+  FROM documents)
+GROUP BY token ORDER BY df DESC, token LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------- life years
 # Typed year extraction (M5 battery, reference analog
 # /root/reference/src/birth_death_regexes.py:13-147).  The documents corpus
