@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_window_join": R.q_window_join,
         "q_pivot": R.q_pivot,
         "q_unpivot": R.q_unpivot,
+        "q_hopping": R.q_hopping,
+        "q_top_events_per_user": R.q_top_events_per_user,
         # --- text analysis / interning (SURVEY §2.2, §2.5) ---
         "t_normalize": T.t_normalize,
         "t_string_hash": T.t_string_hash,
@@ -144,6 +146,8 @@ def oracle_sql() -> dict[str, str]:
         "q_window_join": R.Q_WINDOW_JOIN_SQL,
         "q_pivot": R.Q_PIVOT_SQL,
         "q_unpivot": R.Q_UNPIVOT_SQL,
+        "q_hopping": R.Q_HOPPING_SQL,
+        "q_top_events_per_user": R.Q_TOP_EVENTS_SQL,
         "t_normalize": T.T_NORMALIZE_SQL,
         "t_string_hash": T.T_STRING_HASH_SQL,
         "t_string_counts": T.T_STRING_COUNTS_SQL,

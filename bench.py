@@ -40,6 +40,7 @@ ORACLE_QUERIES = [
     "q_events_hourly",
     "t_string_counts",
     "d_minhash_pairs",
+    "d_apply_fuzzy",
     "s_knn_bruteforce",
     "m_media_features",
 ]

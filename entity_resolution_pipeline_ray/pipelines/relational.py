@@ -681,3 +681,86 @@ UNPIVOT ({Q_PIVOT_SQL.strip()})
 ON {", ".join(f"sum_{ty} AS '{ty}'" for ty in EVENT_TYPES)}
 INTO NAME event_type VALUE total
 """
+
+
+def q_hopping(sf_dir: str):
+    """Hopping (overlapping) windows: 2-hour windows sliding by 1 hour — each
+    event lands in exactly two windows.  One vectorized pass emits both
+    window_start keys (floor-to-hour and floor minus 1 h), then a single
+    groupby covers count and sum; window cardinality stays bounded by the time
+    span, never the event count."""
+    ev = _pq(sf_dir, "events", ["ts", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        w0 = pc.floor_temporal(t["ts"], unit="hour")
+        w1 = pc.subtract(w0, pa.scalar(3_600_000_000, type=pa.duration("us")))
+        return pa.table(
+            {
+                "window_start": pa.concat_arrays(
+                    [w0.combine_chunks() if isinstance(w0, pa.ChunkedArray) else w0,
+                     w1.combine_chunks() if isinstance(w1, pa.ChunkedArray) else w1]
+                ),
+                "value": pa.concat_arrays([t["value"].combine_chunks()] * 2),
+            }
+        )
+
+    agg = (
+        ev.map_batches(explode, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": t["window_start"],
+                "n_events": t["n_events"],
+                "total_value": pa.array(
+                    np.round(t["total_value"].to_numpy(zero_copy_only=False), 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+Q_HOPPING_SQL = """
+SELECT window_start, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM (
+  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+         value
+  FROM events)
+GROUP BY window_start
+"""
+
+
+def q_top_events_per_user(sf_dir: str, k: int = 3):
+    """Per-group top-k by value (rank, not head): row_number() OVER (PARTITION
+    BY user ORDER BY value DESC, event_id) <= k via the distributed
+    range-sort + boundary-aware ranking kernel (rayops.head_k_per_key) — no
+    hash-aggregate over the group key."""
+    from ..rayops import head_k_per_key
+
+    ev = _pq(sf_dir, "events", ["event_id", "user_id", "value"])
+    top = head_k_per_key(ev, "user_id", ["value", "event_id"], k, descending=[True, False])
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "value": pa.array(
+                    np.round(t["value"].to_numpy(zero_copy_only=False), 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return top.map_batches(rnd, batch_format="pyarrow")
+
+
+Q_TOP_EVENTS_SQL = """
+SELECT event_id, user_id, round(value, 6) AS value FROM (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 3
+"""

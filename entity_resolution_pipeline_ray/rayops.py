@@ -318,7 +318,7 @@ def _block_head_k(t, key_col: str, k: int, first_key_offset: int):
     return t.filter(pa.array(rank < k))
 
 
-def head_k_per_key(ds, key_col: str, order_col: str, k: int):
+def head_k_per_key(ds, key_col: str, order_col, k: int, *, descending=None):
     """First ``k`` rows per key in (key, order) order — the per-host/source cap
     of web-crawl sampling (row_number() OVER (PARTITION BY key ORDER BY order)
     <= k), distributed: range-sort on (key, order) then boundary-aware local
@@ -326,8 +326,11 @@ def head_k_per_key(ds, key_col: str, order_col: str, k: int):
     a tiny O(#blocks) driver scan of per-block run summaries — keys spanning
     many blocks accumulate their offset through the carry, so no block ever
     sees more than its own rows.  Deterministic whenever (key, order) is
-    unique."""
-    sorted_ds = ds.sort([key_col, order_col]).materialize()
+    unique.  ``order_col`` may be a list (with per-column ``descending``
+    flags) for rank orders like (value DESC, id ASC) — top-k-per-group."""
+    orders = [order_col] if isinstance(order_col, str) else list(order_col)
+    desc = [False] * len(orders) if descending is None else list(descending)
+    sorted_ds = ds.sort([key_col] + orders, descending=[False] + desc).materialize()
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds

@@ -88,3 +88,56 @@ def test_minhash_signature_permutation_invariant(hashes):
     rng = np.random.RandomState(0)
     b = a[rng.permutation(len(a))]
     assert (mh.signature(a) == mh.signature(b)).all()  # set semantics
+
+
+# ---------------------------------------------------------------- curation ops
+
+from entity_resolution_pipeline_ray.pipelines.curation import (  # noqa: E402
+    BPE_PATTERN,
+    EMAIL_RE,
+    IP_RE,
+    PHONE_RE,
+    _contact_strings,
+    _gram_hashes,
+)
+
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(ascii_text)
+def test_bpe_matches_tile_ascii_text(s):
+    """Non-overlapping BPE-ish matches exactly tile any printable-ASCII string
+    (no character is skipped or double-counted)."""
+    import re
+
+    assert "".join(re.findall(BPE_PATTERN, s)) == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=10**9))
+def test_pii_redaction_idempotent(doc_id):
+    import re
+
+    [c] = _contact_strings(np.array([doc_id]))
+
+    def scrub(x):
+        x = re.sub(EMAIL_RE, "<EMAIL>", x)
+        x = re.sub(PHONE_RE, "<PHONE>", x)
+        return re.sub(IP_RE, "<IP>", x)
+
+    once = scrub(c)
+    assert scrub(once) == once  # placeholders never re-match
+    assert once.count("<EMAIL>") == 1 and once.count("<PHONE>") == 1 and once.count("<IP>") == 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), max_size=20))
+def test_gram_hashes_count_and_determinism(tokens):
+    text = " ".join(tokens)
+    h = _gram_hashes(text)
+    expected = max(0, len(tokens) - 4) if tokens else 0
+    assert len(h) == expected
+    assert (h == _gram_hashes(text)).all()

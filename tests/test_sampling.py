@@ -79,3 +79,25 @@ def test_lang_quantiles_match_numpy(ray_session):
         assert row["n_docs"] == len(vals)
         for q, col in ((0.5, "p50_chars"), (0.9, "p90_chars"), (0.99, "p99_chars")):
             assert row[col] == vals[max(int(np.ceil(len(vals) * q)) - 1, 0)]
+
+
+def test_head_k_per_key_descending_topk(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"k": rng.choice(["a", "b", "c"], 300), "v": rng.random(300),
+         "id": np.arange(300, dtype=np.int64)}
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(5)
+    got = (
+        head_k_per_key(ds, "k", ["v", "id"], 4, descending=[True, False])
+        .to_pandas()
+        .sort_values(["k", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["k", "v", "id"], ascending=[True, False, True])
+        .groupby("k")
+        .head(4)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "v", "id"]], exp[["k", "v", "id"]])
