@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_unpivot": R.q_unpivot,
         "q_hopping": R.q_hopping,
         "q_top_events_per_user": R.q_top_events_per_user,
+        "q_customer_order_counts": R.q_customer_order_counts,
         # --- text analysis / interning (SURVEY §2.2, §2.5) ---
         "t_normalize": T.t_normalize,
         "t_string_hash": T.t_string_hash,
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_knn_bruteforce": S.knn_bruteforce,
         "s_knn_lsh": S.knn_lsh,
         "s_knn_ivf": S.knn_ivf,
+        "s_label_centroids": S.s_label_centroids,
         # --- multimodal plumbing ---
         "m_media_features": M.m_media_features,
         # --- entity resolution (flagship; corpus generated, not in DuckDB views) ---
@@ -148,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "q_unpivot": R.Q_UNPIVOT_SQL,
         "q_hopping": R.Q_HOPPING_SQL,
         "q_top_events_per_user": R.Q_TOP_EVENTS_SQL,
+        "q_customer_order_counts": R.Q_CUSTOMER_ORDER_COUNTS_SQL,
         "t_normalize": T.T_NORMALIZE_SQL,
         "t_string_hash": T.T_STRING_HASH_SQL,
         "t_string_counts": T.T_STRING_COUNTS_SQL,
@@ -178,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "s_knn_bruteforce": S.KNN_BRUTEFORCE_SQL,
         "s_knn_lsh": S.KNN_LSH_SQL,
         "s_knn_ivf": S.KNN_IVF_SQL,
+        "s_label_centroids": S.S_LABEL_CENTROIDS_SQL,
         "m_media_features": M.M_MEDIA_SQL,
         # er_extract / er_clusters: corpus is generated (not a DuckDB view) —
         # rows-only; quality is gated by pytest (pairwise F1 >= 0.99).

@@ -764,3 +764,63 @@ SELECT event_id, user_id, round(value, 6) AS value FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
   FROM events) WHERE rn <= 3
 """
+
+
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER join with zero-fill: per customer, the number of orders
+    placed in 1995 — customers with none keep a 0 row.  Plan: filter + count
+    the fact side first (shuffle carries one slim row per active customer),
+    then left-outer hash-join the counts onto the dimension stream; the
+    null-introduced float upcast on the count column is repaired by the
+    coalesce-to-0 cast (Ray floats int64 columns when an outer join adds
+    nulls)."""
+    from ..rayops import adaptive_partitions, safe_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def in_1995(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        lo = pa.scalar(np.datetime64("1995-01-01", "us"), type=pa.timestamp("us"))
+        hi = pa.scalar(np.datetime64("1996-01-01", "us"), type=pa.timestamp("us"))
+        mask = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        return pa.table({"o_custkey": t.filter(mask)["o_custkey"]})
+
+    counts = (
+        orders.map_batches(in_1995, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    joined = safe_join(
+        cust,
+        counts,
+        num_partitions=adaptive_partitions(cust.count()),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        join_type="left_outer",
+    )
+
+    def fix(t: pa.Table) -> pa.Table:
+        if "n_orders" not in t.column_names:  # right side empty end-to-end
+            n = pa.array(np.zeros(len(t), dtype=np.int64))
+        else:
+            n = pc.cast(pc.coalesce(t["n_orders"], pa.scalar(0)), pa.int64())
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": n,
+            }
+        )
+
+    return joined.map_batches(fix, batch_format="pyarrow")
+
+
+Q_CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, count(o.o_custkey) AS n_orders
+FROM customer c LEFT JOIN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01') o
+ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+"""

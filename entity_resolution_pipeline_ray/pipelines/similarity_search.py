@@ -386,3 +386,67 @@ WHERE rank <= {k}
 
 
 KNN_IVF_SQL = _knn_ivf_sql()
+
+
+def s_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (classifier prototype / k-means-seeding
+    aggregate): per-batch (label -> sum-vector, count) combiners shrink the
+    shuffle to one row per label per block; the driver merges the tiny partial
+    table and emits long-format (label, i, mean_val) rows for exact scalar
+    oracle comparison.  Label cardinality is bounded (a class space, not the
+    corpus), so the driver merge is constant-size at any corpus scale."""
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs, sums, ns = [], [], []
+        for lb in np.unique(labels):
+            mask = labels == lb
+            labs.append(int(lb))
+            sums.append(m[mask].sum(axis=0))
+            ns.append(int(mask.sum()))
+        dim = m.shape[1] if m.size else 1
+        return pa.table(
+            {
+                "label": pa.array(labs, type=pa.int64()),
+                "s": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.concatenate(sums) if sums else np.empty(0), type=pa.float64()), dim
+                ),
+                "n": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    parts = [
+        b for b in emb.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    ]
+    labs = np.concatenate([p["label"].to_numpy(zero_copy_only=False) for p in parts])
+    ns = np.concatenate([p["n"].to_numpy(zero_copy_only=False) for p in parts])
+    dim = parts[0]["s"].type.list_size if parts else 1
+    sums = np.concatenate(
+        [np.asarray(p["s"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(len(p), dim) for p in parts]
+    )
+    out_lab, out_i, out_v = [], [], []
+    for lb in np.unique(labs):
+        mask = labs == lb
+        mean = sums[mask].sum(axis=0) / ns[mask].sum()
+        out_lab.append(np.full(dim, lb, dtype=np.int64))
+        out_i.append(np.arange(1, dim + 1, dtype=np.int64))
+        out_v.append(np.round(mean, 6))
+    return pa.table(
+        {
+            "label": pa.array(np.concatenate(out_lab), type=pa.int64()),
+            "i": pa.array(np.concatenate(out_i), type=pa.int64()),
+            "mean_val": pa.array(np.concatenate(out_v), type=pa.float64()),
+        }
+    )
+
+
+S_LABEL_CENTROIDS_SQL = """
+SELECT label, i, round(avg(e), 6) AS mean_val FROM (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings)
+GROUP BY label, i
+"""

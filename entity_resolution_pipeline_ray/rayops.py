@@ -144,14 +144,19 @@ def safe_join(left, right, *, num_partitions: int, on: tuple, right_on: tuple, j
 
     A side that is empty END TO END is short-circuited: its surviving empty
     block carries the PRE-map schema (``map_batches`` never runs its UDF on
-    empty blocks), so Acero would fail to find the join key in it.  All engine
-    joins are inner, so an empty side means an empty result — return the 0-row
-    side unjoined (downstream ``map_batches`` skip it the same way)."""
-    assert join_type == "inner", "engine joins are inner; empty-side shortcut assumes it"
+    empty blocks), so Acero would fail to find the join key in it.  For inner
+    joins an empty side means an empty result — return the 0-row side
+    unjoined (downstream ``map_batches`` skip it the same way).  For
+    left_outer, an empty LEFT is an empty result, and an empty RIGHT means
+    the caller's null-fill pass sees missing columns — callers must handle
+    absent right columns (q_customer_order_counts does via coalesce)."""
+    assert join_type in ("inner", "left_outer"), "unsupported join type for empty-side shortcut"
     lds, ln = _live_blocks(left)
     rds, rn = _live_blocks(right)
-    if ln == 0 or rn == 0:
-        return lds if ln == 0 else rds
+    if ln == 0:
+        return lds
+    if rn == 0:
+        return rds if join_type == "inner" else lds
     return lds.join(
         rds,
         join_type=join_type,
