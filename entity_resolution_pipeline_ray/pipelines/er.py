@@ -67,41 +67,49 @@ def run_er_pipeline(
     if materialize_intermediate:
         doc_features = doc_features.materialize()
     _tick("doc_features")
-    # broadcast the doc payload once; training featurization and production
-    # scoring share it (the reference rebuilt per-stage state each time)
+    # Broadcast the doc payload once; training featurization and production
+    # scoring share it (the reference rebuilt per-stage state each time).
+    # Payload assembly (driver ray.get + concat + ray.put) and training (task
+    # fan-out + tiny driver GD fit) are both independent of block/pair
+    # generation, so on a multi-core budget the whole payload→train chain runs
+    # in a background thread CONCURRENTLY with the block/pair path (elastic
+    # scorer tasks backfill whatever the pair sort leaves idle — both sides
+    # are pure tasks, no reserved actors, so neither can starve the other).
+    # Tiny sessions keep the sequential path: nothing to backfill below a
+    # handful of CPUs.
+    import ray as _ray
+
+    from ..stages.scoring import payload_map_from_features
+
     payload_ref = None
-    if materialize_intermediate and doc_features.count() <= cfg.execution.broadcast_threshold_rows:
-        import ray as _ray
+    bg_ex = bg_fut = None
+    want_payload = (
+        materialize_intermediate
+        and doc_features.count() <= cfg.execution.broadcast_threshold_rows
+    )
+    overlap = want_payload and _ray.cluster_resources().get("CPU", 0) >= 8
+    if overlap:
+        from concurrent.futures import ThreadPoolExecutor
 
-        from ..stages.scoring import payload_map_from_features
-
-        payload_ref = _ray.put(payload_map_from_features(doc_features))
-    _tick("payload")
-    # Training featurizes the labeled pairs (task-based broadcast scorer) and
-    # fits a tiny LR on the driver — independent of block/pair generation, so
-    # on a multi-core budget the two run CONCURRENTLY (elastic scorer tasks
-    # backfill whatever the pair sort leaves idle — both paths are pure tasks,
-    # no reserved actors, so neither can starve the other).  Tiny sessions keep
-    # the sequential path: nothing to backfill below a handful of CPUs.
-    train_fut = train_ex = None
-    if model is None:
-        import ray as _ray
-
-        overlap = (
-            materialize_intermediate
-            and payload_ref is not None
-            and _ray.cluster_resources().get("CPU", 0) >= 8
-        )
-        if overlap:
-            from concurrent.futures import ThreadPoolExecutor
-
-            train_ex = ThreadPoolExecutor(max_workers=1)
-            train_fut = train_ex.submit(
-                train_matcher, labeled_pairs, doc_features, cfg, payload_ref=payload_ref
+        def _payload_then_train():
+            ref = _ray.put(payload_map_from_features(doc_features))
+            m = (
+                train_matcher(labeled_pairs, doc_features, cfg, payload_ref=ref)
+                if model is None
+                else model
             )
-        else:
+            return ref, m
+
+        bg_ex = ThreadPoolExecutor(max_workers=1)
+        bg_fut = bg_ex.submit(_payload_then_train)
+        _tick("payload_train_submit")
+    else:
+        if want_payload:
+            payload_ref = _ray.put(payload_map_from_features(doc_features))
+        _tick("payload")
+        if model is None:
             model = train_matcher(labeled_pairs, doc_features, cfg, payload_ref=payload_ref)
-    _tick("train" if train_fut is None else "train_submit")
+        _tick("train")
     blocks = emit_block_keys(doc_features, cfg.minhash, cfg.blocking)
     if materialize_intermediate:
         # blocks are consumed twice (size census + self-join) and are slim
@@ -121,10 +129,10 @@ def run_er_pipeline(
         # pairs are slim (two int64s), so the pin is cheap
         pairs = pairs.materialize()
     _tick("pairs")
-    if train_fut is not None:
-        model = train_fut.result()
-        train_ex.shutdown(wait=False)
-        _tick("train_join")
+    if bg_fut is not None:
+        payload_ref, model = bg_fut.result()
+        bg_ex.shutdown(wait=False)
+        _tick("payload_train_join")
     scores = score_pairs(pairs, doc_features, model, cfg, payload_ref=payload_ref)
     if materialize_intermediate:
         scores = scores.materialize()
