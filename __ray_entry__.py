@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_label_centroids": S.s_label_centroids,
         # --- multimodal plumbing ---
         "m_media_features": M.m_media_features,
+        "m_media_resize": M.m_media_resize,
+        "m_frame_sample": M.m_frame_sample,
         # --- entity resolution (flagship; corpus generated, not in DuckDB views) ---
         "er_extract": _er_extract_query,
         "er_clusters": _er_query,
@@ -183,6 +185,8 @@ def oracle_sql() -> dict[str, str]:
         "s_knn_ivf": S.KNN_IVF_SQL,
         "s_label_centroids": S.S_LABEL_CENTROIDS_SQL,
         "m_media_features": M.M_MEDIA_SQL,
+        "m_media_resize": M.M_RESIZE_SQL,
+        "m_frame_sample": M.M_FRAME_SAMPLE_SQL,
         # er_extract / er_clusters: corpus is generated (not a DuckDB view) —
         # rows-only; quality is gated by pytest (pairwise F1 >= 0.99).
     }

@@ -133,3 +133,111 @@ M_MEDIA_SQL = """
 SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS n_bytes, md5(text) AS payload_md5
 FROM documents
 """
+
+
+def _to_media(t: pa.Table) -> pa.Table:
+    payloads = [x.encode("utf-8") if x else b"" for x in t["text"].to_pylist()]
+    return pa.table(
+        {
+            "media_id": t["doc_id"],
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(["text/plain"] * len(t), type=pa.string()),
+        }
+    )
+
+
+RESIZE_BUCKETS = 8
+
+
+class ResizeDecoder(FakeMediaDecoder):
+    """'Resize' stage stand-in: mean-pool the payload byte stream down to
+    RESIZE_BUCKETS levels (the 1-D analog of image downsampling — the real
+    stage swaps in PIL's resize, same actor signature and layout).  Emits one
+    long-format row per (media_id, bucket) for exact scalar oracle compare."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        B = RESIZE_BUCKETS
+        ids, idx, level = [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            b = np.frombuffer(p or b"", dtype=np.uint8)
+            n = len(b)
+            for i in range(B):
+                lo, hi = (n * i) // B, (n * (i + 1)) // B
+                ids.append(mid)
+                idx.append(i)
+                level.append(round(float(b[lo:hi].mean()), 6) if hi > lo else 0.0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "i": pa.array(idx, type=pa.int64()),
+                "level": pa.array(level, type=pa.float64()),
+            }
+        )
+
+
+def m_media_resize(sf_dir: str):
+    """Resize plumbing demo over the documents-as-media corpus (ASCII text, so
+    byte values == DuckDB ``ascii`` code points and the pooling is SQL-exact)."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return decode_media(docs.map_batches(_to_media, batch_format="pyarrow"), decoder_cls=ResizeDecoder, batch_size=256)
+
+
+M_RESIZE_SQL = f"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS s, length(coalesce(text, '')) AS n FROM documents),
+b AS (SELECT doc_id, s, n, CAST(unnest(range(0, {RESIZE_BUCKETS})) AS BIGINT) AS i FROM t)
+SELECT doc_id AS media_id, i,
+       CASE WHEN (n * (i + 1)) // {RESIZE_BUCKETS} > (n * i) // {RESIZE_BUCKETS}
+            THEN round(list_avg(list_transform(
+                   range(CAST((n * i) // {RESIZE_BUCKETS} AS BIGINT) + 1,
+                         CAST((n * (i + 1)) // {RESIZE_BUCKETS} AS BIGINT) + 1),
+                   j -> ascii(s[j]))), 6)
+            ELSE 0.0 END AS level
+FROM b
+"""
+
+
+FRAME_LEN = 16
+FRAME_HOP = 64
+
+
+class FrameSampleDecoder(FakeMediaDecoder):
+    """Frame-sampling stage stand-in: take a FRAME_LEN-byte 'frame' every
+    FRAME_HOP bytes (the video keyframe-sampling analog; the real stage swaps
+    in ffmpeg frame extraction).  Emits (media_id, frame_no, frame_md5)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        ids, fno, fmd5 = [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            b = p or b""
+            k = 0
+            for off in range(0, max(len(b), 1), FRAME_HOP):
+                frame = b[off : off + FRAME_LEN]
+                ids.append(mid)
+                fno.append(k)
+                fmd5.append(_h.md5(frame).hexdigest())
+                k += 1
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_no": pa.array(fno, type=pa.int64()),
+                "frame_md5": pa.array(fmd5, type=pa.string()),
+            }
+        )
+
+
+def m_frame_sample(sf_dir: str):
+    """Frame-sampling plumbing demo: every doc emits one frame per FRAME_HOP
+    bytes (empty docs emit one empty frame — deterministic row count)."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return decode_media(docs.map_batches(_to_media, batch_format="pyarrow"), decoder_cls=FrameSampleDecoder, batch_size=256)
+
+
+M_FRAME_SAMPLE_SQL = f"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS s, length(coalesce(text, '')) AS n FROM documents)
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, (greatest(n, 1) + {FRAME_HOP - 1}) // {FRAME_HOP})) AS BIGINT) AS frame_no,
+       md5(substr(s, CAST(unnest(range(0, (greatest(n, 1) + {FRAME_HOP - 1}) // {FRAME_HOP})) AS BIGINT) * {FRAME_HOP} + 1, {FRAME_LEN})) AS frame_md5
+FROM t
+"""

@@ -200,3 +200,36 @@ def test_pivot_unpivot_roundtrip(ray_session, tmp_path):
     long = q_unpivot(str(tmp_path)).to_pandas()
     assert len(long) == 2 * len(EVENT_TYPES)
     assert long["total"].sum() == df["value"].sum()
+
+
+def test_media_resize_and_frame_sample_decoders():
+    from entity_resolution_pipeline_ray.pipelines.multimodal import (
+        FRAME_HOP,
+        FRAME_LEN,
+        RESIZE_BUCKETS,
+        FrameSampleDecoder,
+        ResizeDecoder,
+    )
+    import hashlib
+
+    payload = bytes(range(160))
+    batch = pa.table(
+        {"media_id": pa.array([7], type=pa.int64()),
+         "payload": pa.array([payload], type=pa.binary()),
+         "mime": ["application/octet-stream"]}
+    )
+    r = ResizeDecoder()(batch).to_pandas()
+    assert len(r) == RESIZE_BUCKETS
+    # bucket 0 = mean of bytes [0, 20) = 9.5
+    assert r.loc[0, "level"] == 9.5
+    f = FrameSampleDecoder()(batch).to_pandas()
+    assert len(f) == 3  # offsets 0, 64, 128 (last frame truncated to 32 bytes)
+    assert f.loc[1, "frame_md5"] == hashlib.md5(payload[64 : 64 + FRAME_LEN]).hexdigest()
+    # empty payload -> exactly one frame (md5 of b"")
+    empty = pa.table(
+        {"media_id": pa.array([8], type=pa.int64()),
+         "payload": pa.array([b""], type=pa.binary()),
+         "mime": ["application/octet-stream"]}
+    )
+    fe = FrameSampleDecoder()(empty).to_pandas()
+    assert len(fe) == 1 and fe.loc[0, "frame_md5"] == hashlib.md5(b"").hexdigest()
