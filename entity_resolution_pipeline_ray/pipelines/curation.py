@@ -257,6 +257,102 @@ def d_decontaminate(sf_dir: str):
     return corpus.map_batches(check, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------------ HLL sketch
+# Distinct-count sketch: HyperLogLog over the global token multiset — the
+# mergeable-sketch pattern (per-batch partial registers, elementwise-max
+# merge) that replaces exact COUNT(DISTINCT) at 100 TB.  Deterministic and
+# SQL-oracled exactly: the md5 token hash is DuckDB ``md5_number_upper`` and
+# the register rank uses exact integer bit-length on BOTH sides (np byte-table
+# here, ``length(bin(w))`` there) — no float log2 anywhere, so registers (and
+# the rounded estimate) match bit-for-bit.
+
+HLL_P = 10  # 2^10 = 1024 registers
+HLL_M = 1 << HLL_P
+
+_BITLEN_TABLE = np.array([0] + [i.bit_length() for i in range(1, 256)], dtype=np.int64)
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 values (no float conversion)."""
+    b = w.astype(">u8").view(np.uint8).reshape(-1, 8)  # big-endian bytes
+    nz = b != 0
+    first = np.where(nz.any(axis=1), nz.argmax(axis=1), 8)
+    out = np.zeros(len(w), dtype=np.int64)
+    has = first < 8
+    out[has] = (8 - first[has] - 1) * 8 + _BITLEN_TABLE[b[np.arange(len(w))[has], first[has]]]
+    return out
+
+
+def _hll_registers(hashes: np.ndarray) -> np.ndarray:
+    """1024 int64 registers from uint64 hashes: bucket = top HLL_P bits,
+    rank = leading-zero count of the remaining 54 bits + 1."""
+    reg = np.zeros(HLL_M, dtype=np.int64)
+    if len(hashes) == 0:
+        return reg
+    bucket = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = hashes & np.uint64((1 << (64 - HLL_P)) - 1)
+    rank = (64 - HLL_P) - _bit_length_u64(w) + 1
+    np.maximum.at(reg, bucket, rank)
+    return reg
+
+
+def t_distinct_hll(sf_dir: str):
+    """HLL distinct-token estimate over the corpus: per-batch partial
+    registers stream to the driver (1024 ints per block, constant-size), the
+    merge is an elementwise max, and the standard alpha/harmonic-mean formula
+    (with the linear-counting small-range correction) yields the estimate.
+    Output: one row (m, v_zero, estimate)."""
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: set = set()
+        for x in t["text"].to_pylist():
+            if x:
+                toks.update(word_tokens(x))
+        reg = _hll_registers(md5_u64_arr(sorted(toks)) if toks else np.empty(0, np.uint64))
+        return pa.table({"reg": pa.array([reg.tobytes()], type=pa.binary())})
+
+    reg = np.zeros(HLL_M, dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for blob in b["reg"].to_pylist():
+            reg = np.maximum(reg, np.frombuffer(blob, dtype=np.int64))
+    m = HLL_M
+    v = int((reg == 0).sum())
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.power(2.0, -reg.astype(np.float64)))
+    est = m * np.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+    return pa.table(
+        {
+            "m": pa.array([m], type=pa.int64()),
+            "v_zero": pa.array([v], type=pa.int64()),
+            "estimate": pa.array([int(round(float(est)))], type=pa.int64()),
+        }
+    )
+
+
+T_DISTINCT_HLL_SQL = f"""
+WITH hv AS (
+  SELECT DISTINCT md5_number_upper(unnest(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+'))) AS h
+  FROM documents),
+reg0 AS (
+  SELECT CAST(h >> {64 - HLL_P} AS BIGINT) AS bucket,
+         max(CASE WHEN (h & ((1::UBIGINT << {64 - HLL_P}) - 1)) = 0 THEN {64 - HLL_P + 1}
+                  ELSE {64 - HLL_P + 1} - length(bin(CAST(h & ((1::UBIGINT << {64 - HLL_P}) - 1) AS BIGINT)))
+             END) AS rank
+  FROM hv GROUP BY 1),
+allreg AS (
+  SELECT CAST(r.range AS BIGINT) AS bucket, coalesce(reg0.rank, 0) AS rank
+  FROM range(0, {HLL_M}) r LEFT JOIN reg0 ON reg0.bucket = r.range),
+agg AS (
+  SELECT count(*) FILTER (rank = 0) AS v, sum(pow(2.0, -rank)) AS z FROM allreg)
+SELECT {HLL_M}::BIGINT AS m, CAST(v AS BIGINT) AS v_zero,
+       CAST(round(CASE WHEN (0.7213 / (1.0 + 1.079 / {HLL_M})) * {HLL_M} * {HLL_M} / z <= 2.5 * {HLL_M} AND v > 0
+                       THEN {HLL_M} * ln({HLL_M} * 1.0 / v)
+                       ELSE (0.7213 / (1.0 + 1.079 / {HLL_M})) * {HLL_M} * {HLL_M} / z END) AS BIGINT) AS estimate
+FROM agg
+"""
+
+
 NG = DECON_NGRAM
 D_DECONTAMINATE_SQL = f"""
 WITH toks AS (

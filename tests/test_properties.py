@@ -141,3 +141,39 @@ def test_gram_hashes_count_and_determinism(tokens):
     expected = max(0, len(tokens) - 4) if tokens else 0
     assert len(h) == expected
     assert (h == _gram_hashes(text)).all()
+
+
+from entity_resolution_pipeline_ray.pipelines.curation import (  # noqa: E402
+    _bit_length_u64,
+    _hll_registers,
+    HLL_M,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+def test_bit_length_u64_exact(x):
+    assert _bit_length_u64(np.array([x], dtype=np.uint64))[0] == x.bit_length()
+
+
+def test_hll_estimate_accuracy():
+    # 20k distinct hashes -> estimate within ~3 standard errors (1.04/sqrt(m))
+    rng = np.random.default_rng(5)
+    # full 64-bit range: a 63-bit draw would leave half the buckets empty
+    hashes = np.unique(rng.integers(0, 1 << 64, size=20000, dtype=np.uint64))
+    reg = _hll_registers(hashes)
+    m = HLL_M
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -reg.astype(np.float64)))
+    rel_err = abs(est - len(hashes)) / len(hashes)
+    assert rel_err < 3 * 1.04 / np.sqrt(m)
+
+
+def test_hll_registers_mergeable():
+    # register-wise max of two partials == registers of the union (the
+    # distributed merge invariant)
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 1 << 64, size=500, dtype=np.uint64)
+    b = rng.integers(0, 1 << 64, size=500, dtype=np.uint64)
+    merged = np.maximum(_hll_registers(a), _hll_registers(b))
+    assert (merged == _hll_registers(np.concatenate([a, b]))).all()
