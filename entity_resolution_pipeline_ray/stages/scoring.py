@@ -54,17 +54,21 @@ def select_feature_names(fcfg) -> list[str]:
     return names
 
 
-def apply_model(X_full: np.ndarray, model: "LRModel", prefilter=None) -> np.ndarray:
+def apply_model(X_full: np.ndarray, model: "LRModel", prefilter=None, feature_names=None) -> np.ndarray:
     """Probability for each pair: model over its selected feature columns, with
     the optional vectorized prefilter rule pass forcing 0/1 on rule hits
     (reference ``_apply_prefilters``,
-    /root/reference/src/batch_parallel_feature_engineering.py:805-888)."""
-    idx = [FEATURE_NAMES.index(n) for n in model.feature_names]
+    /root/reference/src/batch_parallel_feature_engineering.py:805-888).
+    ``feature_names``: the column layout of X_full — pass the driver-captured
+    list when registered extension features are in play (worker modules only
+    know the built-ins)."""
+    fns = FEATURE_NAMES if feature_names is None else feature_names
+    idx = [fns.index(n) for n in model.feature_names]
     prob = model.predict_proba(X_full[:, idx])
     if prefilter is not None and getattr(prefilter, "enabled", False):
-        mh = X_full[:, FEATURE_NAMES.index("minhash_jaccard")]
-        te = X_full[:, FEATURE_NAMES.index("title_exact")]
-        jw = X_full[:, FEATURE_NAMES.index("title_jw")]
+        mh = X_full[:, fns.index("minhash_jaccard")]
+        te = X_full[:, fns.index("title_exact")]
+        jw = X_full[:, fns.index("title_jw")]
         if prefilter.high_sketch_match is not None:
             prob = np.where(mh >= prefilter.high_sketch_match, 1.0, prob)
         if prefilter.exact_title_sketch is not None:
@@ -86,6 +90,12 @@ FEATURE_NAMES = [
     "hm_cos_title",
     "prod_sketch_cos",
 ]
+
+# Registered extension features (extension.register_pair_feature): name ->
+# fn(left_payload, right_payload) -> (n,) float64.  Driver-side registry —
+# scoring call sites capture a snapshot into their worker closures, because
+# worker processes re-import this module and would otherwise see it empty.
+EXTRA_PAIR_FEATURES: dict = {}
 
 
 def _sparse_cosine(idx_l, val_l, idx_r, val_r) -> float:
@@ -169,7 +179,9 @@ def _title_features(titles_l, titles_r, cache: _StringSimCache) -> tuple[np.ndar
     return ujw[inv], ulev[inv], utj[inv], uex[inv]
 
 
-def pair_feature_matrix(left: dict, right: dict, cache: _StringSimCache | None = None) -> np.ndarray:
+def pair_feature_matrix(
+    left: dict, right: dict, cache: _StringSimCache | None = None, extras: dict | None = None
+) -> np.ndarray:
     """Feature matrix (n_pairs, len(FEATURE_NAMES)) from two side payloads.
 
     Side payload: {"title": list[str], "domain": list[str], "token_count": np,
@@ -198,9 +210,10 @@ def pair_feature_matrix(left: dict, right: dict, cache: _StringSimCache | None =
     len_ratio = sigmoid_ratio(left["token_count"], right["token_count"])
     hm = harmonic_mean(cos, title_jw)
     prod = mh * cos
-    return np.column_stack(
-        [mh, cos, title_jw, title_lev, title_tj, title_exact, dom_eq, len_ratio, hm, prod]
-    )
+    base = [mh, cos, title_jw, title_lev, title_tj, title_exact, dom_eq, len_ratio, hm, prod]
+    for fn in (extras or {}).values():
+        base.append(np.asarray(fn(left, right), dtype=np.float64))
+    return np.column_stack(base)
 
 
 # ----------------------------------------------------------------------- payload handling
@@ -368,25 +381,28 @@ class BroadcastPairScorer:
     Runs as a TASK-based map (state via _PROC_CACHE) — the reference's
     per-worker warm-client pattern without actor-pool scheduling constraints."""
 
-    def __init__(self, payload_ref, model_json: str | None, num_perm: int, prefilter=None):
+    def __init__(self, payload_ref, model_json: str | None, num_perm: int, prefilter=None,
+                 extras: dict | None = None, feature_names: list | None = None):
         self.pm = _cached_get(payload_ref)
         self.model = LRModel.from_json(model_json) if model_json else None
         self.num_perm = num_perm
         self.prefilter = prefilter
         self.cache = _StringSimCache()
+        self.extras = extras or {}
+        self.feature_names = feature_names if feature_names is not None else list(FEATURE_NAMES)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         left_ids = batch["left_id"].to_numpy(zero_copy_only=False)
         right_ids = batch["right_id"].to_numpy(zero_copy_only=False)
         l, r = _sides_from_payload_map(self.pm, left_ids, right_ids, self.num_perm)
-        X = pair_feature_matrix(l, r, self.cache)
+        X = pair_feature_matrix(l, r, self.cache, extras=self.extras)
         cols = [pa.array(left_ids, type=pa.int64()), pa.array(right_ids, type=pa.int64())]
         names = ["left_id", "right_id"]
-        for j, fn in enumerate(FEATURE_NAMES):
+        for j, fn in enumerate(self.feature_names):
             cols.append(pa.array(X[:, j], type=pa.float32()))
             names.append("feat_" + fn)
         if self.model is not None:
-            prob = apply_model(X, self.model, self.prefilter)
+            prob = apply_model(X, self.model, self.prefilter, feature_names=self.feature_names)
             cols.append(pa.array(prob, type=pa.float32()))
             names.append("prob")
             cols.append(pa.array(prob >= self.model.threshold))
@@ -428,11 +444,14 @@ class _JoinedPairScorer:
     """Stateless scorer for the join plan: both sides' payloads arrive as
     columns of the enriched batch."""
 
-    def __init__(self, model_json: str | None, num_perm: int, prefilter=None):
+    def __init__(self, model_json: str | None, num_perm: int, prefilter=None,
+                 extras: dict | None = None, feature_names: list | None = None):
         self.model = LRModel.from_json(model_json) if model_json else None
         self.num_perm = num_perm
         self.prefilter = prefilter
         self.cache = _StringSimCache()
+        self.extras = extras or {}
+        self.feature_names = feature_names if feature_names is not None else list(FEATURE_NAMES)
 
     def _side(self, batch: pa.Table, prefix: str) -> dict:
         from ..rayops import unpack_matrix, unpack_ragged
@@ -449,14 +468,14 @@ class _JoinedPairScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         left = self._side(batch, "l_")
         right = self._side(batch, "r_")
-        X = pair_feature_matrix(left, right, self.cache)
+        X = pair_feature_matrix(left, right, self.cache, extras=self.extras)
         cols = [batch["left_id"].combine_chunks(), batch["right_id"].combine_chunks()]
         names = ["left_id", "right_id"]
-        for j, fn in enumerate(FEATURE_NAMES):
+        for j, fn in enumerate(self.feature_names):
             cols.append(pa.array(X[:, j], type=pa.float32()))
             names.append("feat_" + fn)
         if self.model is not None:
-            prob = apply_model(X, self.model, self.prefilter)
+            prob = apply_model(X, self.model, self.prefilter, feature_names=self.feature_names)
             cols.append(pa.array(prob, type=pa.float32()))
             names.append("prob")
             cols.append(pa.array(prob >= self.model.threshold))
@@ -482,6 +501,10 @@ def score_pairs(
     ex = cfg.execution
     num_perm = cfg.minhash.num_perm
     model_json = model.to_json() if model is not None else None
+    # driver-side snapshot of the extension registry: worker processes
+    # re-import this module and would see the registry empty
+    extras = dict(EXTRA_PAIR_FEATURES)
+    fnames = list(FEATURE_NAMES)
     if payload_ref is None and num_docs is None:
         num_docs = doc_features_ds.count()
     if payload_ref is not None or num_docs <= ex.broadcast_threshold_rows:
@@ -500,8 +523,11 @@ def score_pairs(
 
         def score_batch(batch: pa.Table) -> pa.Table:
             scorer = _cached_build(
-                ("scorer", payload_ref.hex(), model_json, num_perm, str(cfg.prefilter)),
-                lambda: BroadcastPairScorer(payload_ref, model_json, num_perm, cfg.prefilter),
+                ("scorer", payload_ref.hex(), model_json, num_perm, str(cfg.prefilter), tuple(fnames)),
+                lambda: BroadcastPairScorer(
+                    payload_ref, model_json, num_perm, cfg.prefilter,
+                    extras=extras, feature_names=fnames,
+                ),
             )
             return scorer(batch)
 
@@ -534,7 +560,7 @@ def score_pairs(
     enriched = enriched.materialize()
     return enriched.map_batches(
         _JoinedPairScorer,
-        fn_constructor_args=(model_json, num_perm, cfg.prefilter),
+        fn_constructor_args=(model_json, num_perm, cfg.prefilter, extras, fnames),
         batch_format="pyarrow",
         batch_size=ex.scorer_batch_size,
         concurrency=actor_pool_bounds(ex.scorer_concurrency),
