@@ -30,13 +30,18 @@ def read_pages(path: str, *, columns: list[str] | None = None):
 
     if os.path.isdir(path):
         csvs = sorted(glob.glob(os.path.join(path, "**", "*.csv"), recursive=True))
+        jsons = sorted(glob.glob(os.path.join(path, "**", "*.jsonl"), recursive=True))
         pqs = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
-        if pqs or not csvs:
+        if pqs or not (csvs or jsons):
             return read_parquet_clean(path, columns=columns)
-        ds = rd.read_csv(csvs)
+        ds = rd.read_csv(csvs) if csvs else rd.read_json(jsons)
         return ds.select_columns(columns) if columns else ds
     if path.endswith(".csv"):
         ds = rd.read_csv(path)
+        return ds.select_columns(columns) if columns else ds
+    if path.endswith((".jsonl", ".json")):
+        # JSONL (one record per line) — the web-crawl interchange format
+        ds = rd.read_json(path)
         return ds.select_columns(columns) if columns else ds
     return read_parquet_clean(path, columns=columns)
 

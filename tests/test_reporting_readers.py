@@ -98,6 +98,20 @@ def test_read_pages_parquet_and_csv(tmp_path):
     assert ds2.count() == 2 and "lang" in ds2.schema().names
 
 
+def test_read_pages_jsonl(tmp_path):
+    from entity_resolution_pipeline_ray.sources.readers import read_pages
+
+    jdir = tmp_path / "jl" / "shard0"
+    jdir.mkdir(parents=True)
+    (jdir / "docs.jsonl").write_text(
+        '{"url": "u1", "text": "a", "lang": "en"}\n{"url": "u2", "text": "b", "lang": "de"}\n'
+    )
+    ds = read_pages(str(tmp_path / "jl"))
+    assert ds.count() == 2 and set(ds.schema().names) == {"url", "text", "lang"}
+    ds2 = read_pages(str(jdir / "docs.jsonl"), columns=["url", "text"])
+    assert ds2.count() == 2 and set(ds2.schema().names) == {"url", "text"}
+
+
 def test_read_labeled_pairs_variants(tmp_path):
     from entity_resolution_pipeline_ray.sources.readers import read_labeled_pairs
 
