@@ -766,7 +766,7 @@ SELECT event_id, user_id, round(value, 6) AS value FROM (
 """
 
 
-def q_customer_order_counts(sf_dir: str):
+def q_customer_order_counts(sf_dir: str, broadcast_threshold_rows: int = 2_000_000):
     """LEFT OUTER join with zero-fill: per customer, the number of orders
     placed in 1995 — customers with none keep a 0 row.  Plan: filter + count
     the fact side first (shuffle carries one slim row per active customer),
@@ -791,10 +791,42 @@ def q_customer_order_counts(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_orders"))
     )
+    n_cust = cust.count()
+    if n_cust <= broadcast_threshold_rows:
+        # broadcast plan: the aggregated side is one slim row per ACTIVE
+        # customer — collect to sorted arrays, zero-fill via searchsorted in
+        # the streaming customer map (a hash left_outer join costs seconds of
+        # shuffle-actor overhead this lookup does in milliseconds)
+        cdf = counts.to_pandas()
+        keys = cdf["o_custkey"].to_numpy(dtype=np.int64) if len(cdf) else np.empty(0, np.int64)
+        vals = cdf["n_orders"].to_numpy(dtype=np.int64) if len(cdf) else np.empty(0, np.int64)
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+        ref = ray.put((keys, vals))
+
+        def attach(t: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)
+            ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = np.zeros(len(ck), dtype=np.int64)
+            if len(k):
+                pos = np.searchsorted(k, ck)
+                pos_c = np.clip(pos, 0, len(k) - 1)
+                hit = k[pos_c] == ck
+                n[hit] = v[pos_c[hit]]
+            return pa.table(
+                {
+                    "c_custkey": pa.array(ck, type=pa.int64()),
+                    "c_mktsegment": t["c_mktsegment"],
+                    "n_orders": pa.array(n, type=pa.int64()),
+                }
+            )
+
+        return cust.map_batches(attach, batch_format="pyarrow")
+
     joined = safe_join(
         cust,
         counts,
-        num_partitions=adaptive_partitions(cust.count()),
+        num_partitions=adaptive_partitions(n_cust),
         on=("c_custkey",),
         right_on=("o_custkey",),
         join_type="left_outer",

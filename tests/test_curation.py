@@ -233,3 +233,18 @@ def test_media_resize_and_frame_sample_decoders():
     )
     fe = FrameSampleDecoder()(empty).to_pandas()
     assert len(fe) == 1 and fe.loc[0, "frame_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_customer_order_counts_plans_agree(ray_session):
+    from entity_resolution_pipeline_ray.pipelines.relational import q_customer_order_counts
+
+    sf = "/root/testdata/sf0.001"
+    bc = q_customer_order_counts(sf).to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    jn = (
+        q_customer_order_counts(sf, broadcast_threshold_rows=0)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc, jn.astype(bc.dtypes.to_dict()))
+    assert (bc["n_orders"] == 0).any()  # zero-fill path actually exercised
