@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pii_redact": C.t_pii_redact,
         "t_repetition": C.t_repetition,
         "t_distinct_hll": C.t_distinct_hll,
+        "t_unigram_logprob": C.t_unigram_logprob,
         "d_decontaminate": C.d_decontaminate,
         # --- training-data sampling / curation ---
         "p_source_cap": SP.q_source_cap,
@@ -171,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "t_pii_redact": C.T_PII_REDACT_SQL,
         "t_repetition": C.T_REPETITION_SQL,
         "t_distinct_hll": C.T_DISTINCT_HLL_SQL,
+        "t_unigram_logprob": C.T_UNIGRAM_LOGPROB_SQL,
         "d_decontaminate": C.D_DECONTAMINATE_SQL,
         "p_source_cap": SP.Q_SOURCE_CAP_SQL,
         "p_stratified_sample": SP.Q_STRATIFIED_SAMPLE_SQL,

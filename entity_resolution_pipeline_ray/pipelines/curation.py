@@ -257,6 +257,79 @@ def d_decontaminate(sf_dir: str):
     return corpus.map_batches(check, batch_format="pyarrow")
 
 
+# ----------------------------------------------------------- unigram logprob
+# CCNet-style LM quality score with a unigram model trained on the corpus
+# itself: pass 1 aggregates global token frequencies (per-batch Counter
+# combiners -> driver merge; vocabulary-bounded, the same dual-plan shape as
+# t_token_topk — swap in the distributed groupby above ~2M distinct tokens),
+# pass 2 broadcasts the log-prob table and scores each doc's mean token
+# log-probability in one vectorized lookup.
+
+
+def t_unigram_logprob(sf_dir: str):
+    """(doc_id, n_scored, mean_logprob): mean ln(corpus unigram probability)
+    of the doc's tokens — low scores mark gibberish / rare-token boilerplate."""
+    from collections import Counter
+
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            if x:
+                c.update(word_tokens(x))
+        return pa.table(
+            {"token": pa.array(list(c.keys()), type=pa.string()),
+             "n": pa.array(list(c.values()), type=pa.int64())}
+        )
+
+    merged: Counter = Counter()
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for tok, n in zip(b["token"].to_pylist(), b["n"].to_pylist()):
+            merged[tok] += n
+    total = sum(merged.values())
+    logp = {tok: float(np.log(n / total)) for tok, n in merged.items()} if total else {}
+    ref = ray.put(logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        lp = ray.get(ref)
+        n_scored = np.zeros(len(t), dtype=np.int64)
+        mlp = np.zeros(len(t), dtype=np.float64)
+        for i, x in enumerate(t["text"].to_pylist()):
+            toks = word_tokens(x) if x else []
+            if toks:
+                n_scored[i] = len(toks)
+                mlp[i] = round(float(np.mean([lp[w] for w in toks])), 6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_scored": pa.array(n_scored),
+                "mean_logprob": pa.array(mlp),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+T_UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk
+  FROM documents),
+u AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+cnt AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+tot AS (SELECT sum(c) AS t FROM cnt),
+per_doc AS (
+  SELECT u.doc_id, count(*) AS k, avg(ln(cnt.c * 1.0 / (SELECT t FROM tot))) AS mlp
+  FROM u JOIN cnt USING (w) GROUP BY u.doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(p.k, 0) AS BIGINT) AS n_scored,
+       coalesce(round(p.mlp, 6), 0.0) AS mean_logprob
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------------ HLL sketch
 # Distinct-count sketch: HyperLogLog over the global token multiset — the
 # mergeable-sketch pattern (per-batch partial registers, elementwise-max

@@ -248,3 +248,22 @@ def test_customer_order_counts_plans_agree(ray_session):
     )
     pd.testing.assert_frame_equal(bc, jn.astype(bc.dtypes.to_dict()))
     assert (bc["n_orders"] == 0).any()  # zero-fill path actually exercised
+
+
+def test_unigram_logprob_known_answer(ray_session, tmp_path):
+    # corpus: "a a a b" -> P(a)=3/4, P(b)=1/4
+    rows = {1: "a a a", 2: "b", 3: ""}
+    t = pa.table(
+        {"doc_id": list(rows), "text": list(rows.values()),
+         "lang": ["en"] * 3, "source": ["s"] * 3, "n_chars": [len(v) for v in rows.values()]}
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.curation import t_unigram_logprob
+
+    got = t_unigram_logprob(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[1, "n_scored"] == 3
+    assert got.loc[1, "mean_logprob"] == round(float(np.log(0.75)), 6)
+    assert got.loc[2, "mean_logprob"] == round(float(np.log(0.25)), 6)
+    assert got.loc[3, "n_scored"] == 0 and got.loc[3, "mean_logprob"] == 0.0
