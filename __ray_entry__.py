@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_repetition": C.t_repetition,
         "t_distinct_hll": C.t_distinct_hll,
         "t_unigram_logprob": C.t_unigram_logprob,
+        "p_quality_filter": C.p_quality_filter,
+        "p_lang_filter": C.p_lang_filter,
         "d_decontaminate": C.d_decontaminate,
         # --- training-data sampling / curation ---
         "p_source_cap": SP.q_source_cap,
@@ -173,6 +175,8 @@ def oracle_sql() -> dict[str, str]:
         "t_repetition": C.T_REPETITION_SQL,
         "t_distinct_hll": C.T_DISTINCT_HLL_SQL,
         "t_unigram_logprob": C.T_UNIGRAM_LOGPROB_SQL,
+        "p_quality_filter": C.P_QUALITY_FILTER_SQL,
+        "p_lang_filter": C.P_LANG_FILTER_SQL,
         "d_decontaminate": C.D_DECONTAMINATE_SQL,
         "p_source_cap": SP.Q_SOURCE_CAP_SQL,
         "p_stratified_sample": SP.Q_STRATIFIED_SAMPLE_SQL,

@@ -257,6 +257,109 @@ def d_decontaminate(sf_dir: str):
     return corpus.map_batches(check, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------- filter applies
+# The actual KEEP/DROP steps of a webtext curation pipeline: a C4/Gopher-style
+# combined quality rule and a declared-vs-detected language consistency check.
+# Both emit per-doc boolean decisions (filtering is a downstream .filter on
+# `keep` — emitting the decision keeps the operator value-oracle-checkable).
+
+
+def _repetition_arrays(texts):
+    n_tok = np.zeros(len(texts), dtype=np.int64)
+    dup = np.zeros(len(texts), dtype=np.float64)
+    top = np.zeros(len(texts), dtype=np.float64)
+    for i, x in enumerate(texts):
+        toks = word_tokens(x) if x else []
+        n = len(toks)
+        if n == 0:
+            continue
+        _, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        n_tok[i] = n
+        dup[i] = round(1.0 - len(counts) / n, 6)
+        top[i] = round(counts.max() / n, 6)
+    return n_tok, dup, top
+
+
+def p_quality_filter(sf_dir: str):
+    """Combined quality filter: keep docs with >= 10 word tokens, punct ratio
+    <= 0.2, digit ratio <= 0.3, duplicate-token ratio <= 0.5 and top-token
+    fraction <= 0.3 (rounded ratios on both sides so boundary comparisons are
+    deterministic).  Output (doc_id, keep)."""
+    from ..functions.text import quality_stats
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        q = quality_stats(np.asarray(texts, dtype=object))
+        n_tok, dup, top = _repetition_arrays(texts)
+        punct = np.round(q["punct_ratio"], 6)
+        digit = np.round(q["digit_ratio"], 6)
+        keep = (n_tok >= 10) & (punct <= 0.2) & (digit <= 0.3) & (dup <= 0.5) & (top <= 0.3)
+        return pa.table({"doc_id": t["doc_id"], "keep": pa.array(keep)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+P_QUALITY_FILTER_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk,
+         coalesce(length(text), 0) AS n_chars,
+         len(regexp_extract_all(coalesce(text, ''), '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(coalesce(text, ''), '[0-9]')) AS n_digit
+  FROM documents),
+c AS (
+  SELECT doc_id, w, count(*) AS n
+  FROM (SELECT doc_id, unnest(tk) AS w FROM toks) GROUP BY doc_id, w),
+a AS (
+  SELECT doc_id, sum(n) AS n_tokens, count(*) AS n_distinct, max(n) AS top_n
+  FROM c GROUP BY doc_id)
+SELECT t.doc_id,
+       (coalesce(a.n_tokens, 0) >= 10
+        AND round(t.n_punct * 1.0 / greatest(t.n_chars, 1), 6) <= 0.2
+        AND round(t.n_digit * 1.0 / greatest(t.n_chars, 1), 6) <= 0.3
+        AND round(1.0 - a.n_distinct * 1.0 / a.n_tokens, 6) <= 0.5
+        AND round(a.top_n * 1.0 / a.n_tokens, 6) <= 0.3) AS keep
+FROM toks t LEFT JOIN a USING (doc_id)
+"""
+
+
+def p_lang_filter(sf_dir: str):
+    """Language-consistency filter: detected language (stopword-vote lang_id)
+    vs the declared ``lang`` column; keep when they agree.  Output
+    (doc_id, lang, lang_pred, keep)."""
+    from ..functions.text import lang_id
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        preds = [lang_id(x) for x in t["text"].to_pylist()]
+        langs = ["" if x is None else x for x in t["lang"].to_pylist()]
+        keep = np.array([p == g for p, g in zip(preds, langs)])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "lang_pred": pa.array(preds, type=pa.string()),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _lang_filter_sql() -> str:
+    from .text_analysis import T_LANG_ID_SQL
+
+    return f"""
+SELECT d.doc_id, d.lang, p.lang_pred, (coalesce(d.lang, '') = p.lang_pred) AS keep
+FROM documents d JOIN ({T_LANG_ID_SQL.strip()}) p USING (doc_id)
+"""
+
+
+P_LANG_FILTER_SQL = _lang_filter_sql()
+
+
 # ----------------------------------------------------------- unigram logprob
 # CCNet-style LM quality score with a unigram model trained on the corpus
 # itself: pass 1 aggregates global token frequencies (per-batch Counter
