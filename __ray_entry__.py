@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_quality_filter": C.p_quality_filter,
         "p_lang_filter": C.p_lang_filter,
         "d_decontaminate": C.d_decontaminate,
+        "d_boilerplate": C.d_boilerplate,
         # --- training-data sampling / curation ---
         "p_source_cap": SP.q_source_cap,
         "p_stratified_sample": SP.q_stratified_sample,
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "p_quality_filter": C.P_QUALITY_FILTER_SQL,
         "p_lang_filter": C.P_LANG_FILTER_SQL,
         "d_decontaminate": C.D_DECONTAMINATE_SQL,
+        "d_boilerplate": C.D_BOILERPLATE_SQL,
         "p_source_cap": SP.Q_SOURCE_CAP_SQL,
         "p_stratified_sample": SP.Q_STRATIFIED_SAMPLE_SQL,
         "p_lang_quantiles": SP.Q_LANG_QUANTILES_SQL,

@@ -257,6 +257,84 @@ def d_decontaminate(sf_dir: str):
     return corpus.map_batches(check, batch_format="pyarrow")
 
 
+# -------------------------------------------------------- boilerplate lines
+# Common-line removal (the RefinedWeb/CCNet line-dedup shape).  This corpus is
+# single-line prose, so the "line" unit is a fixed 10-token pseudo-line
+# (disjoint windows of the token stream).  Count every line's DOCUMENT
+# frequency (md5-keyed distributed groupby — the count table is
+# line-cardinality, but the HOT set with df >= K is boilerplate and therefore
+# tiny), broadcast the hot hashes, and flag each doc's boilerplate lines in a
+# streaming second pass.
+
+BOILER_MIN_DF = 2
+BOILER_LINE_TOKENS = 10
+
+
+def _pseudo_lines(text: str | None) -> list[str]:
+    toks = word_tokens(text) if text else []
+    W = BOILER_LINE_TOKENS
+    return [" ".join(toks[j : j + W]) for j in range(0, len(toks), W)]
+
+
+def d_boilerplate(sf_dir: str):
+    """(doc_id, n_lines, n_common): per-doc count of 10-token pseudo-lines
+    shared by >= BOILER_MIN_DF documents."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        hs = []
+        for x in t["text"].to_pylist():
+            lines = set(_pseudo_lines(x))  # df = DOCUMENT frequency
+            hs.append(md5_u64_arr(sorted(lines)) if lines else np.empty(0, np.uint64))
+        flat = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        return pa.table({"sh": pa.array(flat.astype(np.int64))})
+
+    counts = ds.map_batches(emit, batch_format="pyarrow").groupby("sh").aggregate(Count(alias_name="df"))
+    hot = counts.filter(expr=f"df >= {BOILER_MIN_DF}").to_pandas()
+    hot_hashes = np.sort(hot["sh"].to_numpy(dtype=np.int64)) if len(hot) else np.empty(0, np.int64)
+    ref = ray.put(hot_hashes.astype(np.uint64))
+
+    def flag(t: pa.Table) -> pa.Table:
+        hset = ray.get(ref)
+        n_lines = np.zeros(len(t), dtype=np.int64)
+        n_common = np.zeros(len(t), dtype=np.int64)
+        for i, x in enumerate(t["text"].to_pylist()):
+            lines = _pseudo_lines(x)
+            n_lines[i] = len(lines)
+            if lines and len(hset):
+                uh = md5_u64_arr(lines)
+                n_common[i] = int(np.isin(uh, hset).sum())
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_lines": pa.array(n_lines), "n_common": pa.array(n_common)}
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+_W = BOILER_LINE_TOKENS
+D_BOILERPLATE_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(tk) * 1.0 / {_W}) AS BIGINT)),
+                        i -> array_to_string(tk[i * {_W} + 1 : (i + 1) * {_W}], ' ')) AS lines
+  FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk
+        FROM documents)),
+u AS (SELECT doc_id, unnest(lines) AS line FROM s),
+df AS (SELECT line, count(DISTINCT doc_id) AS df FROM u GROUP BY line),
+hot AS (SELECT line FROM df WHERE df >= {BOILER_MIN_DF}),
+per_doc AS (
+  SELECT u.doc_id, count(*) AS n_common
+  FROM u JOIN hot USING (line) GROUP BY u.doc_id)
+SELECT s.doc_id,
+       CAST(len(s.lines) AS BIGINT) AS n_lines,
+       CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common
+FROM s LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------- filter applies
 # The actual KEEP/DROP steps of a webtext curation pipeline: a C4/Gopher-style
 # combined quality rule and a declared-vs-detected language consistency check.

@@ -267,3 +267,27 @@ def test_unigram_logprob_known_answer(ray_session, tmp_path):
     assert got.loc[1, "mean_logprob"] == round(float(np.log(0.75)), 6)
     assert got.loc[2, "mean_logprob"] == round(float(np.log(0.25)), 6)
     assert got.loc[3, "n_scored"] == 0 and got.loc[3, "mean_logprob"] == 0.0
+
+
+def test_boilerplate_flags_common_lines(ray_session, tmp_path):
+    from entity_resolution_pipeline_ray.pipelines.curation import BOILER_LINE_TOKENS
+
+    shared = " ".join(f"common{i}" for i in range(BOILER_LINE_TOKENS))
+    rows = {
+        1: shared + " " + " ".join(f"one{i}" for i in range(BOILER_LINE_TOKENS)),
+        2: shared + " " + " ".join(f"two{i}" for i in range(BOILER_LINE_TOKENS)),
+        3: " ".join(f"three{i}" for i in range(2 * BOILER_LINE_TOKENS)),
+    }
+    t = pa.table(
+        {"doc_id": list(rows), "text": list(rows.values()),
+         "lang": ["en"] * 3, "source": ["s"] * 3, "n_chars": [len(v) for v in rows.values()]}
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.curation import d_boilerplate
+
+    got = d_boilerplate(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[1, "n_lines"] == 2 and got.loc[1, "n_common"] == 1
+    assert got.loc[2, "n_common"] == 1
+    assert got.loc[3, "n_common"] == 0
