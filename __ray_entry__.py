@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_unigram_logprob": C.t_unigram_logprob,
         "p_quality_filter": C.p_quality_filter,
         "p_lang_filter": C.p_lang_filter,
+        "p_curation_pipeline": C.p_curation_pipeline,
         "d_decontaminate": C.d_decontaminate,
         "d_boilerplate": C.d_boilerplate,
         # --- training-data sampling / curation ---
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "t_unigram_logprob": C.T_UNIGRAM_LOGPROB_SQL,
         "p_quality_filter": C.P_QUALITY_FILTER_SQL,
         "p_lang_filter": C.P_LANG_FILTER_SQL,
+        "p_curation_pipeline": C.P_CURATION_PIPELINE_SQL,
         "d_decontaminate": C.D_DECONTAMINATE_SQL,
         "d_boilerplate": C.D_BOILERPLATE_SQL,
         "p_source_cap": SP.Q_SOURCE_CAP_SQL,

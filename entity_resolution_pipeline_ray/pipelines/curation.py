@@ -358,22 +358,31 @@ def _repetition_arrays(texts):
     return n_tok, dup, top
 
 
+def _quality_keep(texts: list) -> np.ndarray:
+    from ..functions.text import quality_stats
+
+    q = quality_stats(np.asarray(texts, dtype=object))
+    n_tok, dup, top = _repetition_arrays(texts)
+    punct = np.round(q["punct_ratio"], 6)
+    digit = np.round(q["digit_ratio"], 6)
+    return (n_tok >= 10) & (punct <= 0.2) & (digit <= 0.3) & (dup <= 0.5) & (top <= 0.3)
+
+
+def _lang_keep(texts: list, langs: list) -> np.ndarray:
+    from ..functions.text import lang_id
+
+    return np.array([lang_id(x) == ("" if g is None else g) for x, g in zip(texts, langs)])
+
+
 def p_quality_filter(sf_dir: str):
     """Combined quality filter: keep docs with >= 10 word tokens, punct ratio
     <= 0.2, digit ratio <= 0.3, duplicate-token ratio <= 0.5 and top-token
     fraction <= 0.3 (rounded ratios on both sides so boundary comparisons are
     deterministic).  Output (doc_id, keep)."""
-    from ..functions.text import quality_stats
-
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        q = quality_stats(np.asarray(texts, dtype=object))
-        n_tok, dup, top = _repetition_arrays(texts)
-        punct = np.round(q["punct_ratio"], 6)
-        digit = np.round(q["digit_ratio"], 6)
-        keep = (n_tok >= 10) & (punct <= 0.2) & (digit <= 0.3) & (dup <= 0.5) & (top <= 0.3)
+        keep = _quality_keep(t["text"].to_pylist())
         return pa.table({"doc_id": t["doc_id"], "keep": pa.array(keep)})
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -411,9 +420,9 @@ def p_lang_filter(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
 
     def f(t: pa.Table) -> pa.Table:
-        preds = [lang_id(x) for x in t["text"].to_pylist()]
-        langs = ["" if x is None else x for x in t["lang"].to_pylist()]
-        keep = np.array([p == g for p, g in zip(preds, langs)])
+        texts = t["text"].to_pylist()
+        preds = [lang_id(x) for x in texts]
+        keep = _lang_keep(texts, t["lang"].to_pylist())
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -436,6 +445,55 @@ FROM documents d JOIN ({T_LANG_ID_SQL.strip()}) p USING (doc_id)
 
 
 P_LANG_FILTER_SQL = _lang_filter_sql()
+
+
+def p_curation_pipeline(sf_dir: str):
+    """The composed end-to-end curation pass over the documents table:
+    exact-dedup winner (min doc_id per normalized-content hash) ∧ quality rule
+    ∧ language consistency, in ONE streaming plan — the dedup keep-table
+    semi-joins the stream (hash-partitioned, as in d_apply_exact), the two
+    filters compute inline on the joined batches.  Output: surviving doc_ids."""
+    from ray.data.aggregate import Min
+
+    from ..rayops import adaptive_partitions, safe_join
+    from .text_analysis import _with_hash
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    keep = (
+        docs.map_batches(_with_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"))
+        .select_columns(["keep_doc_id"])
+    )
+    deduped = safe_join(
+        docs, keep, num_partitions=adaptive_partitions(docs.count()), on=("doc_id",), right_on=("keep_doc_id",)
+    )
+
+    def filters(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        mask = _quality_keep(texts) & _lang_keep(texts, t["lang"].to_pylist())
+        return pa.table({"doc_id": t["doc_id"].filter(pa.array(mask))})
+
+    return deduped.map_batches(filters, batch_format="pyarrow")
+
+
+def _curation_pipeline_sql() -> str:
+    from .text_analysis import T_LANG_ID_SQL
+
+    quality = P_QUALITY_FILTER_SQL.strip()
+    return f"""
+SELECT d.doc_id
+FROM documents d
+JOIN ({quality}) q USING (doc_id)
+JOIN ({T_LANG_ID_SQL.strip()}) l USING (doc_id)
+WHERE q.keep AND coalesce(d.lang, '') = l.lang_pred
+  AND d.doc_id IN (
+    SELECT min(doc_id) FROM documents
+    GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+"""
+
+
+P_CURATION_PIPELINE_SQL = _curation_pipeline_sql()
 
 
 # ----------------------------------------------------------- unigram logprob
