@@ -134,27 +134,32 @@ FROM c
 # tokenizer as TF-IDF / stopword stats).
 
 
+def _repetition_full(texts):
+    """(n_tokens, n_distinct, dup_ratio, top_ratio) arrays for a text batch."""
+    n_tok = np.zeros(len(texts), dtype=np.int64)
+    n_dist = np.zeros(len(texts), dtype=np.int64)
+    dup = np.zeros(len(texts), dtype=np.float64)
+    top = np.zeros(len(texts), dtype=np.float64)
+    for i, x in enumerate(texts):
+        toks = word_tokens(x) if x else []
+        n = len(toks)
+        if n == 0:
+            continue
+        _, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        n_tok[i] = n
+        n_dist[i] = len(counts)
+        dup[i] = round(1.0 - len(counts) / n, 6)
+        top[i] = round(counts.max() / n, 6)
+    return n_tok, n_dist, dup, top
+
+
 def t_repetition(sf_dir: str):
     """Per-doc repetition stats: token count, distinct-token count,
     duplicate-token ratio (1 - distinct/total) and top-token fraction."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n_tok = np.zeros(len(texts), dtype=np.int64)
-        n_dist = np.zeros(len(texts), dtype=np.int64)
-        dup = np.zeros(len(texts), dtype=np.float64)
-        top = np.zeros(len(texts), dtype=np.float64)
-        for i, x in enumerate(texts):
-            toks = word_tokens(x) if x else []
-            n = len(toks)
-            if n == 0:
-                continue
-            _, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            n_tok[i] = n
-            n_dist[i] = len(counts)
-            dup[i] = round(1.0 - len(counts) / n, 6)
-            top[i] = round(counts.max() / n, 6)
+        n_tok, n_dist, dup, top = _repetition_full(t["text"].to_pylist())
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -343,18 +348,7 @@ FROM s LEFT JOIN per_doc p USING (doc_id)
 
 
 def _repetition_arrays(texts):
-    n_tok = np.zeros(len(texts), dtype=np.int64)
-    dup = np.zeros(len(texts), dtype=np.float64)
-    top = np.zeros(len(texts), dtype=np.float64)
-    for i, x in enumerate(texts):
-        toks = word_tokens(x) if x else []
-        n = len(toks)
-        if n == 0:
-            continue
-        _, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        n_tok[i] = n
-        dup[i] = round(1.0 - len(counts) / n, 6)
-        top[i] = round(counts.max() / n, 6)
+    n_tok, _, dup, top = _repetition_full(texts)
     return n_tok, dup, top
 
 
