@@ -848,6 +848,65 @@ def q_customer_order_counts(sf_dir: str, broadcast_threshold_rows: int = 2_000_0
     return joined.map_batches(fix, batch_format="pyarrow")
 
 
+def q_rollup(sf_dir: str):
+    """Multi-level ROLLUP aggregate: event counts and value sums at
+    (event_type, hour), (event_type) and grand-total levels.  The coarser
+    levels re-aggregate the FINEST level's partial sums — the distributed
+    rollup pattern (one shuffle at the finest grain, driver-side re-reduction
+    of the tiny aggregate table, never a second pass over the data)."""
+    ev = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "value": t["value"],
+            }
+        )
+
+    base = (
+        ev.map_batches(project, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    ).to_pandas()
+    # rolled-up keys use explicit sentinels ('(all)' / epoch) on BOTH sides:
+    # SQL NULLs would come back as NaT/None, and NaT never compares equal
+    all_hour = pd.Timestamp("1970-01-01")
+    lvl1 = base.copy()
+    lvl2 = (
+        base.groupby("event_type", as_index=False)
+        .agg(n_events=("n_events", "sum"), total_value=("total_value", "sum"))
+    )
+    lvl2["hour"] = all_hour
+    lvl3 = pd.DataFrame(
+        {
+            "event_type": ["(all)"],
+            "hour": [all_hour],
+            "n_events": [base["n_events"].sum()],
+            "total_value": [base["total_value"].sum()],
+        }
+    )
+    out = pd.concat([lvl1, lvl2, lvl3], ignore_index=True)[
+        ["event_type", "hour", "n_events", "total_value"]
+    ]
+    out["n_events"] = out["n_events"].astype("int64")
+    out["total_value"] = np.round(out["total_value"].astype(np.float64), 6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+Q_ROLLUP_SQL = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(hour, TIMESTAMP '1970-01-01') AS hour,
+       n_events, total_value
+FROM (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS n_events, round(sum(value), 6) AS total_value
+  FROM events
+  GROUP BY ROLLUP (event_type, hour))
+"""
+
+
 Q_CUSTOMER_ORDER_COUNTS_SQL = """
 SELECT c.c_custkey, c.c_mktsegment, count(o.o_custkey) AS n_orders
 FROM customer c LEFT JOIN (
