@@ -450,3 +450,73 @@ SELECT label, i, round(avg(e), 6) AS mean_val FROM (
   FROM embeddings)
 GROUP BY label, i
 """
+
+
+def knn_filtered(sf_dir: str, k: int = 10, n_queries: int = 4):
+    """Filtered vector search: exact top-k cosine per query restricted to
+    candidates sharing the query's label — the metadata-filtered ANN shape,
+    with the predicate pushed into the scan (per-batch mask before the
+    partial top-k) rather than post-filtering a larger candidate list, so
+    there is no recall loss and no over-fetch."""
+    import duckdb
+
+    con = duckdb.connect()
+    q = con.sql(
+        f"SELECT vec_id, embedding, label FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id LIMIT {n_queries}"
+    ).fetchall()
+    con.close()
+    qids = np.array([r[0] for r in q], dtype=np.int64)
+    qmat = np.array([r[1] for r in q], dtype=np.float64)
+    qlabels = np.array([r[2] for r in q], dtype=np.int64)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qref = ray.put((qids, qn, qlabels))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids_q, qm, labs_q = ray.get(qref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = qm @ m.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(ids_q)):
+            s = sims[qi]
+            mask = (ids != ids_q[qi]) & (labs == labs_q[qi])
+            cand_idx = np.nonzero(mask)[0]
+            if len(cand_idx) == 0:
+                continue
+            kk = min(k, len(cand_idx))
+            order = np.lexsort((ids[cand_idx], -s[cand_idx]))
+            sel = cand_idx[order[:kk]]
+            out_q.extend([int(ids_q[qi])] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_s.extend(s[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=2048)
+    pdf = partials.to_pandas()
+    pdf = pdf.sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+    top = pdf.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(top[["query_id", "vec_id", "rank"]].astype(np.int64), preserve_index=False)
+
+
+KNN_FILTERED_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+           FROM embeddings ORDER BY vec_id LIMIT 4),
+scored AS (
+  SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id AND e.label = q.ql)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
