@@ -291,3 +291,36 @@ def test_boilerplate_flags_common_lines(ray_session, tmp_path):
     assert got.loc[1, "n_lines"] == 2 and got.loc[1, "n_common"] == 1
     assert got.loc[2, "n_common"] == 1
     assert got.loc[3, "n_common"] == 0
+
+
+def test_customer_order_counts_empty_window(ray_session, tmp_path):
+    # no orders fall in the 1995 window -> every customer keeps a 0 row on
+    # BOTH plans (broadcast zero-fill and the left_outer join empty-right path)
+    import pyarrow.parquet as pq
+
+    cust = pa.table(
+        {"c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+         "c_name": ["a", "b", "c"],
+         "c_mktsegment": ["X", "Y", "X"],
+         "c_nationkey": pa.array([0, 0, 0], type=pa.int64()),
+         "c_acctbal": [0.0, 0.0, 0.0]}
+    )
+    orders = pa.table(
+        {"o_orderkey": pa.array([10], type=pa.int64()),
+         "o_custkey": pa.array([1], type=pa.int64()),
+         "o_orderdate": pa.array([pd.Timestamp("2001-06-01")]),
+         "o_totalprice": [5.0],
+         "o_orderstatus": ["F"]}
+    )
+    pq.write_table(cust, tmp_path / "customer.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_customer_order_counts
+
+    for thresh in (2_000_000, 0):
+        got = (
+            q_customer_order_counts(str(tmp_path), broadcast_threshold_rows=thresh)
+            .to_pandas()
+            .sort_values("c_custkey")
+            .reset_index(drop=True)
+        )
+        assert got["n_orders"].tolist() == [0, 0, 0], f"threshold={thresh}"
