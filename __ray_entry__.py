@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_events_per_user": R.q_top_events_per_user,
         "q_customer_order_counts": R.q_customer_order_counts,
         "q_rollup": R.q_rollup,
+        "q5_local_supplier_volume": R.q5_local_supplier_volume,
         # --- text analysis / interning (SURVEY §2.2, §2.5) ---
         "t_normalize": T.t_normalize,
         "t_string_hash": T.t_string_hash,
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "q_top_events_per_user": R.Q_TOP_EVENTS_SQL,
         "q_customer_order_counts": R.Q_CUSTOMER_ORDER_COUNTS_SQL,
         "q_rollup": R.Q_ROLLUP_SQL,
+        "q5_local_supplier_volume": R.Q5_SQL,
         "t_normalize": T.T_NORMALIZE_SQL,
         "t_string_hash": T.T_STRING_HASH_SQL,
         "t_string_counts": T.T_STRING_COUNTS_SQL,

@@ -848,6 +848,136 @@ def q_customer_order_counts(sf_dir: str, broadcast_threshold_rows: int = 2_000_0
     return joined.map_batches(fix, batch_format="pyarrow")
 
 
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA", broadcast_threshold_rows: int = 2_000_000):
+    """TPC-H Q5 (local supplier volume): revenue by nation for orders placed in
+    1995 where customer and supplier sit in the same nation of one region.
+    The 6-way join is planned Ray-native: region→nation→supplier/customer
+    become three broadcast lookups (dimension maps, `ray.put` once), the only
+    shuffle is the fact-fact lineitem⋈orders hash join on orderkey, and the
+    final groupby ships one pre-aggregated row per nation per batch."""
+    from ..rayops import adaptive_partitions, safe_join
+
+    nat = _pq(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg[reg["r_name"] == region]["r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(rkeys)]
+    nation_name = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(nation_name)]
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nation_name)]
+    maps_ref = ray.put(
+        (
+            dict(zip(sup["s_suppkey"].astype(np.int64), sup["s_nationkey"].astype(np.int64))),
+            dict(zip(cust["c_custkey"].astype(np.int64), cust["c_nationkey"].astype(np.int64))),
+            nation_name,
+        )
+    )
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        lo = pa.scalar(np.datetime64("1995-01-01", "us"), type=pa.timestamp("us"))
+        hi = pa.scalar(np.datetime64("1996-01-01", "us"), type=pa.timestamp("us"))
+        f = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        _, cmap, _ = ray.get(maps_ref)
+        ck = f["o_custkey"].to_numpy(zero_copy_only=False)
+        cn = pd.Series(ck).map(cmap)
+        keep = cn.notna().to_numpy()
+        return pa.table(
+            {
+                "o_orderkey": f["o_orderkey"].filter(pa.array(keep)),
+                "c_nat": pa.array(cn[keep].astype(np.int64).to_numpy(), type=pa.int64()),
+            }
+        )
+
+    o_f = orders.map_batches(o_filter, batch_format="pyarrow").materialize()
+    n_orders_f = o_f.count()
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial_rev_cols(sk, ok_nat, price, disc):
+        smap, _, nname = ray.get(maps_ref)
+        sn = pd.Series(sk).map(smap)
+        keep = sn.notna().to_numpy() & (sn.fillna(-1).to_numpy() == ok_nat)
+        rev = price[keep] * (1.0 - disc[keep])
+        nk = ok_nat[keep]
+        out_n, out_r = [], []
+        for key in np.unique(nk):
+            out_n.append(nname[int(key)])
+            out_r.append(rev[nk == key].sum())
+        return pa.table(
+            {"n_name": pa.array(out_n, type=pa.string()), "rev": pa.array(out_r, type=pa.float64())}
+        )
+
+    if n_orders_f <= broadcast_threshold_rows:
+        # broadcast the slim filtered-orders map (orderkey -> customer nation):
+        # one date window of a fact table is small; above the threshold the
+        # hash-join plan below carries it
+        odf = o_f.to_pandas()
+        okeys = odf["o_orderkey"].to_numpy(dtype=np.int64) if len(odf) else np.empty(0, np.int64)
+        onats = odf["c_nat"].to_numpy(dtype=np.int64) if len(odf) else np.empty(0, np.int64)
+        order_ix = np.argsort(okeys)
+        oref = ray.put((okeys[order_ix], onats[order_ix]))
+
+        def partial_b(t: pa.Table) -> pa.Table:
+            ok, on = ray.get(oref)
+            lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            nat_of = np.full(len(lk), -1, dtype=np.int64)
+            if len(ok):
+                pos = np.clip(np.searchsorted(ok, lk), 0, len(ok) - 1)
+                hit = ok[pos] == lk
+                nat_of[hit] = on[pos[hit]]
+            m = nat_of >= 0
+            return partial_rev_cols(
+                t["l_suppkey"].to_numpy(zero_copy_only=False)[m],
+                nat_of[m],
+                t["l_extendedprice"].to_numpy(zero_copy_only=False)[m],
+                t["l_discount"].to_numpy(zero_copy_only=False)[m],
+            )
+
+        partials = li.map_batches(partial_b, batch_format="pyarrow")
+    else:
+        joined = safe_join(
+            li, o_f, num_partitions=adaptive_partitions(li.count()), on=("l_orderkey",), right_on=("o_orderkey",)
+        )
+
+        def partial_j(t: pa.Table) -> pa.Table:
+            return partial_rev_cols(
+                t["l_suppkey"].to_numpy(zero_copy_only=False),
+                t["c_nat"].to_numpy(zero_copy_only=False),
+                t["l_extendedprice"].to_numpy(zero_copy_only=False),
+                t["l_discount"].to_numpy(zero_copy_only=False),
+            )
+
+        partials = joined.map_batches(partial_j, batch_format="pyarrow")
+
+    agg = partials.groupby("n_name").aggregate(Sum("rev", alias_name="revenue"))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "revenue": pa.array(
+                    np.round(t["revenue"].to_numpy(zero_copy_only=False), 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY n_name
+"""
+
+
 def q_rollup(sf_dir: str):
     """Multi-level ROLLUP aggregate: event counts and value sums at
     (event_type, hour), (event_type) and grand-total levels.  The coarser

@@ -324,3 +324,18 @@ def test_customer_order_counts_empty_window(ray_session, tmp_path):
             .reset_index(drop=True)
         )
         assert got["n_orders"].tolist() == [0, 0, 0], f"threshold={thresh}"
+
+
+def test_q5_plans_agree(ray_session):
+    from entity_resolution_pipeline_ray.pipelines.relational import q5_local_supplier_volume
+
+    sf = "/root/testdata/sf0.001"
+    bc = q5_local_supplier_volume(sf).to_pandas().sort_values("n_name").reset_index(drop=True)
+    jn = (
+        q5_local_supplier_volume(sf, broadcast_threshold_rows=0)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(bc, jn)
