@@ -288,14 +288,35 @@ def er_clusters_with_urls(spec: PagesSpec, cfg: ERConfig = DEFAULT_CONFIG):
     """Run ER on the spec corpus and return clusters keyed by url
     (url, cluster_id) — the reference's cluster export shape
     (/root/reference/src/batch_parallel_classification.py:955-961)."""
-    from ..rayops import safe_join
+    from ..rayops import adaptive_partitions, safe_join
 
     res = run_er_on_spec(spec, cfg)
     url_map = res["docs"].select_columns(["doc_id", "url"])
+    if spec.num_pages <= cfg.execution.broadcast_threshold_rows:
+        # broadcast gather: the url map fits the object store comfortably —
+        # ship (sorted ids, fixed-width url array) once and searchsorted-gather
+        # per batch.  Avoids a hash-join aggregator-actor ramp that dominates
+        # the query gate (~3s on small sessions).
+        import ray as _ray
+
+        um = url_map.to_pandas()
+        ids = um["doc_id"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        # U-dtype (fixed-width) numpy strings are zero-copy from plasma;
+        # object arrays would re-pickle per consumer
+        map_ref = _ray.put((ids[order], um["url"].to_numpy(dtype="U")[order]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            sids, urls = _ray.get(map_ref)
+            pos = np.searchsorted(sids, t["doc_id"].to_numpy(zero_copy_only=False))
+            return pa.table({"url": pa.array(urls[pos]), "cluster_id": t["cluster_id"]})
+
+        return res["clusters"].map_batches(attach, batch_format="pyarrow")
+    # at-scale plan: both sides are corpus-sized — hash join on doc_id
     joined = safe_join(
         res["clusters"],
         url_map,
-        num_partitions=cfg.execution.join_num_partitions,
+        num_partitions=adaptive_partitions(spec.num_pages, cap=cfg.execution.join_num_partitions),
         on=("doc_id",),
         right_on=("doc_id",),
     )

@@ -19,7 +19,7 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import hyperplane_code_sql, hyperplanes
-from ..rayops import read_parquet_clean
+from ..rayops import list_float_matrix, read_parquet_clean
 
 
 def _embeddings(sf_dir: str):
@@ -55,7 +55,7 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 4):
     def partial_topk(t: pa.Table) -> pa.Table:
         ids_q, qm = ray.get(qref)
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m = list_float_matrix(t["embedding"])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = qm @ m.T  # (n_q, batch)
         out_q, out_v, out_s = [], [], []
@@ -138,7 +138,7 @@ def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 4, n_planes: int = 6, see
     def partial(t: pa.Table) -> pa.Table:
         ids_q, qm, pr, pl = ray.get(ref)
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m = list_float_matrix(t["embedding"])
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         buckets = ((m @ pl.T) > 0).astype(np.uint8) @ (1 << np.arange(pl.shape[0], dtype=np.uint64))
         out_q, out_v, out_s = [], [], []
@@ -248,7 +248,7 @@ def knn_ivf(
 
         def partial_sums(t: pa.Table, _cref=cref) -> pa.Table:
             c = ray.get(_cref)
-            m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+            m = list_float_matrix(t["embedding"])
             a = np.argmin(_sq_dists(m, c), axis=1)  # ties → lowest cid
             cids, inv = np.unique(a, return_inverse=True)
             sums = np.zeros((len(cids), m.shape[1]), dtype=np.float64)
@@ -283,7 +283,7 @@ def knn_ivf(
     def partial_topk(t: pa.Table) -> pa.Table:
         ids_q, qm, probes, c = ray.get(ref)
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m = list_float_matrix(t["embedding"])
         cells = np.argmin(_sq_dists(m, c), axis=1)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         out_q, out_v, out_s = [], [], []
@@ -398,7 +398,7 @@ def s_label_centroids(sf_dir: str):
     emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
 
     def partial(t: pa.Table) -> pa.Table:
-        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m = list_float_matrix(t["embedding"])
         labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         labs, sums, ns = [], [], []
         for lb in np.unique(labels):
@@ -475,7 +475,7 @@ def knn_filtered(sf_dir: str, k: int = 10, n_queries: int = 4):
         ids_q, qm, labs_q = ray.get(qref)
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         labs = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m = list_float_matrix(t["embedding"])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = qm @ m.T
         out_q, out_v, out_s = [], [], []

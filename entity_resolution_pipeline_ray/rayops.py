@@ -31,14 +31,18 @@ def _block_first_per_key(t, key_col: str, prev_last):
     return t.filter(pa.array(keep))
 
 
-def first_per_key(ds, key_col: str):
+def first_per_key(ds, key_col: str, order_col: str | None = None):
     """One representative row per distinct ``key_col`` value, via range-sort +
     boundary-aware local first-wins (same plan as blocking.distinct_pairs —
     Ray's hash-aggregate finalizer is ~10-15k groups/s, far too slow for
-    row-cardinality keys).  Which row represents a key is partition-dependent;
-    callers must only rely on key-determined payloads (e.g. interning by
-    content hash, where every row with the key carries identical content)."""
-    sorted_ds = ds.sort(key_col).materialize()
+    row-cardinality keys).  Without ``order_col``, which row represents a key
+    is partition-dependent; callers must only rely on key-determined payloads
+    (e.g. interning by content hash, where every row with the key carries
+    identical content).  With ``order_col``, the sort is ``[key, order]`` and
+    the representative is deterministically the min-``order_col`` row per key
+    (e.g. exact dedup keeping the lowest doc_id)."""
+    sort_key = [key_col, order_col] if order_col else key_col
+    sorted_ds = ds.sort(sort_key).materialize()
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
@@ -206,6 +210,44 @@ def pack_ragged(arrays) -> "pa.Array":
     import pyarrow as pa
 
     return pa.array([a.tobytes() for a in arrays], type=pa.binary())
+
+
+def list_float_matrix(col, dtype="float64"):
+    """(n, d) matrix from a list<float>/fixed_size_list<float> column via ONE
+    list-flatten (zero-copy from the Arrow buffer, then a single vectorized
+    dtype cast) — never per-row ``to_pylist``.  Rows must be uniform length
+    (the embedding-column contract; enforced by reshape)."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    flat = np.asarray(arr.flatten().to_numpy(zero_copy_only=False))
+    if n == 0:
+        return flat.astype(dtype, copy=False).reshape(0, 0)
+    return flat.astype(dtype, copy=False).reshape(n, len(flat) // n)
+
+
+def pack_ragged_column(col, dtype) -> "pa.Array":
+    """List-typed Arrow column → the same variable-binary encoding as
+    ``pack_ragged``, built from ONE flat-buffer pass (list flatten + offset
+    arithmetic) instead of per-row ``to_pylist`` materialization.  Null list
+    rows pack as empty payloads (same semantics as the pylist path)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lc = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(lc)
+    dtype = np.dtype(dtype)
+    flat = lc.flatten().to_numpy(zero_copy_only=False)
+    if flat.dtype != dtype:
+        flat = flat.astype(dtype)
+    lens = pc.fill_null(pc.list_value_length(lc), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens * dtype.itemsize)]).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())]
+    )
 
 
 def unpack_ragged(col, dtype) -> list:

@@ -81,8 +81,6 @@ def _components_driver(edges_ds, all_ids_ds):
     operator startup regardless of data size, so tiny graphs pay a huge
     constant; real systems pick the plan by size.  The distributed path below
     stays the at-scale plan and is exercised directly by tests."""
-    import ray
-
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -105,15 +103,7 @@ def _components_driver(edges_ds, all_ids_ds):
                 else:
                     parent[ra] = rb
     label_map = {x: find(x) for x in list(parent)}
-    ref = ray.put(label_map)
-
-    def assign(t: pa.Table) -> pa.Table:
-        lm = ray.get(ref)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        out = np.fromiter((lm.get(int(d), int(d)) for d in ids), dtype=np.int64, count=len(ids))
-        return pa.table({"doc_id": t["doc_id"], "cluster_id": pa.array(out, type=pa.int64())})
-
-    return all_ids_ds.map_batches(assign, batch_format="pyarrow")
+    return _assign_from_label_map(all_ids_ds, label_map)
 
 
 def propagate_labels(
@@ -182,15 +172,25 @@ def _load_edges_driver(edges_ds):
 
 
 def _assign_from_label_map(all_ids_ds, label_map: dict):
-    """Broadcast a node→label dict and map every doc id (identity default)."""
+    """Broadcast a node→label map as sorted parallel arrays and gather per
+    batch via ``searchsorted`` (identity default for unlabeled ids) — the
+    corpus stream never touches a per-row Python dict lookup (same kernel as
+    ``filter_min_cluster_size``)."""
     import ray
 
-    ref = ray.put(label_map)
+    keys = np.fromiter(label_map.keys(), dtype=np.int64, count=len(label_map))
+    vals = np.fromiter(label_map.values(), dtype=np.int64, count=len(label_map))
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order], vals[order]))
 
     def assign(t: pa.Table) -> pa.Table:
-        lm = ray.get(ref)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        out = np.fromiter((lm.get(int(d), int(d)) for d in ids), dtype=np.int64, count=len(ids))
+        ks, vs = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = ids.copy()
+        if len(ks) and len(ids):
+            pos = np.clip(np.searchsorted(ks, ids), 0, len(ks) - 1)
+            hit = ks[pos] == ids
+            out[hit] = vs[pos[hit]]
         return pa.table({"doc_id": t["doc_id"], "cluster_id": pa.array(out, type=pa.int64())})
 
     return all_ids_ds.map_batches(assign, batch_format="pyarrow")

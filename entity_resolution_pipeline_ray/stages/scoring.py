@@ -416,15 +416,13 @@ def _prefixed_features(doc_features_ds, prefix: str, num_perm: int):
     ("Data type fixed_size_list<...> is not supported"), so the MinHash
     signature ships as fixed_size_binary and the sparse TF-IDF idx/val pairs
     as variable binary.  Unpacked zero-copy in _JoinedPairScorer."""
-    from ..rayops import pack_matrix, pack_ragged
+    from ..rayops import pack_matrix, pack_ragged_column
 
     def ren(batch: pa.Table) -> pa.Table:
         n = len(batch)
         sigs = np.asarray(
             batch["minhash_sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
         ).reshape(n, num_perm)
-        tfi = [np.asarray(x if x is not None else [], dtype=np.uint32) for x in batch["tfidf_idx"].to_pylist()]
-        tfv = [np.asarray(x if x is not None else [], dtype=np.float32) for x in batch["tfidf_val"].to_pylist()]
         return pa.table(
             {
                 prefix + "doc_id": batch["doc_id"],
@@ -432,8 +430,10 @@ def _prefixed_features(doc_features_ds, prefix: str, num_perm: int):
                 prefix + "domain": batch["domain"],
                 prefix + "token_count": batch["token_count"],
                 prefix + "sig": pack_matrix(sigs),
-                prefix + "tfidf_idx": pack_ragged(tfi),
-                prefix + "tfidf_val": pack_ragged(tfv),
+                # flat-buffer list→binary pack: no per-row pylist on the
+                # 100-TB scoring path
+                prefix + "tfidf_idx": pack_ragged_column(batch["tfidf_idx"], np.uint32),
+                prefix + "tfidf_val": pack_ragged_column(batch["tfidf_val"], np.float32),
             }
         )
 
