@@ -42,7 +42,7 @@ def md5_int_str(values) -> list[str]:
     return [str(int(h, 16)) for h in md5_hex(values)]
 
 
-def stable_u64(values: np.ndarray | list) -> np.ndarray:
+def stable_u64(values: np.ndarray | list, key: str = "er_ray_engine_k0") -> np.ndarray:
     """Stable (process-independent) unsigned 64-bit hash of strings, vectorized.
 
     Uses pandas' SipHash-based ``hash_array`` with a fixed key — deterministic
@@ -50,7 +50,22 @@ def stable_u64(values: np.ndarray | list) -> np.ndarray:
     """
     arr = np.asarray(values, dtype=object)
     # hash_key must be exactly 16 bytes
-    return pd.util.hash_array(arr, hash_key="er_ray_engine_k0", categorize=False).astype(np.uint64)
+    return pd.util.hash_array(arr, hash_key=key, categorize=False).astype(np.uint64)
+
+
+def stable_hex128(values: np.ndarray | list) -> np.ndarray:
+    """128-bit stable content hash as a 32-char hex key (U32 numpy array):
+    two independent SipHash-64 lanes packed big-endian and hexed in one
+    buffer pass.  Interning/dedup keys need >64 bits — birthday collisions on
+    a 63-bit key become expected around ~3e9 rows and fail silently."""
+    arr = np.asarray(values, dtype=object)
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype="U32")
+    h = np.empty((n, 2), dtype=">u8")
+    h[:, 0] = stable_u64(arr, key="er_ray_engine_k0")
+    h[:, 1] = stable_u64(arr, key="er_ray_engine_k1")
+    return np.frombuffer(h.tobytes().hex().encode("ascii"), dtype="S32").astype("U32")
 
 
 def doc_id_for_urls(urls) -> np.ndarray:

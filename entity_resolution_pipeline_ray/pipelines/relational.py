@@ -830,13 +830,11 @@ def q_customer_order_counts(sf_dir: str, broadcast_threshold_rows: int = 2_000_0
         on=("c_custkey",),
         right_on=("o_custkey",),
         join_type="left_outer",
+        right_fill_schema={"n_orders": pa.int64()},
     )
 
     def fix(t: pa.Table) -> pa.Table:
-        if "n_orders" not in t.column_names:  # right side empty end-to-end
-            n = pa.array(np.zeros(len(t), dtype=np.int64))
-        else:
-            n = pc.cast(pc.coalesce(t["n_orders"], pa.scalar(0)), pa.int64())
+        n = pc.cast(pc.coalesce(t["n_orders"], pa.scalar(0)), pa.int64())
         return pa.table(
             {
                 "c_custkey": pc.cast(t["c_custkey"], pa.int64()),

@@ -418,8 +418,18 @@ def s_label_centroids(sf_dir: str):
         )
 
     parts = [
-        b for b in emb.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        b
+        for b in emb.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        if b.num_rows
     ]
+    if not parts:  # empty embeddings table: np.concatenate([]) raises
+        return pa.table(
+            {
+                "label": pa.array([], type=pa.int64()),
+                "i": pa.array([], type=pa.int64()),
+                "mean_val": pa.array([], type=pa.float64()),
+            }
+        )
     labs = np.concatenate([p["label"].to_numpy(zero_copy_only=False) for p in parts])
     ns = np.concatenate([p["n"].to_numpy(zero_copy_only=False) for p in parts])
     dim = parts[0]["s"].type.list_size if parts else 1

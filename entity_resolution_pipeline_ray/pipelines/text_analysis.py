@@ -362,6 +362,8 @@ def t_token_topk(sf_dir: str, k: int = 50, driver_merge_threshold: int = 2_000_0
     partials = ds.map_batches(token_df_partials, batch_format="pyarrow")
     if n_docs <= driver_merge_threshold:
         frames = [b.to_pandas() for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+        if not frames:  # 0-row corpus: pd.concat([]) raises
+            return pa.table({"token": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())})
         merged = pd.concat(frames).groupby("token", sort=False)["df"].sum().reset_index()
         top = merged.sort_values(["df", "token"], ascending=[False, True]).head(k)
         return pa.Table.from_pandas(top, preserve_index=False)

@@ -143,7 +143,17 @@ def _live_blocks(ds):
     return rd.from_arrow_refs(keep), total
 
 
-def safe_join(left, right, *, num_partitions: int, on: tuple, right_on: tuple, join_type: str = "inner", **kw):
+def safe_join(
+    left,
+    right,
+    *,
+    num_partitions: int,
+    on: tuple,
+    right_on: tuple,
+    join_type: str = "inner",
+    right_fill_schema: dict | None = None,
+    **kw,
+):
     """``Dataset.join`` with empty-block sanitization on both sides.
 
     A side that is empty END TO END is short-circuited: its surviving empty
@@ -151,16 +161,32 @@ def safe_join(left, right, *, num_partitions: int, on: tuple, right_on: tuple, j
     empty blocks), so Acero would fail to find the join key in it.  For inner
     joins an empty side means an empty result — return the 0-row side
     unjoined (downstream ``map_batches`` skip it the same way).  For
-    left_outer, an empty LEFT is an empty result, and an empty RIGHT means
-    the caller's null-fill pass sees missing columns — callers must handle
-    absent right columns (q_customer_order_counts does via coalesce)."""
+    left_outer, an empty LEFT is an empty result; an empty RIGHT returns the
+    bare left — pass ``right_fill_schema={"col": pa.type, ...}`` to have the
+    expected right-side columns appended as all-null so the output schema is
+    stable either way (callers that don't are on the hook for absent right
+    columns, as q_customer_order_counts' coalesce pass is)."""
     assert join_type in ("inner", "left_outer"), "unsupported join type for empty-side shortcut"
     lds, ln = _live_blocks(left)
     rds, rn = _live_blocks(right)
     if ln == 0:
         return lds
     if rn == 0:
-        return rds if join_type == "inner" else lds
+        if join_type != "left_outer":
+            return rds
+        if not right_fill_schema:
+            return lds
+        import pyarrow as pa
+
+        fill = dict(right_fill_schema)
+
+        def _append_nulls(t: "pa.Table") -> "pa.Table":
+            for name, typ in fill.items():
+                if name not in t.column_names:
+                    t = t.append_column(name, pa.nulls(len(t), type=typ))
+            return t
+
+        return lds.map_batches(_append_nulls, batch_format="pyarrow")
     return lds.join(
         rds,
         join_type=join_type,

@@ -147,8 +147,10 @@ def _title_features(titles_l, titles_r, cache: _StringSimCache) -> tuple[np.ndar
     cb, ub = pd.factorize(np.asarray(titles_r, dtype=np.str_))
     comb = ca.astype(np.int64) * max(1, len(ub)) + cb
     ucomb, inv = np.unique(comb, return_inverse=True)
-    pa = np.asarray(ua, dtype=np.str_)[ucomb // max(1, len(ub))]
-    pb = np.asarray(ub, dtype=np.str_)[ucomb % max(1, len(ub))]
+    # ua_str/ub_str (not "pa"/"pb"): a local named pa would shadow the
+    # module-level pyarrow alias
+    ua_str = np.asarray(ua, dtype=np.str_)[ucomb // max(1, len(ub))]
+    ub_str = np.asarray(ub, dtype=np.str_)[ucomb % max(1, len(ub))]
     m = len(ucomb)
     ujw = np.empty(m, dtype=np.float64)
     ulev = np.empty(m, dtype=np.float64)
@@ -156,7 +158,7 @@ def _title_features(titles_l, titles_r, cache: _StringSimCache) -> tuple[np.ndar
     miss = []
     keys = []
     for i in range(m):
-        a, b = pa[i], pb[i]
+        a, b = ua_str[i], ub_str[i]
         k = (a, b) if a <= b else (b, a)
         keys.append(k)
         v = cache.pair.get(k)
@@ -166,16 +168,16 @@ def _title_features(titles_l, titles_r, cache: _StringSimCache) -> tuple[np.ndar
             ujw[i], ulev[i], utj[i] = v
     if miss:
         mi = np.asarray(miss)
-        ma, mb = pa[mi], pb[mi]
+        ma, mb = ua_str[mi], ub_str[mi]
         ujw[mi] = jaro_winkler_batch(ma, mb)
         ulev[mi] = levenshtein_sim_batch(ma, mb)
         for j, i in enumerate(miss):
-            ta = cache.token_set(str(ma[j]))
-            tb = cache.token_set(str(mb[j]))
-            utj[i] = token_jaccard(ta, tb)
+            tsa = cache.token_set(str(ma[j]))
+            tsb = cache.token_set(str(mb[j]))
+            utj[i] = token_jaccard(tsa, tsb)
             if len(cache.pair) < cache.maxsize:
                 cache.pair[keys[i]] = (float(ujw[i]), float(ulev[i]), float(utj[i]))
-    uex = ((pa == pb) & (pa != "")).astype(np.float64)
+    uex = ((ua_str == ub_str) & (ua_str != "")).astype(np.float64)
     return ujw[inv], ulev[inv], utj[inv], uex[inv]
 
 

@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray
 
 from ..config import MinHashConfig, TfidfConfig
-from ..functions.hashing import MinHasher, stable_u64
+from ..functions.hashing import MinHasher, stable_hex128, stable_u64
 from ..functions.text import word_shingles, word_tokens
 
 DOC_FEATURES_COLUMNS = [
@@ -187,11 +187,14 @@ class TextFeatureVectorizer:
 
 
 def _with_text_hash(batch: pa.Table) -> pa.Table:
-    """Append a 63-bit content hash of the raw text (interning key)."""
+    """Append a 128-bit content hash of the raw text (interning key) as a
+    32-char hex string — sortable/joinable, and collision-safe at the multi-
+    billion-document scales the interning plan targets (a 63-bit key has
+    expected birthday collisions around ~3e9 docs, and the failure — two
+    distinct texts silently sharing features — is invisible)."""
     texts = np.asarray(batch["text"].to_pylist(), dtype=object)
     texts = np.where(texts == None, "", texts)  # noqa: E711 — elementwise None test
-    h = (stable_u64(texts) >> np.uint64(1)).astype(np.int64)
-    return batch.append_column("text_hash", pa.array(h, type=pa.int64()))
+    return batch.append_column("text_hash", pa.array(stable_hex128(texts), type=pa.string()))
 
 
 def estimate_duplicate_fraction(docs_ds, num_docs: int, k: int = 1024) -> float:
