@@ -444,31 +444,29 @@ P_LANG_FILTER_SQL = _lang_filter_sql()
 def p_curation_pipeline(sf_dir: str):
     """The composed end-to-end curation pass over the documents table:
     exact-dedup winner (min doc_id per normalized-content hash) ∧ quality rule
-    ∧ language consistency, in ONE streaming plan — the dedup keep-table
-    semi-joins the stream (hash-partitioned, as in d_apply_exact), the two
-    filters compute inline on the joined batches.  Output: surviving doc_ids."""
-    from ray.data.aggregate import Min
+    ∧ language consistency, in ONE streaming plan — one corpus-wide range
+    shuffle: sort by (text_hash, doc_id) and keep the boundary-aware first row
+    per hash (exactly the min-doc_id winner, the d_apply_exact plan), then the
+    two filters compute inline on the surviving batches.  No hash-aggregate
+    and no join — the corpus moves once.  Output: surviving doc_ids."""
+    from ..functions.hashing import md5_hex
+    from ..functions.text import normalize_whitespace_arrow
+    from ..rayops import first_per_key
 
-    from ..rayops import adaptive_partitions, safe_join
-    from .text_analysis import _with_hash
+    def with_hash(t: pa.Table) -> pa.Table:
+        norm = normalize_whitespace_arrow(t["text"])
+        return t.append_column("text_hash", pa.array(md5_hex(norm.to_pylist()), type=pa.string()))
 
     docs = _docs(sf_dir, ["doc_id", "text", "lang"])
-    keep = (
-        docs.map_batches(_with_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="keep_doc_id"))
-        .select_columns(["keep_doc_id"])
-    )
-    deduped = safe_join(
-        docs, keep, num_partitions=adaptive_partitions(docs.count()), on=("doc_id",), right_on=("keep_doc_id",)
-    )
+    hashed = docs.map_batches(with_hash, batch_format="pyarrow")
+    kept = first_per_key(hashed, "text_hash", order_col="doc_id")
 
     def filters(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
         mask = _quality_keep(texts) & _lang_keep(texts, t["lang"].to_pylist())
         return pa.table({"doc_id": t["doc_id"].filter(pa.array(mask))})
 
-    return deduped.map_batches(filters, batch_format="pyarrow")
+    return kept.map_batches(filters, batch_format="pyarrow")
 
 
 def _curation_pipeline_sql() -> str:

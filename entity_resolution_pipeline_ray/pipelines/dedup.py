@@ -44,6 +44,7 @@ from ..rayops import (
     attach_pair_sides,
     first_per_key,
     list_float_matrix,
+    memo_dataset,
     pack_matrix,
     pack_ragged,
     read_parquet_clean,
@@ -147,8 +148,19 @@ def _doc_sketches(docs_ds, minhash_cfg: MinHashConfig):
 def minhash_dup_pairs(sf_dir: str, threshold: float = 0.6, minhash_cfg: MinHashConfig | None = None):
     """MinHash-LSH near-duplicate pairs: band keys → block groupby self-join →
     join pairs back to the sketch table → vectorized signature-agreement verify
-    >= threshold.  Returns (left_id, right_id, est_jaccard), est rounded."""
+    >= threshold.  Returns (left_id, right_id, est_jaccard), est rounded.
+
+    The verified pair set is memoized per (sf_dir, threshold, cfg) within the
+    process — ``dedup_apply_fuzzy`` consumes the same pairs, so the driver's
+    correctness sweep computes them once."""
     cfg = minhash_cfg or MinHashConfig()
+    return memo_dataset(
+        ("minhash_pairs", sf_dir, threshold, cfg),
+        lambda: _minhash_dup_pairs_plan(sf_dir, threshold, cfg),
+    )
+
+
+def _minhash_dup_pairs_plan(sf_dir: str, threshold: float, cfg: MinHashConfig):
     sketches = _doc_sketches(_docs(sf_dir), cfg).materialize()
     n_docs = sketches.count()
     nparts = adaptive_partitions(n_docs)
@@ -406,11 +418,15 @@ WHERE a.doc_id < b.doc_id
 """
 
 
-# All-pairs exact shingle Jaccard >= 0.5.  The engine computes the same thing
+# Exact shingle Jaccard >= 0.5 as a set-similarity join: unnest distinct
+# shingles and equi-join on shingle (any pair with jaccard >= 0.5 shares at
+# least one shingle, so the join finds every qualifying pair; empty-empty
+# pairs — uni = 0 — are unreachable by the join AND excluded by the original
+# predicate).  Equivalent to the quadratic list_intersect formulation but
+# ~90x faster (8.2s -> 0.09s at sf0.01).  The engine computes the same thing
 # through LSH candidates (128 perms / 64 bands: a >=0.5-Jaccard pair misses
 # all bands with probability 0.75^64 ≈ 1e-8, i.e. never at test scale) and
-# exact verification, so results match the quadratic SQL.  The ``uni > 0``
-# clause excludes empty-empty pairs, which the engine never blocks together.
+# exact verification, so results match.
 NGRAM_JACCARD_SQL = """
 WITH t AS (
   SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS toks
@@ -422,13 +438,15 @@ s AS (
     ELSE list_transform(range(1, len(toks) - 1),
                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
   END) AS sh FROM t),
-p AS (
+e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s),
+inter AS (
   SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-         len(list_intersect(a.sh, b.sh)) AS inter,
-         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
-  FROM s a, s b WHERE a.doc_id < b.doc_id)
-SELECT left_id, right_id, round(inter * 1.0 / uni, 6) AS jaccard
-FROM p WHERE uni > 0 AND inter * 1.0 / uni >= 0.5
+         any_value(a.n) AS na, any_value(b.n) AS nb, count(*) AS inter
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT left_id, right_id, round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+FROM inter
+WHERE (na + nb - inter) > 0 AND inter * 1.0 / (na + nb - inter) >= 0.5
 """
 
 
@@ -462,7 +480,10 @@ perms(i, a, b) AS (VALUES
     {perm_rows}),
 mins AS (
   SELECT doc_id, i,
-         min(CAST((a * CAST(h AS HUGEINT) + b) % 18446744073709551616 AS UBIGINT)) AS mv
+         -- & (2^64-1) == mod 2^64 for the non-negative operands here; DuckDB's
+         -- HUGEINT modulo is ~20x slower than the bitwise mask (7.2s -> 0.4s
+         -- for the 3.2M-row mins stage at sf0.01)
+         min(CAST((a * CAST(h AS HUGEINT) + b) & 18446744073709551615 AS UBIGINT)) AS mv
   FROM hv, perms GROUP BY doc_id, i),
 sig AS (SELECT doc_id, list(mv ORDER BY i) AS s FROM mins GROUP BY doc_id),
 cand AS (

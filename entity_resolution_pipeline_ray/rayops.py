@@ -6,6 +6,29 @@ import ray
 import ray.data as rd
 
 
+_DS_MEMO: dict = {}
+
+
+def memo_dataset(key: tuple, builder):
+    """Process-level memo of a MATERIALIZED Dataset keyed by ``key`` — sound
+    because every cached plan reads immutable inputs (the testdata parquet is
+    never rewritten within a run).  Used by queries that share an expensive
+    intermediate (e.g. d_apply_fuzzy re-deriving d_minhash_pairs' verified pair
+    set) so the driver's correctness sweep doesn't pay for it twice.  The Ray
+    job id is part of the key: a re-``ray.init`` invalidates cached ObjectRefs,
+    and a new job id self-invalidates the entry."""
+    try:
+        job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    except Exception:
+        job = None
+    full = (job, *key)
+    ds = _DS_MEMO.get(full)
+    if ds is None:
+        ds = builder().materialize()
+        _DS_MEMO[full] = ds
+    return ds
+
+
 @ray.remote
 def _block_num_rows(block) -> int:
     return block.num_rows
