@@ -160,15 +160,42 @@ def run_er_pipeline(
 
 def pairwise_f1_against_gold(clusters_ds, labeled_pairs: pa.Table) -> dict:
     """The BASELINE.json quality gate: predicted same-cluster vs gold match over
-    the labeled pairs.  Driver-side — labeled set and cluster map are small."""
+    the labeled pairs.  Only the LABELED docs' cluster rows come to the driver:
+    the labeled doc_id set is broadcast and filters the cluster stream, so the
+    driver working set is labeled-set-proportional even on a trillion-doc
+    corpus (the full cluster map never leaves the object store)."""
+    import ray
+
     from ..functions.hashing import doc_id_for_urls
 
-    cl = clusters_ds.to_pandas()
-    cmap = dict(zip(cl["doc_id"].astype(np.int64), cl["cluster_id"].astype(np.int64)))
-    li = doc_id_for_urls(labeled_pairs["left_url"].to_pylist())
-    ri = doc_id_for_urls(labeled_pairs["right_url"].to_pylist())
+    li = doc_id_for_urls(labeled_pairs["left_url"].to_pylist()).astype(np.int64)
+    ri = doc_id_for_urls(labeled_pairs["right_url"].to_pylist()).astype(np.int64)
+    wanted = np.unique(np.concatenate([li, ri]))
+    wanted_ref = ray.put(wanted)
+
+    def only_labeled(t: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(w, ids), 0, len(w) - 1)
+        return t.filter(pa.array(w[pos] == ids))
+
+    cl = clusters_ds.map_batches(only_labeled, batch_format="pyarrow").to_pandas()
+    # sorted-array gather (no per-row dict); docs absent from the cluster map
+    # count as their own singleton (left side) / no-cluster (right side)
+    k = cl["doc_id"].to_numpy(dtype=np.int64)
+    v = cl["cluster_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(k, kind="mergesort")
+    k, v = k[order], v[order]
+
+    def gather(ids: np.ndarray, default: np.ndarray) -> np.ndarray:
+        if len(k) == 0:
+            return default
+        pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
+        hit = k[pos] == ids
+        return np.where(hit, v[pos], default)
+
     y = labeled_pairs["match"].to_numpy(zero_copy_only=False).astype(bool)
-    pred = np.array([cmap.get(int(a), int(a)) == cmap.get(int(b), -1) for a, b in zip(li, ri)])
+    pred = gather(li, li) == gather(ri, np.full(len(ri), -1, dtype=np.int64))
     tp = int((pred & y).sum())
     fp = int((pred & ~y).sum())
     fn = int((~pred & y).sum())

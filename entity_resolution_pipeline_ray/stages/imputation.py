@@ -6,30 +6,54 @@ Reference analog: the Imputator stage (/root/reference/src/batch_parallel_imputa
 one of three methods (:494-539): 'average' (A6 mode of candidates), 'weighted'
 (A7 similarity-weighted), 'nearest'.
 
-Ray-native re-expression: a doc with a null field finds its candidates in the
-blocks it already shares (the LSH neighborhood replaces the ANN query — same
-substitution as candidate generation), similarity = MinHash agreement, and the
-fill is computed per group inside the block-join, no point lookups:
+Ray-native re-expression, fully distributed: a doc with a null field finds its
+candidates in the blocks it already shares (the LSH neighborhood replaces the
+ANN query — same substitution as candidate generation), similarity = MinHash
+agreement, and the fill is computed per null doc inside ``map_groups``:
 
-    nulls(doc_id)  ⋈ blocks → (block_key, doc_id)
-                   ⋈ blocks of non-null donors → (doc_id, donor_id, donor_value)
-    groupby(doc_id) → mode / similarity-weighted / nearest donor value
+    blocks restricted to null blocks
+      → per-block null × donor edges (map_groups over block_key)
+      → sort-based distinct edges (a pair repeats once per shared band)
+      → payload attach via hash joins (sig for both sides, donor value)
+      → per-null-doc top-k + fill (map_groups over doc_id)
 
-Implemented with the broadcast pattern (donor payloads are the small side at
-imputation time: only docs sharing a block with a null doc matter).
+Driver state is limited to ID SETS proportional to the null set (null doc ids,
+null block keys, involved doc ids) — broadcast for pruning filters.  Payloads
+(signatures, donor values) never leave the object store; the per-group fill
+runs distributed.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
 
 from ..config import BlockingConfig, MinHashConfig
 from ..functions.similarity import minhash_agreement
-from ..stages.blocking import emit_block_keys
+from ..stages.blocking import distinct_pairs, emit_block_keys
+
+_EMPTY_RESULT_COLS = ("doc_id", "imputed_{field}", "n_donors")
+
+
+def _empty_result(field: str):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                f"imputed_{field}": pa.array([], type=pa.string()),
+                "n_donors": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+
+
+def _member_mask(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    if len(sorted_set) == 0:
+        return np.zeros(len(ids), dtype=bool)
+    pos = np.clip(np.searchsorted(sorted_set, ids), 0, len(sorted_set) - 1)
+    return sorted_set[pos] == ids
 
 
 def impute_field(
@@ -55,18 +79,13 @@ def impute_field(
     """
     import pyarrow.compute as pc
 
+    from ..rayops import adaptive_partitions, attach_pair_sides, pack_matrix, safe_join, unpack_matrix
+
     if method not in ("average", "weighted", "nearest"):
         raise ValueError(f"unknown imputation method {method!r}")
 
-    def _member_mask(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
-        if len(sorted_set) == 0:
-            return np.zeros(len(ids), dtype=bool)
-        pos = np.clip(np.searchsorted(sorted_set, ids), 0, len(sorted_set) - 1)
-        return sorted_set[pos] == ids
-
-    # 1. target docs: null/empty field — DISTRIBUTED filter, only the null ids
-    #    come to the driver (the round-1 version pulled the whole (doc_id,
-    #    field) table and built a corpus-sized donor dict — VERDICT r1 item 5)
+    # 1. target docs: null/empty field — DISTRIBUTED filter, only the null IDS
+    #    come to the driver
     def null_rows(t: pa.Table) -> pa.Table:
         col = t[field]
         mask = pc.or_kleene(pc.is_null(col), pc.equal(col, ""))
@@ -80,12 +99,7 @@ def impute_field(
     ]
     null_ids_np = np.sort(np.concatenate(nulls_parts)) if nulls_parts else np.empty(0, dtype=np.int64)
     if len(null_ids_np) == 0:
-        return ray.data.from_arrow(
-            pa.table({"doc_id": pa.array([], type=pa.int64()),
-                      f"imputed_{field}": pa.array([], type=pa.string()),
-                      "n_donors": pa.array([], type=pa.int64())})
-        )
-    null_ids = set(int(x) for x in null_ids_np)
+        return _empty_result(field)
 
     blocks = emit_block_keys(doc_features_ds, minhash_cfg, blocking_cfg).materialize()
     # 2. block keys containing a null doc (distributed filter, null-set broadcast)
@@ -103,122 +117,162 @@ def impute_field(
         )
     ]
     nb_keys = np.unique(np.concatenate(nbk_parts)) if nbk_parts else np.empty(0, dtype=np.int64)
+    if len(nb_keys) == 0:
+        return _empty_result(field)
     nbk_ref = ray.put(nb_keys)
 
-    # 3. pull ONLY the null neighborhoods to the driver
+    # 3. restrict the block table to null blocks (distributed filter)
     def in_null_blocks(t: pa.Table) -> pa.Table:
         ks = ray.get(nbk_ref)
         keys = t["block_key"].to_numpy(zero_copy_only=False).astype(np.int64)
         return t.filter(pa.array(_member_mask(keys, ks)))
 
-    bdf = blocks.map_batches(in_null_blocks, batch_format="pyarrow").to_pandas()
-    bdf["is_null_doc"] = bdf["doc_id"].astype("int64").isin(null_ids)
-    # candidate donors per null doc: co-blocked non-null docs
-    cand: dict[int, set[int]] = {}
-    for _, grp in bdf.groupby("block_key", sort=False):
-        nulls = grp.loc[grp["is_null_doc"], "doc_id"].astype("int64")
-        donors = grp.loc[~grp["is_null_doc"], "doc_id"].astype("int64")
-        if len(nulls) == 0 or len(donors) == 0:
-            continue
-        dset = set(int(d) for d in donors)
-        for nd in nulls:
-            cand.setdefault(int(nd), set()).update(dset)
+    blocks_f = blocks.map_batches(in_null_blocks, batch_format="pyarrow")
 
-    involved = set(cand.keys())
-    for s in cand.values():
-        involved |= s
-    involved_np = np.sort(np.fromiter(involved, dtype=np.int64, count=len(involved)))
-    involved_ref = ray.put(involved_np)
+    # 4. per-block null × donor candidate edges — DISTRIBUTED map_groups over
+    #    block_key (the null-block table is null-neighborhood-proportional)
+    def block_edges(g: pa.Table) -> pa.Table:
+        ns = ray.get(null_ref)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isn = _member_mask(ids, ns)
+        nd, dn = ids[isn], ids[~isn]
+        if len(nd) == 0 or len(dn) == 0:
+            return pa.table(
+                {"left_id": pa.array([], type=pa.int64()), "right_id": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "left_id": pa.array(np.repeat(nd, len(dn)), type=pa.int64()),
+                "right_id": pa.array(np.tile(dn, len(nd)), type=pa.int64()),
+            }
+        )
 
-    # 4. donor VALUES for co-blocked donors only (distributed filter —
-    #    driver working set proportional to the null neighborhoods)
-    def donor_rows(t: pa.Table) -> pa.Table:
-        inv = ray.get(involved_ref)
+    raw_edges = blocks_f.groupby("block_key").map_groups(block_edges, batch_format="pyarrow")
+    # a (null, donor) pair repeats once per shared block — sort-based dedup
+    edges = distinct_pairs(raw_edges).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return _empty_result(field)
+
+    # 5. payload side table, pruned to involved docs (id-proportional broadcast
+    #    filter): minhash sig (packed — joins reject list columns) left-outer
+    #    donor value, so null docs keep their sig with a null value
+    inv_parts = [
+        np.concatenate(
+            [
+                b["left_id"].to_numpy(zero_copy_only=False),
+                b["right_id"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        for b in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    involved_np = np.unique(np.concatenate(inv_parts))
+    inv_ref = ray.put(involved_np)
+    num_perm = minhash_cfg.num_perm
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        inv = ray.get(inv_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(_member_mask(ids, inv)))
+        sig = t["minhash_sig"].combine_chunks() if isinstance(t["minhash_sig"], pa.ChunkedArray) else t["minhash_sig"]
+        mat = np.asarray(sig.flatten().to_numpy(zero_copy_only=False)).reshape(len(t), num_perm)
+        return pa.table({"doc_id": t["doc_id"], "sig_bin": pack_matrix(mat)})
+
+    def value_rows(t: pa.Table) -> pa.Table:
+        inv = ray.get(inv_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         col = t[field]
         nonnull = pc.fill_null(pc.and_kleene(pc.is_valid(col), pc.not_equal(col, "")), False)
         mask = _member_mask(ids, inv) & nonnull.to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(mask))
+        t = t.filter(pa.array(mask))
+        return pa.table({"doc_id": t["doc_id"], "donor_val": pc.cast(t[field], pa.string())})
 
-    donor_values: dict[int, str] = {}
-    for b in (
-        docs_ds.select_columns(["doc_id", field])
-        .map_batches(donor_rows, batch_format="pyarrow")
-        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-    ):
-        for d, v in zip(b["doc_id"].to_numpy(zero_copy_only=False), b[field].to_pylist()):
-            donor_values[int(d)] = v
-    # drop candidate donors that turned out to have no usable value
-    cand = {
-        nd: {d for d in ds_ if d in donor_values}
-        for nd, ds_ in cand.items()
-    }
-    cand = {nd: ds_ for nd, ds_ in cand.items() if ds_}
+    nparts = adaptive_partitions(len(involved_np))
+    sig_side = doc_features_ds.select_columns(["doc_id", "minhash_sig"]).map_batches(
+        sig_rows, batch_format="pyarrow"
+    )
+    val_side = docs_ds.select_columns(["doc_id", field]).map_batches(value_rows, batch_format="pyarrow")
+    side = safe_join(
+        sig_side,
+        val_side,
+        num_partitions=nparts,
+        on=("doc_id",),
+        right_on=("doc_id",),
+        join_type="left_outer",
+        right_fill_schema={"donor_val": pa.string()},
+    )
 
-    # 5. signatures for involved docs only (distributed filter)
-    def involved_sigs(t: pa.Table) -> pa.Table:
-        inv = ray.get(involved_ref)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.filter(pa.array(_member_mask(ids, inv)))
+    enriched = attach_pair_sides(
+        edges, side, id_col="doc_id", cols=("sig_bin", "donor_val"), num_partitions=nparts
+    )
 
-    sig_map: dict[int, np.ndarray] = {}
-    for b in (
-        doc_features_ds.select_columns(["doc_id", "minhash_sig"])
-        .map_batches(involved_sigs, batch_format="pyarrow")
-        .iter_batches(batch_size=4096, batch_format="pyarrow")
-    ):
-        if len(b) == 0:
-            continue
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        num_perm = b.schema.field("minhash_sig").type.list_size
-        sigs = np.asarray(b["minhash_sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(
-            len(b), num_perm
+    # 6. per-edge similarity, then the min_similarity gate and the
+    #    value-less-donor drop — vectorized per batch
+    def score_edges(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "left_id": pa.array([], type=pa.int64()),
+                    "right_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                    "donor_val": pa.array([], type=pa.string()),
+                }
+            )
+        sl = unpack_matrix(t["l_sig_bin"], np.uint64, num_perm)
+        sr = unpack_matrix(t["r_sig_bin"], np.uint64, num_perm)
+        sims = minhash_agreement(sl, sr)
+        has_val = pc.is_valid(t["r_donor_val"]).to_numpy(zero_copy_only=False)
+        keep = (sims >= min_similarity) & has_val
+        return pa.table(
+            {
+                "left_id": t["left_id"].filter(pa.array(keep)),
+                "right_id": t["right_id"].filter(pa.array(keep)),
+                "sim": pa.array(sims[keep], type=pa.float64()),
+                "donor_val": t["r_donor_val"].filter(pa.array(keep)),
+            }
         )
-        for i, d in enumerate(ids):
-            sig_map[int(d)] = sigs[i]
 
-    rows_doc, rows_val, rows_n = [], [], []
-    for nd, donors in sorted(cand.items()):
-        dlist = sorted(donors)
-        sig_n = sig_map.get(nd)
-        if sig_n is None:
-            continue
-        sims = np.array(
-            [minhash_agreement(sig_n[None, :], sig_map[d][None, :])[0] if d in sig_map else 0.0 for d in dlist]
-        )
-        keep = sims >= min_similarity
-        dlist = [d for d, k in zip(dlist, keep) if k]
-        sims = sims[keep]
-        if not dlist:
-            continue
-        if len(dlist) > max_candidates:
-            order = np.argsort(-sims, kind="mergesort")[:max_candidates]
-            dlist = [dlist[i] for i in order]
-            sims = sims[order]
-        vals = [donor_values[d] for d in dlist]
+    scored = enriched.map_batches(score_edges, batch_format="pyarrow")
+
+    # 7. per-null-doc fill — DISTRIBUTED map_groups; the driver never sees the
+    #    candidate lists.  Donor order within a group is pinned to ascending
+    #    donor id before the stable top-k sort, so ties in similarity resolve
+    #    to the lowest donor id (deterministic across plans and runs).
+    def fill_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    f"imputed_{field}": pa.array([], type=pa.string()),
+                    "n_donors": pa.array([], type=pa.int64()),
+                }
+            )
+        donors = g["right_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(donors, kind="mergesort")
+        sims = g["sim"].to_numpy(zero_copy_only=False)[order]
+        vals = np.asarray(g["donor_val"].to_pylist(), dtype=object)[order]
+        if len(sims) > max_candidates:
+            top = np.argsort(-sims, kind="mergesort")[:max_candidates]
+            sims, vals = sims[top], vals[top]
         if method == "nearest":
-            best = int(np.argmax(sims))
-            fill = vals[best]
+            fill = str(vals[int(np.argmax(sims))])
         elif method == "weighted":
             scores: dict[str, float] = {}
             for v, s in zip(vals, sims):
-                scores[v] = scores.get(v, 0.0) + float(s)
+                scores[str(v)] = scores.get(str(v), 0.0) + float(s)
             fill = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
         else:  # average -> mode, ties to lexicographically smallest (deterministic)
             counts: dict[str, int] = {}
             for v in vals:
-                counts[v] = counts.get(v, 0) + 1
+                counts[str(v)] = counts.get(str(v), 0) + 1
             fill = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
-        rows_doc.append(nd)
-        rows_val.append(fill)
-        rows_n.append(len(dlist))
-
-    return ray.data.from_arrow(
-        pa.table(
+        return pa.table(
             {
-                "doc_id": pa.array(rows_doc, type=pa.int64()),
-                f"imputed_{field}": pa.array(rows_val, type=pa.string()),
-                "n_donors": pa.array(rows_n, type=pa.int64()),
+                "doc_id": pa.array([int(g["left_id"][0].as_py())], type=pa.int64()),
+                f"imputed_{field}": pa.array([fill], type=pa.string()),
+                "n_donors": pa.array([len(sims)], type=pa.int64()),
             }
         )
-    )
+
+    return scored.groupby("left_id").map_groups(fill_group, batch_format="pyarrow")
