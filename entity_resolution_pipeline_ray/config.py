@@ -121,6 +121,10 @@ class ClusteringConfig:
     min_cluster_size: int = 1
     max_rounds: int = 100
     algorithm: str = "connected_components"
+    # edge count below which connected components takes the driver union-find
+    # fast path; 0 forces the distributed min-label propagation (the 100 TB
+    # plan) end to end
+    driver_edge_threshold: int = 5_000_000
 
 
 @dataclass(frozen=True)

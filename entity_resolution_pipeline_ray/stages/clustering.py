@@ -112,13 +112,16 @@ def propagate_labels(
     cfg: ClusteringConfig,
     num_partitions: int = 32,
     *,
-    driver_edge_threshold: int = 5_000_000,
+    driver_edge_threshold: int | None = None,
 ):
-    """Transitive clustering.  Small edge sets (< driver_edge_threshold) take
-    the driver union-find fast path; larger graphs run the distributed
-    iterative min-label propagation (the 100 TB plan)."""
+    """Transitive clustering.  Small edge sets (< driver_edge_threshold,
+    defaulting to ``cfg.driver_edge_threshold``) take the driver union-find
+    fast path; larger graphs run the distributed iterative min-label
+    propagation (the 100 TB plan)."""
     from ray.data.aggregate import Min
 
+    if driver_edge_threshold is None:
+        driver_edge_threshold = getattr(cfg, "driver_edge_threshold", 5_000_000)
     ebidir = _bidirectional(edges_ds).materialize()
     labels = _init_labels(all_ids_ds).materialize()
     n_edges = ebidir.count()

@@ -116,3 +116,33 @@ def test_streaming_path_matches_materialized(er_result):
     b = stream["clusters"].to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
     assert (a["cluster_id"].to_numpy() == b["cluster_id"].to_numpy()).all()
+
+
+def test_at_scale_plan_composition_matches_default(er_result):
+    """The full 100-TB configuration in ONE run — no intermediate pinning
+    (materialize_intermediate=False), join-plan scoring forced
+    (broadcast_threshold_rows=0: pairs ⋈ packed doc payloads twice instead of
+    a ray.put side table), and distributed min-label-propagation clustering
+    forced (driver_edge_threshold=0: no driver union-find) — must produce
+    clusters identical to the default small-scale plans.  The pieces are
+    pinned individually elsewhere; this pins their composition, which is the
+    plan an actual multi-node run executes."""
+    import dataclasses
+
+    from entity_resolution_pipeline_ray.sources.pages import pages_dataset
+
+    spec, res = er_result
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        execution=dataclasses.replace(DEFAULT_CONFIG.execution, broadcast_threshold_rows=0),
+        clustering=dataclasses.replace(DEFAULT_CONFIG.clustering, driver_edge_threshold=0),
+    )
+    at_scale = run_er_pipeline(
+        pages_dataset(spec), labeled_pairs_table(spec), cfg,
+        materialize_intermediate=False,
+    )
+    a = res["clusters"].to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = at_scale["clusters"].to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+    assert (a["cluster_id"].to_numpy() == b["cluster_id"].to_numpy()).all()
