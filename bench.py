@@ -177,9 +177,15 @@ def run_full() -> dict:
     # warm the page cache so per-query numbers measure compute + shuffle
     for name in ORACLE_QUERIES:
         _consume(qmap[name](SF_DIR))
+    from entity_resolution_pipeline_ray.rayops import clear_dataset_memo
+
     q_samples: dict[str, list[float]] = {n: [] for n in ORACLE_QUERIES}
     for _ in range(repeats):
         for name in ORACLE_QUERIES:
+            # cross-query dataset memos (e.g. the minhash pair set shared by
+            # d_minhash_pairs/d_apply_fuzzy) would turn repeat samples into
+            # cache reads — every timed sample recomputes from the parquet
+            clear_dataset_memo()
             t0 = time.time()
             _consume(qmap[name](SF_DIR))
             q_samples[name].append(time.time() - t0)

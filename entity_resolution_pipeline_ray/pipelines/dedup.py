@@ -179,7 +179,6 @@ def _minhash_dup_pairs_plan(sf_dir: str, threshold: float, cfg: MinHashConfig):
         )
 
     blocks = sketches.map_batches(emit_keys, batch_format="pyarrow")
-    pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=500), num_partitions=nparts)
 
     def emit(li, ri, sl, sr) -> pa.Table:
         # est = k/num_perm is an exact dyadic rational — emitted UNROUNDED so
@@ -197,17 +196,24 @@ def _minhash_dup_pairs_plan(sf_dir: str, threshold: float, cfg: MinHashConfig):
 
     empty = _EMPTY_PAIRS.append_column("est_jaccard", pa.array([], type=pa.float64()))
     if n_docs <= BROADCAST_THRESHOLD_ROWS:
+        # fused verify: the broadcast payload is gathered INSIDE each pair-
+        # enumeration task, so only est>=threshold survivors (typically a tiny
+        # fraction of the ~num_bands-duplicated candidates) flow through the
+        # cross-band dedup sort — one pipeline stage fewer than
+        # enumerate → distinct → verify, and less data through the shuffle
         pref = ray.put(_broadcast_payload(sketches, "doc_id", ("minhash_sig",)))
 
-        def verify_b(t: pa.Table) -> pa.Table:
+        def verify_pairs(li, ri) -> pa.Table:
             pm = ray.get(pref)
-            if len(t) == 0 or pm is None:
+            if len(li) == 0 or pm is None:
                 return empty
-            li = t["left_id"].to_numpy(zero_copy_only=False)
-            ri = t["right_id"].to_numpy(zero_copy_only=False)
             return emit(li, ri, _payload_gather(pm, li, "minhash_sig"), _payload_gather(pm, ri, "minhash_sig"))
 
-        return pairs.map_batches(verify_b, batch_format="pyarrow")
+        return candidate_pairs(
+            blocks, BlockingConfig(max_block_size=500), num_partitions=nparts, pair_fn=verify_pairs
+        )
+
+    pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=500), num_partitions=nparts)
 
     def sig_bin(t: pa.Table) -> pa.Table:
         # joins reject list payloads — ship signatures as fixed-size binary

@@ -29,6 +29,12 @@ def memo_dataset(key: tuple, builder):
     return ds
 
 
+def clear_dataset_memo() -> None:
+    """Drop every memoized Dataset.  Benchmarks MUST call this before each
+    timed sample — a memo hit measures the cache, not the pipeline."""
+    _DS_MEMO.clear()
+
+
 @ray.remote
 def _block_num_rows(block) -> int:
     return block.num_rows

@@ -109,8 +109,10 @@ def hot_block_strides(blocks_ds, max_block_size: int) -> dict[int, int]:
     return {int(k): int(-(-int(s) // max_block_size)) for k, s in hot.items()}
 
 
-def candidate_pairs(blocks_ds, blocking_cfg: BlockingConfig, num_partitions: int = 32):
-    """blocks → distinct pairs(left_id, right_id), fully vectorized.
+def candidate_pairs(blocks_ds, blocking_cfg: BlockingConfig, num_partitions: int = 32, pair_fn=None):
+    """blocks → distinct pairs(left_id, right_id), fully vectorized.  With
+    ``pair_fn``, each enumeration task maps its pairs through it FIRST (fused
+    verification), so the cross-band dedup sort moves only the surviving rows.
 
     Plan: (1) find over-cap blocks (one small combiner census), broadcast
     their strides; (2) trim hot blocks row-locally; (3) range-sort by
@@ -147,7 +149,7 @@ def candidate_pairs(blocks_ds, blocking_cfg: BlockingConfig, num_partitions: int
         return batch.filter(pa.array(keep | ~is_hot))
 
     trimmed = blocks_ds.map_batches(trim, batch_format="pyarrow", batch_size=8192)
-    raw_pairs = sorted_group_pairs(trimmed)
+    raw_pairs = sorted_group_pairs(trimmed, pair_fn=pair_fn)
     return distinct_pairs(raw_pairs)
 
 
@@ -161,8 +163,22 @@ def _group_meta(t: pa.Table):
     return int(k[0]), int(k[-1]), head_n, int(t.num_rows)
 
 
+def _id_pairs_table(left: np.ndarray, right: np.ndarray, pair_fn) -> pa.Table:
+    """(left, right) id arrays → output rows.  With ``pair_fn`` the mapping —
+    e.g. fused sketch verification — runs INSIDE the enumeration task, so only
+    its (usually far smaller) output flows into the downstream dedup sort."""
+    if pair_fn is not None:
+        return pair_fn(left, right)
+    return pa.table(
+        {"left_id": pa.array(left, type=pa.int64()), "right_id": pa.array(right, type=pa.int64())}
+    )
+
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
 @ray.remote
-def _enum_group_pairs(t: pa.Table, drop_head: int, ext_take: list, *ext_tables):
+def _enum_group_pairs(t: pa.Table, drop_head: int, ext_take: list, pair_fn, *ext_tables):
     """Enumerate within-group pairs for every group STARTING in this block.
 
     ``drop_head`` leading rows belong to a group begun in an earlier block (its
@@ -176,9 +192,7 @@ def _enum_group_pairs(t: pa.Table, drop_head: int, ext_take: list, *ext_tables):
     parts += [e.slice(0, n) for e, n in zip(ext_tables, ext_take)]
     t = pa.concat_tables(parts)
     if t.num_rows < 2:
-        return pa.table(
-            {"left_id": pa.array([], type=pa.int64()), "right_id": pa.array([], type=pa.int64())}
-        )
+        return _id_pairs_table(_EMPTY_I64, _EMPTY_I64, pair_fn)
     k = t["block_key"].to_numpy(zero_copy_only=False)
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
@@ -187,23 +201,21 @@ def _enum_group_pairs(t: pa.Table, drop_head: int, ext_take: list, *ext_tables):
     cnt = np.repeat(sizes, sizes) - 1 - offs  # pairs each row leads within its group
     total = int(cnt.sum())
     if total == 0:
-        return pa.table(
-            {"left_id": pa.array([], type=pa.int64()), "right_id": pa.array([], type=pa.int64())}
-        )
+        return _id_pairs_table(_EMPTY_I64, _EMPTY_I64, pair_fn)
     left_pos = np.repeat(np.arange(len(k)), cnt)
     cum = np.concatenate(([0], np.cumsum(cnt)[:-1]))
     seq = np.arange(total) - np.repeat(cum, cnt) + 1
     right_pos = left_pos + seq
     m = np.unique(np.column_stack([ids[left_pos], ids[right_pos]]), axis=0)
     m = m[m[:, 0] < m[:, 1]]  # defensive: duplicate (key, doc) rows would pair with themselves
-    return pa.table(
-        {"left_id": pa.array(m[:, 0], type=pa.int64()), "right_id": pa.array(m[:, 1], type=pa.int64())}
-    )
+    return _id_pairs_table(m[:, 0], m[:, 1], pair_fn)
 
 
-def sorted_group_pairs(blocks_ds):
+def sorted_group_pairs(blocks_ds, pair_fn=None):
     """All within-group (left < right) pairs of a (block_key, doc_id) table via
-    range sort + per-block vectorized enumeration.
+    range sort + per-block vectorized enumeration.  ``pair_fn(left, right) →
+    pa.Table`` (optional) maps/filters the enumerated pairs inside each task —
+    the fused-verification hook.
 
     Partitioning assumption: after ``sort``, a key's rows are contiguous but
     may straddle sorted-block boundaries; each straddling group is owned by the
@@ -238,12 +250,10 @@ def sorted_group_pairs(blocks_ds):
             if jh < jn:  # group ends inside block j
                 break
             j += 1  # block j is entirely this key — keep chaining
-        out.append(_enum_group_pairs.remote(r, drop_head, ext_take, *ext_tabs))
+        out.append(_enum_group_pairs.remote(r, drop_head, ext_take, pair_fn, *ext_tabs))
     if not out:
         return blocks_ds.map_batches(
-            lambda t: pa.table(
-                {"left_id": pa.array([], type=pa.int64()), "right_id": pa.array([], type=pa.int64())}
-            ),
+            lambda t: _id_pairs_table(_EMPTY_I64, _EMPTY_I64, pair_fn),
             batch_format="pyarrow",
         )
     return rd.from_arrow_refs(out)
