@@ -235,6 +235,7 @@ def compute_doc_features(
     with_tfidf: bool = True,
     intern: str = "auto",
     intern_min_dup_fraction: float = 0.10,
+    intern_min_docs: int = 50_000,
 ):
     """docs → doc_features.
 
@@ -242,10 +243,14 @@ def compute_doc_features(
     deduplicated before embedding, /root/reference/src/batch_parallel_preprocessing.py:280
     + /root/reference/src/batch_parallel_embedding.py:108-116):
     - "auto" (default): a bottom-k sketch estimates the exact-duplicate
-      fraction; when >= ``intern_min_dup_fraction`` the signature/TF-IDF work
-      runs once per UNIQUE text and fans back out by content hash — the win on
-      boilerplate-heavy web corpora.  Below it, the direct path (the dedup
-      sort + fan-out join would cost more than the duplicate work saves).
+      fraction; when >= ``intern_min_dup_fraction`` AND the corpus has at
+      least ``intern_min_docs`` rows, the signature/TF-IDF work runs once per
+      UNIQUE text and fans back out by content hash — the win on
+      boilerplate-heavy web corpora.  Below either bound, the direct path:
+      the interned plan pays ~4 fixed pipeline barriers (hash materialize,
+      rep sort, rep vectorize, fan-out join — seconds of stage latency
+      regardless of data size), while the work it saves is proportional to
+      corpus size × dup fraction, so small corpora lose at ANY dup fraction.
     - "always" / "never": force the plan (tests pin both paths identical).
     """
     num_docs = None
@@ -261,7 +266,7 @@ def compute_doc_features(
     if intern == "auto":
         if num_docs is None:
             num_docs = docs_ds.count()
-        use_intern = (
+        use_intern = num_docs >= intern_min_docs and (
             estimate_duplicate_fraction(docs_ds, num_docs) >= intern_min_dup_fraction
         )
 
