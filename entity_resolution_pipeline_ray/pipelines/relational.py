@@ -305,19 +305,36 @@ def q_events_hourly(sf_dir: str):
     ev = _pq(sf_dir, "events", ["ts", "event_type", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
+        # shuffle an int64 epoch-hour key, not a timestamp: slimmer sort key,
+        # and Ray's sort-boundary sampling converts timestamp keys through
+        # numpy (day-aligned samples infer datetime64[D] and warn on the way
+        # back to Arrow)
+        hour = pc.floor_temporal(t["ts"], unit="hour")
         return pa.table(
             {
-                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "hour_us": pc.cast(hour, pa.int64()),
                 "event_type": t["event_type"],
                 "value": t["value"],
             }
         )
 
-    out = (
+    agg = (
         ev.map_batches(prep, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
+        .groupby(["event_type", "hour_us"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
     )
+
+    def restore(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.cast(t["hour_us"], pa.timestamp("us")),
+                "n_events": t["n_events"],
+                "total_value": t["total_value"],
+            }
+        )
+
+    out = agg.map_batches(restore, batch_format="pyarrow")
     return _round_cols(out, {"total_value": 6})
 
 
@@ -692,11 +709,13 @@ def q_hopping(sf_dir: str):
     ev = _pq(sf_dir, "events", ["ts", "value"])
 
     def explode(t: pa.Table) -> pa.Table:
-        w0 = pc.floor_temporal(t["ts"], unit="hour")
-        w1 = pc.subtract(w0, pa.scalar(3_600_000_000, type=pa.duration("us")))
+        # int64 epoch-µs shuffle key (see q_events_hourly: slimmer, and avoids
+        # Ray's numpy round-trip warning on day-aligned timestamp samples)
+        w0 = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
+        w1 = pc.subtract(w0, pa.scalar(3_600_000_000, type=pa.int64()))
         return pa.table(
             {
-                "window_start": pa.concat_arrays(
+                "window_us": pa.concat_arrays(
                     [w0.combine_chunks() if isinstance(w0, pa.ChunkedArray) else w0,
                      w1.combine_chunks() if isinstance(w1, pa.ChunkedArray) else w1]
                 ),
@@ -706,14 +725,14 @@ def q_hopping(sf_dir: str):
 
     agg = (
         ev.map_batches(explode, batch_format="pyarrow")
-        .groupby("window_start")
+        .groupby("window_us")
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
     )
 
     def rnd(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "window_start": t["window_start"],
+                "window_start": pc.cast(t["window_us"], pa.timestamp("us")),
                 "n_events": t["n_events"],
                 "total_value": pa.array(
                     np.round(t["total_value"].to_numpy(zero_copy_only=False), 6), type=pa.float64()
@@ -985,19 +1004,21 @@ def q_rollup(sf_dir: str):
     ev = _pq(sf_dir, "events", ["event_type", "ts", "value"])
 
     def project(t: pa.Table) -> pa.Table:
+        # int64 epoch-µs shuffle key (see q_events_hourly)
         return pa.table(
             {
                 "event_type": t["event_type"],
-                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "hour_us": pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64()),
                 "value": t["value"],
             }
         )
 
     base = (
         ev.map_batches(project, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
+        .groupby(["event_type", "hour_us"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
     ).to_pandas()
+    base["hour"] = pd.to_datetime(base.pop("hour_us"), unit="us")
     # rolled-up keys use explicit sentinels ('(all)' / epoch) on BOTH sides:
     # SQL NULLs would come back as NaT/None, and NaT never compares equal
     all_hour = pd.Timestamp("1970-01-01")
