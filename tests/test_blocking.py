@@ -96,3 +96,57 @@ def test_sorted_group_pairs_matches_bruteforce_across_boundaries():
     for lst in groups.values():
         exp.update(itertools.combinations(sorted(lst), 2))
     assert got == exp
+
+
+def test_sorted_group_pairs_pair_fn_fused():
+    """pair_fn runs inside each enumeration task and replaces the raw id-pair
+    output; the fused result must equal mapping the unfused pairs through the
+    same function (the minhash fused-verify contract)."""
+    from entity_resolution_pipeline_ray.stages.blocking import sorted_group_pairs
+
+    rng = np.random.RandomState(3)
+    keys = np.concatenate([rng.randint(0, 50, size=400), np.full(80, 9)])
+    ids = np.arange(len(keys), dtype=np.int64)
+    rng.shuffle(ids)
+    tbl = pa.table({"block_key": pa.array(keys.astype(np.int64)), "doc_id": pa.array(ids)})
+
+    def keep_even_sum(left, right):
+        left = np.asarray(left, dtype=np.int64)
+        right = np.asarray(right, dtype=np.int64)
+        m = (left + right) % 2 == 0
+        return pa.table(
+            {
+                "left_id": pa.array(left[m], type=pa.int64()),
+                "right_id": pa.array(right[m], type=pa.int64()),
+                "s": pa.array(left[m] + right[m], type=pa.int64()),
+            }
+        )
+
+    ds = rd.from_arrow(tbl).repartition(5)
+    fused = sorted_group_pairs(ds, pair_fn=keep_even_sum).to_pandas()
+    raw = sorted_group_pairs(ds).to_pandas()
+    exp = raw[(raw["left_id"] + raw["right_id"]) % 2 == 0].copy()
+    exp["s"] = exp["left_id"] + exp["right_id"]
+    key = ["left_id", "right_id"]
+    f = fused.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    assert len(f) == len(e) > 0
+    assert (f[key + ["s"]].to_numpy() == e[key + ["s"]].to_numpy()).all()
+
+
+def test_memo_dataset_caches_and_invalidates(ray_session):
+    from entity_resolution_pipeline_ray.rayops import clear_dataset_memo, memo_dataset
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return rd.from_arrow(pa.table({"x": pa.array([1, 2, 3], type=pa.int64())}))
+
+    clear_dataset_memo()
+    a = memo_dataset(("t_memo", "k"), build)
+    b = memo_dataset(("t_memo", "k"), build)
+    assert len(calls) == 1 and a is b and b.count() == 3
+    clear_dataset_memo()
+    memo_dataset(("t_memo", "k"), build)
+    assert len(calls) == 2
