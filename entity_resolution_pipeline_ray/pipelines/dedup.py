@@ -266,7 +266,6 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8):
         )
 
     blocks = hashed.map_batches(emit_keys, batch_format="pyarrow")
-    pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=500), num_partitions=nparts)
 
     def emit(li, ri, hl, hr) -> pa.Table:
         d = hamming64(np.asarray(hl, dtype=np.uint64), np.asarray(hr, dtype=np.uint64))
@@ -281,18 +280,21 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8):
 
     empty = _EMPTY_PAIRS.append_column("hamming", pa.array([], type=pa.int64()))
     if n_docs <= BROADCAST_THRESHOLD_ROWS:
+        # fused verify inside the enumeration tasks (see minhash plan): only
+        # Hamming<=max survivors flow through the cross-rotation dedup sort
         pref = ray.put(_broadcast_payload(hashed, "doc_id", ("simhash",)))
 
-        def verify_b(t: pa.Table) -> pa.Table:
+        def verify_pairs(li, ri) -> pa.Table:
             pm = ray.get(pref)
-            if len(t) == 0 or pm is None:
+            if len(li) == 0 or pm is None:
                 return empty
-            li = t["left_id"].to_numpy(zero_copy_only=False)
-            ri = t["right_id"].to_numpy(zero_copy_only=False)
             return emit(li, ri, _payload_gather(pm, li, "simhash"), _payload_gather(pm, ri, "simhash"))
 
-        return pairs.map_batches(verify_b, batch_format="pyarrow")
+        return candidate_pairs(
+            blocks, BlockingConfig(max_block_size=500), num_partitions=nparts, pair_fn=verify_pairs
+        )
 
+    pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=500), num_partitions=nparts)
     enriched = attach_pair_sides(
         pairs, hashed, id_col="doc_id", cols=("simhash",), num_partitions=nparts
     )
