@@ -65,14 +65,22 @@ def q1_pricing_summary(sf_dir: str):
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        # price and discount are 2-decimal values, so the product is an EXACT
+        # 4-decimal number: accumulate in integer 1e-4 units.  A float sum
+        # lands exactly on .005 boundaries (observed at sf0.001) where
+        # accumulation order — not math — decides the rounded cent; integer
+        # units make the engine and the SQL oracle bit-identical.
+        dp = t["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - t["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        dp_units = np.round(dp * 10_000.0).astype(np.int64)
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
                 "l_quantity": t["l_quantity"],
                 "l_extendedprice": t["l_extendedprice"],
-                "disc_price": disc_price,
+                "disc_units": pa.array(dp_units, type=pa.int64()),
             }
         )
 
@@ -85,7 +93,7 @@ def q1_pricing_summary(sf_dir: str):
         g = df.groupby(keys, sort=False, as_index=False).agg(
             sum_qty=("l_quantity", "sum"),
             sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
+            sum_disc_units=("disc_units", "sum"),
             count_order=("l_quantity", "size"),
         )
         return g
@@ -99,22 +107,29 @@ def q1_pricing_summary(sf_dir: str):
     agg = (
         pd.concat(parts).groupby(keys, sort=False, as_index=False).sum()
         if parts
-        else pd.DataFrame(columns=keys + ["sum_qty", "sum_base_price", "sum_disc_price", "count_order"])
+        else pd.DataFrame(columns=keys + ["sum_qty", "sum_base_price", "sum_disc_units", "count_order"])
     )
     agg["avg_qty"] = np.round(agg["sum_qty"] / agg["count_order"], 6)
     agg["avg_price"] = np.round(agg["sum_base_price"] / agg["count_order"], 4)
     agg["sum_base_price"] = np.round(agg["sum_base_price"], 2)
-    agg["sum_disc_price"] = np.round(agg["sum_disc_price"], 2)
+    # exact half-away-up from integer 1e-4 units to cents (positive sums)
+    agg["sum_disc_price"] = (
+        (agg["sum_disc_units"].astype(np.int64) + 50) // 100
+    ).astype(np.float64) / 100.0
+    agg = agg.drop(columns=["sum_disc_units"])
     agg["count_order"] = agg["count_order"].astype(np.int64)
     cols = keys + ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price", "count_order"]
     return pa.Table.from_pandas(agg[cols], preserve_index=False)
 
 
+# sum_disc_price accumulates in exact integer 1e-4 units with explicit
+# half-away-up to cents (see q1_pricing_summary: a float sum lands exactly
+# on .005 boundaries where accumulation order decides the rounded value)
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(floor((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) / 100) AS BIGINT) / 100.0 AS sum_disc_price,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        count(*) AS count_order
@@ -140,14 +155,20 @@ def q6_discount_revenue(sf_dir: str):
             ),
         )
         t = t.filter(m)
-        return pa.table({"rev": pc.multiply(t["l_extendedprice"], t["l_discount"])})
+        # exact integer 1e-4 units (price and discount are 2-decimal; see q1)
+        rev = t["l_extendedprice"].to_numpy(zero_copy_only=False) * t["l_discount"].to_numpy(
+            zero_copy_only=False
+        )
+        units = np.round(rev * 10_000.0).astype(np.int64)
+        return pa.table({"rev_units": pa.array(units, type=pa.int64())})
 
-    out = ds.map_batches(f, batch_format="pyarrow").aggregate(Sum("rev", alias_name="revenue"))
-    return pa.table({"revenue": [round(float(out["revenue"]), 2)]})
+    out = ds.map_batches(f, batch_format="pyarrow").aggregate(Sum("rev_units", alias_name="units"))
+    total = int(out["units"] or 0)
+    return pa.table({"revenue": [float((total + 50) // 100) / 100.0]})
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(floor((sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) + 50) / 100) AS BIGINT) / 100.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.02 AND l_quantity < 24
