@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_split_counts": R.q_split_counts,
         "q_asof_join": R.q_asof_join,
         "q_sessions": R.q_sessions,
+        "q_json_props": R.q_json_props,
         "q_running_total": R.q_running_total,
         "q_window_join": R.q_window_join,
         "q_pivot": R.q_pivot,
@@ -155,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "q_split_counts": R.Q_SPLIT_SQL,
         "q_asof_join": R.Q_ASOF_SQL,
         "q_sessions": R.Q_SESSIONS_SQL,
+        "q_json_props": R.Q_JSON_PROPS_SQL,
         "q_running_total": R.Q_RUNNING_SQL,
         "q_window_join": R.Q_WINDOW_JOIN_SQL,
         "q_pivot": R.Q_PIVOT_SQL,

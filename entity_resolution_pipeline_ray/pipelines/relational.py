@@ -538,6 +538,36 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
 """
 
 
+def q_json_props(sf_dir: str):
+    """Semi-structured extraction: pull the integer field ``k`` out of the
+    JSON ``props`` column and aggregate per event_type.  The extraction is a
+    vectorized RE2 kernel (``pc.extract_regex``) — no per-row ``json.loads``
+    in the hot path; for nested/irregular JSON the same stage swaps in a
+    per-batch parser without touching the plan.  The web-pipeline analog is
+    pulling fields out of WARC/WET metadata records at read time."""
+    ev = _pq(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k"\s*:\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    out = (
+        ev.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"), Max("k", alias_name="max_k"))
+    )
+    return out
+
+
+Q_JSON_PROPS_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
 def q_sessions(sf_dir: str, gap_minutes: int = 30):
     """Session windows: per-user event runs split at inactivity gaps > 30 min
     (streaming-shaped; ray_guide session-window pattern — sort within group,
