@@ -449,16 +449,11 @@ def p_curation_pipeline(sf_dir: str):
     per hash (exactly the min-doc_id winner, the d_apply_exact plan), then the
     two filters compute inline on the surviving batches.  No hash-aggregate
     and no join — the corpus moves once.  Output: surviving doc_ids."""
-    from ..functions.hashing import md5_hex
-    from ..functions.text import normalize_whitespace_arrow
     from ..rayops import first_per_key
-
-    def with_hash(t: pa.Table) -> pa.Table:
-        norm = normalize_whitespace_arrow(t["text"])
-        return t.append_column("text_hash", pa.array(md5_hex(norm.to_pylist()), type=pa.string()))
+    from .text_analysis import append_md5_text_hash
 
     docs = _docs(sf_dir, ["doc_id", "text", "lang"])
-    hashed = docs.map_batches(with_hash, batch_format="pyarrow")
+    hashed = docs.map_batches(append_md5_text_hash, batch_format="pyarrow")
     kept = first_per_key(hashed, "text_hash", order_col="doc_id")
 
     def filters(t: pa.Table) -> pa.Table:

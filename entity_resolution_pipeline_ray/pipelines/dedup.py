@@ -740,17 +740,10 @@ def dedup_apply_exact(sf_dir: str):
     group.  This moves the corpus once; the previous
     groupby-min + hash-semi-join plan moved it twice and paid two
     hash-shuffle actor ramps (8.4s → ~1s at the sf0.01 query gate)."""
-    from ..functions.hashing import md5_hex
-    from ..functions.text import normalize_whitespace_arrow
-
-    def with_hash(t: pa.Table) -> pa.Table:
-        norm = normalize_whitespace_arrow(t["text"])
-        return t.append_column(
-            "text_hash", pa.array(md5_hex(norm.to_pylist()), type=pa.string())
-        )
+    from .text_analysis import append_md5_text_hash
 
     docs = _docs(sf_dir)
-    hashed = docs.map_batches(with_hash, batch_format="pyarrow")
+    hashed = docs.map_batches(append_md5_text_hash, batch_format="pyarrow")
     kept = first_per_key(hashed, "text_hash", order_col="doc_id")
     return kept.select_columns(["doc_id", "text"])
 

@@ -170,6 +170,8 @@ def pairwise_f1_against_gold(clusters_ds, labeled_pairs: pa.Table) -> dict:
 
     li = doc_id_for_urls(labeled_pairs["left_url"].to_pylist()).astype(np.int64)
     ri = doc_id_for_urls(labeled_pairs["right_url"].to_pylist()).astype(np.int64)
+    if len(li) == 0:  # no labeled pairs: zero-count metrics, not a task crash
+        return {"precision": 0.0, "recall": 0.0, "f1": 0.0, "tp": 0, "fp": 0, "fn": 0, "n_pairs": 0}
     wanted = np.unique(np.concatenate([li, ri]))
     wanted_ref = ray.put(wanted)
 

@@ -50,11 +50,17 @@ SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_text FROM do
 """
 
 
-def _with_hash(t: pa.Table) -> pa.Table:
+def append_md5_text_hash(t: pa.Table) -> pa.Table:
+    """Append the M3 interning hash (md5 of whitespace-normalized text) to the
+    batch — THE single definition of the exact-dedup key; `_with_hash`,
+    d_apply_exact and p_curation_pipeline all derive from it so the key can
+    never silently diverge from the t_string_hash oracle."""
     norm = normalize_whitespace_arrow(t["text"])
-    return pa.table(
-        {"doc_id": t["doc_id"], "text_hash": pa.array(md5_hex(norm.to_pylist()), type=pa.string())}
-    )
+    return t.append_column("text_hash", pa.array(md5_hex(norm.to_pylist()), type=pa.string()))
+
+
+def _with_hash(t: pa.Table) -> pa.Table:
+    return append_md5_text_hash(t).select(["doc_id", "text_hash"])
 
 
 def t_string_hash(sf_dir: str):

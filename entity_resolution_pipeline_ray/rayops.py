@@ -41,6 +41,67 @@ def _block_num_rows(block) -> int:
 
 
 @ray.remote
+def _group_meta_key(t, key_col: str):
+    """(first_key, last_key, head_run_len, n_rows) of one sorted block."""
+    import numpy as np
+
+    if t.num_rows == 0:
+        return None
+    k = t[key_col].to_numpy(zero_copy_only=False)
+    head_n = int(np.searchsorted(k, k[0], side="right"))
+    return k[0], k[-1], head_n, int(t.num_rows)
+
+
+@ray.remote
+def _apply_group_fn(fn, t, drop_head: int, ext_take: list, *ext_tables):
+    import pyarrow as pa
+
+    parts = [t.slice(drop_head)] + [e.slice(0, n) for e, n in zip(ext_tables, ext_take)]
+    return fn(pa.concat_tables(parts))
+
+
+def map_sorted_groups(ds, key_col: str, fn, empty_result):
+    """Per-group transform without a hash shuffle: range-sort by ``key_col``,
+    then one task per sorted block applies ``fn`` to the COMPLETE groups that
+    START in that block (groups straddling block boundaries are handed the
+    continuation rows of following blocks — tiny slices, not a shuffle; the
+    same discipline as blocking.sorted_group_pairs).  ``fn(table) → pa.Table``
+    must handle several groups per call (rows arrive key-contiguous) and an
+    arbitrary intra-group row order.  This replaces
+    ``groupby(key).map_groups(fn)`` for row-cardinality keys, where Ray's
+    hash-aggregate finalizer (~10-15k groups/s) dominates.  ``empty_result``
+    pins the output schema when the input is empty."""
+    import pyarrow as pa  # noqa: F401
+
+    sorted_ds = ds.sort(key_col).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    metas = ray.get([_group_meta_key.remote(r, key_col) for r in refs])
+    live = [(r, m) for r, m in zip(refs, metas) if m is not None]
+    out = []
+    for i, (r, (first, last, head_n, n_rows)) in enumerate(live):
+        prev_last = live[i - 1][1][1] if i > 0 else None
+        drop_head = head_n if (prev_last is not None and first == prev_last) else 0
+        if drop_head == n_rows:
+            continue  # whole block belongs to a group owned by an earlier block
+        ext_take: list[int] = []
+        ext_tabs = []
+        j = i + 1
+        while j < len(live):
+            jr, (jf, jl, jh, jn) = live[j]
+            if jf != last:
+                break
+            ext_take.append(jh)
+            ext_tabs.append(jr)
+            if jh < jn:  # the group ends inside block j
+                break
+            j += 1  # block j is entirely this key — keep chaining
+        out.append(_apply_group_fn.remote(fn, r, drop_head, ext_take, *ext_tabs))
+    if not out:
+        return rd.from_arrow(empty_result)
+    return rd.from_arrow_refs(out)
+
+
+@ray.remote
 def _block_last_key(t, key_col: str):
     return t[key_col][-1].as_py() if t.num_rows else None
 
@@ -271,16 +332,30 @@ def list_float_matrix(col, dtype="float64"):
     """(n, d) matrix from a list<float>/fixed_size_list<float> column via ONE
     list-flatten (zero-copy from the Arrow buffer, then a single vectorized
     dtype cast) — never per-row ``to_pylist``.  Rows must be uniform length
-    (the embedding-column contract; enforced by reshape)."""
+    and non-null (the embedding-column contract): ``flatten()`` silently DROPS
+    null rows' values, which would misalign every subsequent row, so nulls and
+    ragged rows are rejected explicitly rather than trusted to break the
+    reshape (len(flat) can still divide n by accident)."""
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(arr)
     flat = np.asarray(arr.flatten().to_numpy(zero_copy_only=False))
     if n == 0:
         return flat.astype(dtype, copy=False).reshape(0, 0)
-    return flat.astype(dtype, copy=False).reshape(n, len(flat) // n)
+    if arr.null_count:
+        raise ValueError(f"list_float_matrix: {arr.null_count} null row(s) in embedding column")
+    width = getattr(arr.type, "list_size", None)  # fixed_size_list carries it
+    if width is None:
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        width = int(lens[0])
+        if (lens != width).any():
+            raise ValueError("list_float_matrix: ragged rows in embedding column")
+    if len(flat) != n * width:
+        raise ValueError(f"list_float_matrix: {len(flat)} values != {n} rows x {width}")
+    return flat.astype(dtype, copy=False).reshape(n, width)
 
 
 def pack_ragged_column(col, dtype) -> "pa.Array":
@@ -299,7 +374,14 @@ def pack_ragged_column(col, dtype) -> "pa.Array":
     if flat.dtype != dtype:
         flat = flat.astype(dtype)
     lens = pc.fill_null(pc.list_value_length(lc), 0).to_numpy(zero_copy_only=False).astype(np.int64)
-    offs = np.concatenate([[0], np.cumsum(lens * dtype.itemsize)]).astype(np.int32)
+    offs64 = np.concatenate([[0], np.cumsum(lens * dtype.itemsize)])
+    if offs64[-1] > np.iinfo(np.int32).max:
+        # int32 astype would WRAP silently and corrupt every slice boundary
+        raise ValueError(
+            f"pack_ragged_column: {offs64[-1]} payload bytes exceed the 2 GiB "
+            "binary-offset limit — shrink batch_size for this stage"
+        )
+    offs = offs64.astype(np.int32)
     return pa.Array.from_buffers(
         pa.binary(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())]
     )

@@ -9,13 +9,14 @@ one of three methods (:494-539): 'average' (A6 mode of candidates), 'weighted'
 Ray-native re-expression, fully distributed: a doc with a null field finds its
 candidates in the blocks it already shares (the LSH neighborhood replaces the
 ANN query — same substitution as candidate generation), similarity = MinHash
-agreement, and the fill is computed per null doc inside ``map_groups``:
+agreement, and the fill is computed per null doc in boundary-aware sorted
+block tasks (``rayops.map_sorted_groups`` — no hash shuffle):
 
     blocks restricted to null blocks
-      → per-block null × donor edges (map_groups over block_key)
+      → per-block null × donor edges (sorted block tasks over block_key)
       → sort-based distinct edges (a pair repeats once per shared band)
       → payload attach via hash joins (sig for both sides, donor value)
-      → per-null-doc top-k + fill (map_groups over doc_id)
+      → per-null-doc top-k + fill (sorted block tasks over doc_id)
 
 Driver state is limited to ID SETS proportional to the null set (null doc ids,
 null block keys, involved doc ids) — broadcast for pruning filters.  Payloads
@@ -34,19 +35,18 @@ from ..config import BlockingConfig, MinHashConfig
 from ..functions.similarity import minhash_agreement
 from ..stages.blocking import distinct_pairs, emit_block_keys
 
-_EMPTY_RESULT_COLS = ("doc_id", "imputed_{field}", "n_donors")
+def _empty_result_table(field: str) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            f"imputed_{field}": pa.array([], type=pa.string()),
+            "n_donors": pa.array([], type=pa.int64()),
+        }
+    )
 
 
 def _empty_result(field: str):
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "doc_id": pa.array([], type=pa.int64()),
-                f"imputed_{field}": pa.array([], type=pa.string()),
-                "n_donors": pa.array([], type=pa.int64()),
-            }
-        )
-    )
+    return ray.data.from_arrow(_empty_result_table(field))
 
 
 def _member_mask(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
@@ -79,7 +79,14 @@ def impute_field(
     """
     import pyarrow.compute as pc
 
-    from ..rayops import adaptive_partitions, attach_pair_sides, pack_matrix, safe_join, unpack_matrix
+    from ..rayops import (
+        adaptive_partitions,
+        attach_pair_sides,
+        map_sorted_groups,
+        pack_matrix,
+        safe_join,
+        unpack_matrix,
+    )
 
     if method not in ("average", "weighted", "nearest"):
         raise ValueError(f"unknown imputation method {method!r}")
@@ -129,25 +136,41 @@ def impute_field(
 
     blocks_f = blocks.map_batches(in_null_blocks, batch_format="pyarrow")
 
-    # 4. per-block null × donor candidate edges — DISTRIBUTED map_groups over
-    #    block_key (the null-block table is null-neighborhood-proportional)
+    # 4. per-block null × donor candidate edges — range-sort by block_key +
+    #    boundary-aware block tasks (rayops.map_sorted_groups), NOT a hash
+    #    groupby: the null-block table is null-neighborhood-proportional but
+    #    its group count is row-cardinality, exactly where Ray's hash-
+    #    aggregate finalizer (~10-15k groups/s) dominates
+    _empty_edges = pa.table(
+        {"left_id": pa.array([], type=pa.int64()), "right_id": pa.array([], type=pa.int64())}
+    )
+
     def block_edges(g: pa.Table) -> pa.Table:
+        # g holds one or more COMPLETE key-contiguous block groups
+        if g.num_rows == 0:
+            return _empty_edges
         ns = ray.get(null_ref)
+        keys = g["block_key"].to_numpy(zero_copy_only=False)
         ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         isn = _member_mask(ids, ns)
-        nd, dn = ids[isn], ids[~isn]
-        if len(nd) == 0 or len(dn) == 0:
-            return pa.table(
-                {"left_id": pa.array([], type=pa.int64()), "right_id": pa.array([], type=pa.int64())}
-            )
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        ls, rs = [], []
+        for s, e in zip(starts, ends):
+            nd, dn = ids[s:e][isn[s:e]], ids[s:e][~isn[s:e]]
+            if len(nd) and len(dn):
+                ls.append(np.repeat(nd, len(dn)))
+                rs.append(np.tile(dn, len(nd)))
+        if not ls:
+            return _empty_edges
         return pa.table(
             {
-                "left_id": pa.array(np.repeat(nd, len(dn)), type=pa.int64()),
-                "right_id": pa.array(np.tile(dn, len(nd)), type=pa.int64()),
+                "left_id": pa.array(np.concatenate(ls), type=pa.int64()),
+                "right_id": pa.array(np.concatenate(rs), type=pa.int64()),
             }
         )
 
-    raw_edges = blocks_f.groupby("block_key").map_groups(block_edges, batch_format="pyarrow")
+    raw_edges = map_sorted_groups(blocks_f, "block_key", block_edges, _empty_edges)
     # a (null, donor) pair repeats once per shared block — sort-based dedup
     edges = distinct_pairs(raw_edges).materialize()
     n_edges = edges.count()
@@ -169,7 +192,10 @@ def impute_field(
     ]
     involved_np = np.unique(np.concatenate(inv_parts))
     inv_ref = ray.put(involved_np)
-    num_perm = minhash_cfg.num_perm
+    # signature width comes from the FEATURES' schema, not the caller's cfg —
+    # a cfg/features num_perm mismatch must not garble the reshape
+    ftype = doc_features_ds.schema().types[doc_features_ds.schema().names.index("minhash_sig")]
+    num_perm = ftype.list_size
 
     def sig_rows(t: pa.Table) -> pa.Table:
         inv = ray.get(inv_ref)
@@ -235,44 +261,50 @@ def impute_field(
 
     scored = enriched.map_batches(score_edges, batch_format="pyarrow")
 
-    # 7. per-null-doc fill — DISTRIBUTED map_groups; the driver never sees the
-    #    candidate lists.  Donor order within a group is pinned to ascending
-    #    donor id before the stable top-k sort, so ties in similarity resolve
-    #    to the lowest donor id (deterministic across plans and runs).
-    def fill_group(g: pa.Table) -> pa.Table:
+    # 7. per-null-doc fill — range-sort by left_id + boundary-aware block
+    #    tasks (no hash shuffle; group count = null docs is row-cardinality).
+    #    Donor order within a group is pinned to ascending donor id before the
+    #    stable top-k sort, so ties in similarity resolve to the lowest donor
+    #    id (deterministic across plans and runs); the driver never sees the
+    #    candidate lists.
+    def fill_groups(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    f"imputed_{field}": pa.array([], type=pa.string()),
-                    "n_donors": pa.array([], type=pa.int64()),
-                }
-            )
-        donors = g["right_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(donors, kind="mergesort")
-        sims = g["sim"].to_numpy(zero_copy_only=False)[order]
-        vals = np.asarray(g["donor_val"].to_pylist(), dtype=object)[order]
-        if len(sims) > max_candidates:
-            top = np.argsort(-sims, kind="mergesort")[:max_candidates]
-            sims, vals = sims[top], vals[top]
-        if method == "nearest":
-            fill = str(vals[int(np.argmax(sims))])
-        elif method == "weighted":
-            scores: dict[str, float] = {}
-            for v, s in zip(vals, sims):
-                scores[str(v)] = scores.get(str(v), 0.0) + float(s)
-            fill = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
-        else:  # average -> mode, ties to lexicographically smallest (deterministic)
-            counts: dict[str, int] = {}
-            for v in vals:
-                counts[str(v)] = counts.get(str(v), 0) + 1
-            fill = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            return _empty_result_table(field)
+        lids = g["left_id"].to_numpy(zero_copy_only=False)
+        donors_all = g["right_id"].to_numpy(zero_copy_only=False)
+        sims_all = g["sim"].to_numpy(zero_copy_only=False)
+        vals_all = np.asarray(g["donor_val"].to_pylist(), dtype=object)
+        starts = np.flatnonzero(np.r_[True, lids[1:] != lids[:-1]])
+        ends = np.r_[starts[1:], len(lids)]
+        out_doc, out_val, out_n = [], [], []
+        for s, e in zip(starts, ends):
+            order = np.argsort(donors_all[s:e], kind="mergesort")
+            sims = sims_all[s:e][order]
+            vals = vals_all[s:e][order]
+            if len(sims) > max_candidates:
+                top = np.argsort(-sims, kind="mergesort")[:max_candidates]
+                sims, vals = sims[top], vals[top]
+            if method == "nearest":
+                fill = str(vals[int(np.argmax(sims))])
+            elif method == "weighted":
+                scores: dict[str, float] = {}
+                for v, sim in zip(vals, sims):
+                    scores[str(v)] = scores.get(str(v), 0.0) + float(sim)
+                fill = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            else:  # average -> mode, ties to lexicographically smallest
+                counts: dict[str, int] = {}
+                for v in vals:
+                    counts[str(v)] = counts.get(str(v), 0) + 1
+                fill = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            out_doc.append(int(lids[s]))
+            out_val.append(fill)
+            out_n.append(len(sims))
         return pa.table(
             {
-                "doc_id": pa.array([int(g["left_id"][0].as_py())], type=pa.int64()),
-                f"imputed_{field}": pa.array([fill], type=pa.string()),
-                "n_donors": pa.array([len(sims)], type=pa.int64()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                f"imputed_{field}": pa.array(out_val, type=pa.string()),
+                "n_donors": pa.array(out_n, type=pa.int64()),
             }
         )
 
-    return scored.groupby("left_id").map_groups(fill_group, batch_format="pyarrow")
+    return map_sorted_groups(scored, "left_id", fill_groups, _empty_result_table(field))
