@@ -35,25 +35,36 @@ def entry() -> Any:
     return er_clusters_with_urls(spec_for_sf(0.001))
 
 
-def _er_query(sf_dir: str):
-    from entity_resolution_pipeline_ray.pipelines.er import er_clusters_with_urls
+def _gate_spec(sf_dir: str):
     from entity_resolution_pipeline_ray.sources.pages import PagesSpec, sf_of_dir
 
     sf = sf_of_dir(sf_dir)
     # query-gate corpus: big enough to exercise every stage, small enough for
     # the per-query driver budget
-    spec = PagesSpec(num_pages=2000 if sf <= 0.001 else 4000, num_shards=8)
-    return er_clusters_with_urls(spec)
+    return PagesSpec(num_pages=2000 if sf <= 0.001 else 4000, num_shards=8)
 
 
-def _er_extract_query(sf_dir: str):
-    from entity_resolution_pipeline_ray.sources.pages import PagesSpec, sf_of_dir
+def _gate_docs(spec):
+    """Extracted docs for the gate corpus, memoized — er_extract and
+    er_clusters share the same deterministic corpus, so the driver's sweep
+    generates and extracts it once (bench never uses these helpers)."""
+    from entity_resolution_pipeline_ray.rayops import memo_dataset
     from entity_resolution_pipeline_ray.sources.pages import pages_dataset
     from entity_resolution_pipeline_ray.stages.extract import extract_docs
 
-    sf = sf_of_dir(sf_dir)
-    spec = PagesSpec(num_pages=2000 if sf <= 0.001 else 4000, num_shards=8)
-    return extract_docs(pages_dataset(spec)).select_columns(["url", "title", "domain", "text"])
+    return memo_dataset(("gate_docs", spec), lambda: extract_docs(pages_dataset(spec)))
+
+
+def _er_query(sf_dir: str):
+    from entity_resolution_pipeline_ray.pipelines.er import er_clusters_from_docs
+    from entity_resolution_pipeline_ray.sources.pages import labeled_pairs_table
+
+    spec = _gate_spec(sf_dir)
+    return er_clusters_from_docs(_gate_docs(spec), labeled_pairs_table(spec))
+
+
+def _er_extract_query(sf_dir: str):
+    return _gate_docs(_gate_spec(sf_dir)).select_columns(["url", "title", "domain", "text"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -33,6 +33,7 @@ def run_er_pipeline(
     *,
     model: LRModel | None = None,
     materialize_intermediate: bool = True,
+    docs_ds=None,
 ):
     """Full ER run.  Returns dict with clusters Dataset, model, and stage handles.
 
@@ -53,7 +54,9 @@ def run_er_pipeline(
             print(f"[er] {name}: {_time.time()-_t0[0]:.1f}s", file=_sys.stderr, flush=True)
         _t0[0] = _time.time()
 
-    docs = extract_docs(pages_ds)
+    # docs_ds short-circuits extraction for callers that already hold
+    # extracted docs (e.g. the query gate sharing one corpus across queries)
+    docs = docs_ds if docs_ds is not None else extract_docs(pages_ds)
     if materialize_intermediate:
         docs = docs.materialize()
     _tick("extract")
@@ -317,11 +320,22 @@ def er_clusters_with_urls(spec: PagesSpec, cfg: ERConfig = DEFAULT_CONFIG):
     """Run ER on the spec corpus and return clusters keyed by url
     (url, cluster_id) — the reference's cluster export shape
     (/root/reference/src/batch_parallel_classification.py:955-961)."""
+    return _attach_urls(run_er_on_spec(spec, cfg), spec.num_pages, cfg)
+
+
+def er_clusters_from_docs(docs_ds, labeled_pairs: pa.Table, cfg: ERConfig = DEFAULT_CONFIG):
+    """`er_clusters_with_urls` for callers that already hold EXTRACTED docs
+    (the driver query gate shares one extracted corpus across er_extract and
+    er_clusters)."""
+    res = run_er_pipeline(None, labeled_pairs, cfg, docs_ds=docs_ds)
+    return _attach_urls(res, docs_ds.count(), cfg)
+
+
+def _attach_urls(res: dict, n_rows: int, cfg: ERConfig):
     from ..rayops import adaptive_partitions, safe_join
 
-    res = run_er_on_spec(spec, cfg)
     url_map = res["docs"].select_columns(["doc_id", "url"])
-    if spec.num_pages <= cfg.execution.broadcast_threshold_rows:
+    if n_rows <= cfg.execution.broadcast_threshold_rows:
         # broadcast gather: the url map fits the object store comfortably —
         # ship (sorted ids, fixed-width url array) once and searchsorted-gather
         # per batch.  Avoids a hash-join aggregator-actor ramp that dominates
@@ -345,7 +359,7 @@ def er_clusters_with_urls(spec: PagesSpec, cfg: ERConfig = DEFAULT_CONFIG):
     joined = safe_join(
         res["clusters"],
         url_map,
-        num_partitions=adaptive_partitions(spec.num_pages, cap=cfg.execution.join_num_partitions),
+        num_partitions=adaptive_partitions(n_rows, cap=cfg.execution.join_num_partitions),
         on=("doc_id",),
         right_on=("doc_id",),
     )
