@@ -150,3 +150,48 @@ def test_memo_dataset_caches_and_invalidates(ray_session):
     clear_dataset_memo()
     memo_dataset(("t_memo", "k"), build)
     assert len(calls) == 2
+
+
+def test_map_sorted_groups_matches_pandas_groupby(ray_session):
+    """map_sorted_groups must see every group exactly once and complete, no
+    matter how groups straddle sorted-block boundaries (incl. one giant key
+    spanning several blocks)."""
+    import pandas as pd
+
+    from entity_resolution_pipeline_ray.rayops import map_sorted_groups
+
+    rng = np.random.RandomState(11)
+    keys = np.concatenate([rng.randint(0, 40, size=600), np.full(500, 7)])
+    vals = rng.randint(0, 1000, size=len(keys))
+    tbl = pa.table({"k": pa.array(keys.astype(np.int64)), "v": pa.array(vals.astype(np.int64))})
+
+    def summarize(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"k": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        k = g["k"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        return pa.table({"k": pa.array(k[starts], type=pa.int64()),
+                         "s": pa.array([int(v[s:e].sum()) for s, e in zip(starts, ends)], type=pa.int64()),
+                         "n": pa.array((ends - starts).astype(np.int64), type=pa.int64())})
+
+    empty = summarize(tbl.slice(0, 0))
+    got = (
+        map_sorted_groups(rd.from_arrow(tbl).repartition(9), "k", summarize, empty)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame({"k": keys, "v": vals}).groupby("k", as_index=False)
+        .agg(s=("v", "sum"), n=("v", "size")).sort_values("k").reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
+    assert (got["s"].to_numpy() == exp["s"].to_numpy()).all()
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+    # empty input keeps the schema (check the Dataset schema — an empty
+    # Dataset's to_pandas() drops columns, a known Ray quirk)
+    e = map_sorted_groups(rd.from_arrow(tbl.slice(0, 0)), "k", summarize, empty)
+    assert e.schema().names == ["k", "s", "n"] and e.count() == 0
