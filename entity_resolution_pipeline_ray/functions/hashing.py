@@ -14,6 +14,8 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 # Reference uses a fixed constant hash for empty strings (src/utils.py:99).
 EMPTY_MD5_HEX = hashlib.md5(b"").hexdigest()
@@ -151,6 +153,43 @@ def md5_u64_arr(strings) -> np.ndarray:
     out = np.empty(len(strings), dtype=np.uint64)
     for i, s in enumerate(strings):
         out[i] = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+    return out
+
+
+def md5_u64_dict(strings: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """``md5_u64_arr`` over an Arrow string array, hashing each DISTINCT
+    string once: web tokens/shingles are zipfian, so dictionary-encode,
+    md5 only the dictionary, then gather.  Returns uint64 per input row."""
+    if len(strings) == 0:
+        return np.empty(0, dtype=np.uint64)
+    enc = pc.dictionary_encode(strings)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    uniq_hashes = md5_u64_arr(enc.dictionary.to_pylist())
+    return uniq_hashes[enc.indices.to_numpy(zero_copy_only=False)]
+
+
+def simhash64_flat(tok_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """``simhash64`` from pre-hashed flat tokens + doc offsets.
+
+    The expensive part (md5 per token) is paid once upstream via
+    ``md5_u64_dict``; here each doc's (n_tokens, 64) bit matrix comes from one
+    ``np.unpackbits`` pass over the little-endian byte view (column j == bit
+    j) and stays cache-sized — a corpus-wide bit matrix + segmented cumsum
+    measured 10× slower (same lesson as minhash reduceat).  Empty docs hash
+    to 0 (same as ``simhash64``)."""
+    n = np.diff(offsets).astype(np.int64)
+    out = np.zeros(len(n), dtype=np.uint64)
+    if tok_hashes.size == 0:
+        return out
+    bits = np.arange(64, dtype=np.uint64)
+    bytes_view = np.ascontiguousarray(tok_hashes).view(np.uint8).reshape(-1, 8)
+    for i in range(len(n)):
+        if n[i] == 0:
+            continue
+        bitmat = np.unpackbits(bytes_view[offsets[i] : offsets[i + 1]], axis=1, bitorder="little")
+        votes = bitmat.sum(axis=0, dtype=np.int64) * 2 - n[i]
+        out[i] = ((votes > 0).astype(np.uint64) << bits).sum(dtype=np.uint64)
     return out
 
 

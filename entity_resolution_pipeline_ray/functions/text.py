@@ -116,6 +116,89 @@ def word_shingles(tokens: list[str], k: int) -> list[str]:
     return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
 
 
+def token_lists_arrow(col: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Vectorized ``word_tokens`` over a whole string column (one C++ pass).
+
+    Token spec = the oracle's: ``regexp_extract_all(lower(coalesce(text, '')),
+    '[0-9a-z_]+')`` — ASCII word runs of the lowered text, extracted as a
+    split on ``[^0-9a-z_]+`` with boundary empties dropped.  Identical to the
+    per-string ``word_tokens`` (Python ``\\w+``) on ASCII corpora — every
+    oracle corpus here — and on non-ASCII input it keeps the ORACLE's
+    semantics (non-ASCII letters separate) where ``\\w+`` would keep them.
+
+    Returns ``(flat_tokens, offsets)``: doc ``d``'s tokens are
+    ``flat_tokens[offsets[d]:offsets[d+1]]``; null/empty docs have none.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lower = pc.utf8_lower(pc.fill_null(col, ""))
+    lists = pc.split_pattern_regex(lower, pattern="[^0-9a-z_]+")
+    n_raw = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    raw_offs = np.concatenate(([0], np.cumsum(n_raw, dtype=np.int64)))
+    kept_cum = np.concatenate(([0], np.cumsum(keep_np, dtype=np.int64)))
+    return flat.filter(keep), kept_cum[raw_offs]
+
+
+def shingle_lists(
+    flat: pa.Array, offsets: np.ndarray, k: int, short: str = "join"
+) -> tuple[pa.Array, np.ndarray]:
+    """Vectorized ``word_shingles`` over tokenized docs in (flat, offsets) form.
+
+    Per doc with n tokens: ``n > k`` → the n-k+1 space-joined k-grams;
+    ``1 <= n <= k`` → the single whole-token join (``short="join"``,
+    ``word_shingles`` parity) or nothing (``short="drop"``, the
+    decontamination n-gram rule); ``n == 0`` → none.  The k-gram join is ONE
+    ``binary_join_element_wise`` over k shifted views of the flat token
+    array; windows crossing a document boundary are masked out (no Python
+    per doc).  Returns ``(flat_shingles, sh_offsets)``.
+    """
+    n = np.diff(offsets)
+    n_docs = len(n)
+    n_tok = len(flat)
+    if short == "drop":
+        cnt = np.maximum(n - k + 1, 0).astype(np.int64)
+    else:
+        cnt = np.where(n == 0, 0, np.maximum(n - k + 1, 1)).astype(np.int64)
+    sh_offs = np.concatenate(([0], np.cumsum(cnt)))
+    total = int(sh_offs[-1])
+    if total == 0:
+        return pa.array([], type=pa.string()), sh_offs
+    # docs with n >= k: every k-token window, computed globally then masked
+    a_vals = None
+    if n_tok >= k:
+        parts = [flat.slice(j, n_tok - k + 1) for j in range(k)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+        valid = doc_idx[: n_tok - k + 1] == doc_idx[k - 1 :]
+        a_vals = joined.filter(pa.array(valid))
+    n_a = len(a_vals) if a_vals is not None else 0
+    # docs with 1 <= n < k: one shingle = the whole-token join (unless dropped)
+    is_b = (n > 0) & (n < k) if short != "drop" else np.zeros(n_docs, dtype=bool)
+    b_idx = np.flatnonzero(is_b)
+    if len(b_idx) == 0:
+        return a_vals if a_vals is not None else pa.array([], type=pa.string()), sh_offs
+    all_lists = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), flat)
+    b_vals = pc.binary_join(all_lists.take(pa.array(b_idx, type=pa.int64())), " ")
+    if isinstance(b_vals, pa.ChunkedArray):
+        b_vals = b_vals.combine_chunks()
+    b_vals = b_vals.cast(pa.string())
+    if n_a == 0:
+        return b_vals, sh_offs
+    # interleave: A docs' windows are contiguous in a_vals in doc order; each
+    # B doc contributes exactly one b_vals entry, also in doc order
+    combined = pa.concat_arrays([a_vals.cast(pa.string()), b_vals])
+    is_a = n >= k
+    a_start = np.concatenate(([0], np.cumsum(np.where(is_a, cnt, 0))))[:-1]
+    b_rank = np.cumsum(is_b) - 1
+    out_doc = np.repeat(np.arange(n_docs, dtype=np.int64), cnt)
+    within = np.arange(total, dtype=np.int64) - np.repeat(sh_offs[:-1], cnt)
+    src = np.where(is_a[out_doc], a_start[out_doc] + within, n_a + b_rank[out_doc])
+    return combined.take(pa.array(src, type=pa.int64())), sh_offs
+
+
 def nullify_sentinels(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Replace reference null-sentinel strings with real Arrow nulls."""
     if isinstance(col, pa.ChunkedArray):
@@ -222,6 +305,35 @@ def lang_id(text: str | None) -> str:
         if score > best_score:
             best_lang, best_score = code, score
     return best_lang
+
+
+def lang_id_batch(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized ``lang_id`` over a whole string column: one tokenize pass
+    (``token_lists_arrow``), the 200-token cap applied as an index gather,
+    then ONE ``is_in`` + segmented count per language.  Same argmax /
+    first-code tie-break / 'und' semantics as the scalar ``lang_id``
+    (equivalence pinned by tests)."""
+    flat, offs = token_lists_arrow(col)
+    n = np.diff(offs)
+    n_docs = len(n)
+    cn = np.minimum(n, 200)
+    out_offs = np.concatenate(([0], np.cumsum(cn)))
+    total = int(out_offs[-1])
+    if total:
+        within = np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1], cn)
+        capped = flat.take(pa.array(np.repeat(offs[:-1], cn) + within, type=pa.int64()))
+    else:
+        capped = pa.array([], type=pa.string())
+    best = np.full(n_docs, "und", dtype="U3")
+    best_score = np.zeros(n_docs, dtype=np.int64)
+    for code in sorted(_LANG_STOPWORDS):
+        hits = pc.is_in(capped, value_set=pa.array(sorted(_LANG_STOPWORDS[code])))
+        cum = np.concatenate(([0], np.cumsum(hits.to_numpy(zero_copy_only=False), dtype=np.int64)))
+        score = cum[out_offs[1:]] - cum[out_offs[:-1]]
+        better = score > best_score  # strict: ties keep the earlier code
+        best[better] = code
+        best_score[better] = score[better]
+    return best
 
 
 def quality_stats(texts) -> dict[str, np.ndarray]:

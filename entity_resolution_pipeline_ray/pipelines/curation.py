@@ -15,8 +15,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import md5_u64_arr
-from ..functions.text import word_tokens
+from ..functions.hashing import md5_u64_arr, md5_u64_dict
+from ..functions.text import shingle_lists, token_lists_arrow, word_tokens
 from ..rayops import read_parquet_clean
 
 
@@ -135,22 +135,30 @@ FROM c
 
 
 def _repetition_full(texts):
-    """(n_tokens, n_distinct, dup_ratio, top_ratio) arrays for a text batch."""
-    n_tok = np.zeros(len(texts), dtype=np.int64)
-    n_dist = np.zeros(len(texts), dtype=np.int64)
-    dup = np.zeros(len(texts), dtype=np.float64)
-    top = np.zeros(len(texts), dtype=np.float64)
-    for i, x in enumerate(texts):
-        toks = word_tokens(x) if x else []
-        n = len(toks)
-        if n == 0:
+    """(n_tokens, n_distinct, dup_ratio, top_ratio) arrays for a text batch.
+
+    Tokenization + string dedup are batch kernels (Arrow regex split +
+    dictionary encode); the per-doc distinct/top counts run over the small
+    int32 code slices, never over strings."""
+    col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(texts, type=pa.string())
+    flat, offs = token_lists_arrow(col)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    n = np.diff(offs)
+    n_docs = len(n)
+    n_dist = np.zeros(n_docs, dtype=np.int64)
+    dup = np.zeros(n_docs, dtype=np.float64)
+    top = np.zeros(n_docs, dtype=np.float64)
+    for i in range(n_docs):
+        if n[i] == 0:
             continue
-        _, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        n_tok[i] = n
+        _, counts = np.unique(codes[offs[i] : offs[i + 1]], return_counts=True)
         n_dist[i] = len(counts)
-        dup[i] = round(1.0 - len(counts) / n, 6)
-        top[i] = round(counts.max() / n, 6)
-    return n_tok, n_dist, dup, top
+        dup[i] = round(1.0 - len(counts) / n[i], 6)
+        top[i] = round(counts.max() / n[i], 6)
+    return n.astype(np.int64), n_dist, dup, top
 
 
 def t_repetition(sf_dir: str):
@@ -159,7 +167,7 @@ def t_repetition(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        n_tok, n_dist, dup, top = _repetition_full(t["text"].to_pylist())
+        n_tok, n_dist, dup, top = _repetition_full(t["text"])
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -206,12 +214,13 @@ DECON_NGRAM = 5
 DECON_MOD = 20
 
 
-def _gram_hashes(text: str | None) -> np.ndarray:
-    toks = word_tokens(text) if text else []
-    if len(toks) < DECON_NGRAM:
-        return np.empty(0, dtype=np.uint64)
-    grams = [" ".join(toks[i : i + DECON_NGRAM]) for i in range(len(toks) - DECON_NGRAM + 1)]
-    return md5_u64_arr(grams)
+def _gram_hashes_batch(col) -> tuple[np.ndarray, np.ndarray]:
+    """md5 hashes of every DECON_NGRAM-token window, per doc, for a whole
+    batch → (flat_hashes, doc offsets).  Docs shorter than the window emit
+    none (``short="drop"``); tokenize/window/md5 are all batch kernels."""
+    flat, offs = token_lists_arrow(col)
+    g_flat, g_offs = shingle_lists(flat, offs, DECON_NGRAM, short="drop")
+    return md5_u64_dict(g_flat), g_offs
 
 
 def _mod_filter(want_zero: bool):
@@ -231,9 +240,8 @@ def d_decontaminate(sf_dir: str):
     )
 
     def grams_of(t: pa.Table) -> pa.Table:
-        hs = [_gram_hashes(x) for x in t["text"].to_pylist()]
-        flat = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
-        return pa.table({"gram_hash": pa.array(np.unique(flat))})
+        h, _ = _gram_hashes_batch(t["text"])
+        return pa.table({"gram_hash": pa.array(np.unique(h))})
 
     bench_hashes = np.unique(
         np.concatenate(
@@ -249,14 +257,11 @@ def d_decontaminate(sf_dir: str):
 
     def check(t: pa.Table, bench_ref=ref) -> pa.Table:
         bset = ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) else bench_ref
-        texts = t["text"].to_pylist()
-        hs = [_gram_hashes(x) for x in texts]
-        lens = np.array([len(h) for h in hs], dtype=np.int64)
-        flat = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
-        hits = np.isin(flat, bset)
-        out = np.zeros(len(texts), dtype=bool)
-        idx = np.repeat(np.arange(len(texts)), lens)
-        np.logical_or.at(out, idx, hits)
+        h, g_offs = _gram_hashes_batch(t["text"])
+        hits = np.isin(h, bset)
+        # segmented any(): a doc is contaminated iff a hit falls in its window range
+        cum = np.concatenate(([0], np.cumsum(hits, dtype=np.int64)))
+        out = (cum[g_offs[1:]] - cum[g_offs[:-1]]) > 0
         return pa.table({"doc_id": t["doc_id"], "contaminated": pa.array(out)})
 
     return corpus.map_batches(check, batch_format="pyarrow")
@@ -352,20 +357,22 @@ def _repetition_arrays(texts):
     return n_tok, dup, top
 
 
-def _quality_keep(texts: list) -> np.ndarray:
+def _quality_keep(text_col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     from ..functions.text import quality_stats
 
-    q = quality_stats(np.asarray(texts, dtype=object))
-    n_tok, dup, top = _repetition_arrays(texts)
+    q = quality_stats(text_col)
+    n_tok, dup, top = _repetition_arrays(text_col)
     punct = np.round(q["punct_ratio"], 6)
     digit = np.round(q["digit_ratio"], 6)
     return (n_tok >= 10) & (punct <= 0.2) & (digit <= 0.3) & (dup <= 0.5) & (top <= 0.3)
 
 
-def _lang_keep(texts: list, langs: list) -> np.ndarray:
-    from ..functions.text import lang_id
+def _lang_keep(text_col, lang_col) -> np.ndarray:
+    from ..functions.text import lang_id_batch
 
-    return np.array([lang_id(x) == ("" if g is None else g) for x, g in zip(texts, langs)])
+    preds = lang_id_batch(text_col)
+    golds = np.asarray(pc.fill_null(lang_col, "").to_pylist(), dtype="U8")
+    return preds.astype("U8") == golds
 
 
 def p_quality_filter(sf_dir: str):
@@ -376,7 +383,7 @@ def p_quality_filter(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        keep = _quality_keep(t["text"].to_pylist())
+        keep = _quality_keep(t["text"])
         return pa.table({"doc_id": t["doc_id"], "keep": pa.array(keep)})
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -409,14 +416,13 @@ def p_lang_filter(sf_dir: str):
     """Language-consistency filter: detected language (stopword-vote lang_id)
     vs the declared ``lang`` column; keep when they agree.  Output
     (doc_id, lang, lang_pred, keep)."""
-    from ..functions.text import lang_id
+    from ..functions.text import lang_id_batch
 
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        preds = [lang_id(x) for x in texts]
-        keep = _lang_keep(texts, t["lang"].to_pylist())
+        preds = lang_id_batch(t["text"])
+        keep = _lang_keep(t["text"], t["lang"])
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -457,8 +463,7 @@ def p_curation_pipeline(sf_dir: str):
     kept = first_per_key(hashed, "text_hash", order_col="doc_id")
 
     def filters(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        mask = _quality_keep(texts) & _lang_keep(texts, t["lang"].to_pylist())
+        mask = _quality_keep(t["text"]) & _lang_keep(t["text"], t["lang"])
         return pa.table({"doc_id": t["doc_id"].filter(pa.array(mask))})
 
     return kept.map_batches(filters, batch_format="pyarrow")
@@ -485,8 +490,8 @@ P_CURATION_PIPELINE_SQL = _curation_pipeline_sql()
 
 # ----------------------------------------------------------- unigram logprob
 # CCNet-style LM quality score with a unigram model trained on the corpus
-# itself: pass 1 aggregates global token frequencies (per-batch Counter
-# combiners -> driver merge; vocabulary-bounded, the same dual-plan shape as
+# itself: pass 1 aggregates global token frequencies (per-batch value_counts
+# combiners -> driver pandas merge; vocabulary-bounded, the same dual-plan shape as
 # t_token_topk — swap in the distributed groupby above ~2M distinct tokens),
 # pass 2 broadcasts the log-prob table and scores each doc's mean token
 # log-probability in one vectorized lookup.
@@ -495,39 +500,53 @@ P_CURATION_PIPELINE_SQL = _curation_pipeline_sql()
 def t_unigram_logprob(sf_dir: str):
     """(doc_id, n_scored, mean_logprob): mean ln(corpus unigram probability)
     of the doc's tokens — low scores mark gibberish / rare-token boilerplate."""
-    from collections import Counter
-
     import ray
 
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for x in t["text"].to_pylist():
-            if x:
-                c.update(word_tokens(x))
+        flat, _ = token_lists_arrow(t["text"])
+        vc = pc.value_counts(flat)
         return pa.table(
-            {"token": pa.array(list(c.keys()), type=pa.string()),
-             "n": pa.array(list(c.values()), type=pa.int64())}
+            {"token": vc.field("values").cast(pa.string()),
+             "n": vc.field("counts").cast(pa.int64())}
         )
 
-    merged: Counter = Counter()
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        for tok, n in zip(b["token"].to_pylist(), b["n"].to_pylist()):
-            merged[tok] += n
-    total = sum(merged.values())
-    logp = {tok: float(np.log(n / total)) for tok, n in merged.items()} if total else {}
+    import pandas as pd
+
+    frames = [
+        b.to_pandas()
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    ]
+    if frames:
+        merged = pd.concat(frames).groupby("token", sort=False)["n"].sum()
+        total = int(merged.sum())
+        logp = dict(zip(merged.index, np.log(merged.to_numpy(dtype=np.float64) / total)))
+    else:
+        logp = {}
     ref = ray.put(logp)
 
     def score(t: pa.Table) -> pa.Table:
         lp = ray.get(ref)
-        n_scored = np.zeros(len(t), dtype=np.int64)
+        flat, offs = token_lists_arrow(t["text"])
+        # dict-encode so the broadcast-table lookup runs once per DISTINCT
+        # token in the batch; per-doc slices are then pure float math
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq_lp = np.fromiter(
+            (lp[w] for w in enc.dictionary.to_pylist()), dtype=np.float64, count=len(enc.dictionary)
+        )
+        vals = uniq_lp[enc.indices.to_numpy(zero_copy_only=False)] if len(flat) else np.empty(0)
+        n_scored = np.diff(offs)
         mlp = np.zeros(len(t), dtype=np.float64)
-        for i, x in enumerate(t["text"].to_pylist()):
-            toks = word_tokens(x) if x else []
-            if toks:
-                n_scored[i] = len(toks)
-                mlp[i] = round(float(np.mean([lp[w] for w in toks])), 6)
+        for i in range(len(t)):
+            if n_scored[i]:
+                # np.mean (pairwise summation) kept — bit-identical to the
+                # scalar path on rounding-boundary docs
+                mlp[i] = round(float(np.mean(vals[offs[i] : offs[i + 1]])), 6)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -604,11 +623,9 @@ def t_distinct_hll(sf_dir: str):
     ds = _docs(sf_dir, ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        toks: set = set()
-        for x in t["text"].to_pylist():
-            if x:
-                toks.update(word_tokens(x))
-        reg = _hll_registers(md5_u64_arr(sorted(toks)) if toks else np.empty(0, np.uint64))
+        flat, _ = token_lists_arrow(t["text"])
+        uniq = pc.unique(flat)
+        reg = _hll_registers(md5_u64_arr(uniq.to_pylist()) if len(uniq) else np.empty(0, np.uint64))
         return pa.table({"reg": pa.array([reg.tobytes()], type=pa.binary())})
 
     reg = np.zeros(HLL_M, dtype=np.int64)

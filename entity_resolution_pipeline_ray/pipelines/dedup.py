@@ -34,11 +34,11 @@ from ..functions.hashing import (
     hamming64,
     hyperplane_code_sql,
     hyperplanes,
-    md5_u64_arr,
-    simhash64,
+    md5_u64_dict,
+    simhash64_flat,
     stable_u64,
 )
-from ..functions.text import word_shingles, word_tokens
+from ..functions.text import shingle_lists, token_lists_arrow
 from ..rayops import (
     adaptive_partitions,
     attach_pair_sides,
@@ -126,13 +126,15 @@ def _doc_sketches(docs_ds, minhash_cfg: MinHashConfig):
 
     def f(t: pa.Table) -> pa.Table:
         hasher = MinHasher(minhash_cfg.num_perm, minhash_cfg.seed)
+        flat_tok, offs = token_lists_arrow(t["text"])
+        sh_flat, sh_offs = shingle_lists(flat_tok, offs, minhash_cfg.shingle_size)
+        # md5-based shingle hash (DuckDB md5_number_upper parity) so the
+        # signature — and the emitted pair set — is SQL-oracle-checkable;
+        # tokenize/shingle/md5 are batch kernels (2.4× the per-string loop)
+        h = md5_u64_dict(sh_flat)
         sigs = np.empty((len(t), minhash_cfg.num_perm), dtype=np.uint64)
-        for i, x in enumerate(t["text"].to_pylist()):
-            toks = word_tokens(x) if x else []
-            sh = word_shingles(toks, minhash_cfg.shingle_size)
-            # md5-based shingle hash (DuckDB md5_number_upper parity) so the
-            # signature — and the emitted pair set — is SQL-oracle-checkable
-            sigs[i] = hasher.signature(md5_u64_arr(sh) if sh else np.empty(0, dtype=np.uint64))
+        for i in range(len(t)):
+            sigs[i] = hasher.signature(h[sh_offs[i] : sh_offs[i + 1]])
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -242,8 +244,8 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 8):
     docs = _docs(sf_dir)
 
     def f(t: pa.Table) -> pa.Table:
-        toks = [word_tokens(x) if x else [] for x in t["text"].to_pylist()]
-        sh = simhash64(toks)
+        flat_tok, offs = token_lists_arrow(t["text"])
+        sh = simhash64_flat(md5_u64_dict(flat_tok), offs)
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(sh.astype(np.int64), type=pa.int64())})
 
     hashed = docs.map_batches(f, batch_format="pyarrow").materialize()
@@ -319,13 +321,14 @@ def _shingle_hash_table(docs_ds, shingle_size: int):
     shingles per doc)."""
 
     def f(t: pa.Table) -> pa.Table:
-        out: list[np.ndarray] = []
-        for x in t["text"].to_pylist():
-            toks = word_tokens(x) if x else []
-            sh = word_shingles(toks, shingle_size)
-            out.append(
-                np.unique(stable_u64(np.asarray(sh, dtype=object))) if sh else np.empty(0, dtype=np.uint64)
-            )
+        flat_tok, offs = token_lists_arrow(t["text"])
+        sh_flat, sh_offs = shingle_lists(flat_tok, offs, shingle_size)
+        h = (
+            stable_u64(sh_flat.to_numpy(zero_copy_only=False))
+            if len(sh_flat)
+            else np.empty(0, dtype=np.uint64)
+        )
+        out = [np.unique(h[sh_offs[i] : sh_offs[i + 1]]) for i in range(len(t))]
         return pa.table({"doc_id": t["doc_id"], "sh": pack_ragged(out)})
 
     return docs_ds.map_batches(f, batch_format="pyarrow")

@@ -21,13 +21,13 @@ import ray.data as rd
 from ..rayops import read_parquet_clean
 from ray.data.aggregate import Count, Mean, Min
 
-from ..functions.hashing import md5_hex, simhash64, stable_u64
+from ..functions.hashing import md5_hex, md5_u64_dict, simhash64_flat, stable_u64
 from ..functions.text import (
-    lang_id,
+    lang_id_batch,
     normalize_whitespace_arrow,
     quality_stats,
-    whitespace_token_count,
-    word_tokens,
+    shingle_lists,
+    token_lists_arrow,
 )
 
 
@@ -113,8 +113,11 @@ def t_token_count(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        counts = [whitespace_token_count(x) for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "n_tokens": pa.array(counts, type=pa.int64())})
+        # count of \S+ runs == len(split(trim(text), '\s+')) with empty -> 0
+        # (equivalence with the scalar whitespace_token_count pinned by test)
+        filled = pc.coalesce(t["text"], pa.scalar("", type=pa.string()))
+        n = pc.cast(pc.count_substring_regex(filled, pattern=r"\S+"), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -156,7 +159,7 @@ def t_quality(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        q = quality_stats(np.asarray(t["text"].to_pylist(), dtype=object))
+        q = quality_stats(t["text"])
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -189,7 +192,7 @@ def t_quality_full(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        q = quality_stats(np.asarray(t["text"].to_pylist(), dtype=object))
+        q = quality_stats(t["text"])
         out = {"doc_id": t["doc_id"]}
         for k, v in q.items():
             out[k] = pa.array(v)
@@ -231,7 +234,7 @@ def t_lang_id(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        preds = [lang_id(x) for x in t["text"].to_pylist()]
+        preds = lang_id_batch(t["text"])
         return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(preds, type=pa.string())})
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -272,8 +275,8 @@ def t_simhash(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        toks = [word_tokens(x) if x else [] for x in t["text"].to_pylist()]
-        sh = simhash64(toks)
+        flat_tok, offs = token_lists_arrow(t["text"])
+        sh = simhash64_flat(md5_u64_dict(flat_tok), offs)
         return pa.table(
             {"doc_id": t["doc_id"], "simhash": pa.array([format(int(v), "016x") for v in sh], type=pa.string())}
         )
@@ -312,21 +315,18 @@ def t_fingerprint(sf_dir: str):
     4-grams.  The hash is the little-endian first 8 md5 bytes — exactly
     DuckDB's ``md5_number_upper`` — so the whole operator is SQL-oracled
     (round-1 used FNV, which no SQL function reproduces)."""
-    import hashlib
-
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def _h(s: str) -> int:
-        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-
     def f(t: pa.Table) -> pa.Table:
+        # 4-gram windows (short docs: the whole-token join) are exactly
+        # word_shingles(k=4) — one vectorized shingle + dict-md5 pass
+        flat, offs = token_lists_arrow(t["text"])
+        g_flat, g_offs = shingle_lists(flat, offs, 4)
+        h = md5_u64_dict(g_flat)
         out = np.zeros(len(t), dtype=np.int64)
-        for i, x in enumerate(t["text"].to_pylist()):
-            toks = word_tokens(x) if x else []
-            if len(toks) >= 4:
-                out[i] = min(_h(" ".join(toks[j : j + 4])) for j in range(len(toks) - 3)) >> 1
-            elif toks:
-                out[i] = _h(" ".join(toks)) >> 1
+        for i in range(len(t)):
+            if g_offs[i + 1] > g_offs[i]:
+                out[i] = int(h[g_offs[i] : g_offs[i + 1]].min() >> np.uint64(1))
         return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(out, type=pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -19,12 +19,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
 from ..config import MinHashConfig, TfidfConfig
 from ..functions.hashing import MinHasher, stable_hex128, stable_u64
-from ..functions.text import word_shingles, word_tokens
+from ..functions.text import shingle_lists, token_lists_arrow
 
 DOC_FEATURES_COLUMNS = [
     "doc_id",
@@ -40,16 +41,23 @@ DOC_FEATURES_COLUMNS = [
 
 def token_df_partials(batch: pa.Table) -> pa.Table:
     """Per-batch partial document frequencies: one (token, df) row per distinct
-    token per batch — the combiner half of the df groupby."""
-    counts: dict[str, int] = {}
-    for t in batch["text"].to_pylist():
-        if not t:
-            continue
-        for tok in set(word_tokens(t)):
-            counts[tok] = counts.get(tok, 0) + 1
-    if not counts:
+    token per batch — the combiner half of the df groupby.  One Arrow
+    tokenize + dictionary-encode pass; dfs are a unique count over the
+    (doc, token-code) int pairs, no per-row Python."""
+    flat, offs = token_lists_arrow(batch["text"])
+    if len(flat) == 0:
         return pa.table({"token": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())})
-    return pa.table({"token": list(counts.keys()), "df": pa.array(list(counts.values()), type=pa.int64())})
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs))
+    n_dict = len(enc.dictionary)
+    pair = doc_idx * n_dict + codes
+    dfs = np.bincount(np.unique(pair) % n_dict, minlength=n_dict)
+    return pa.table(
+        {"token": enc.dictionary, "df": pa.array(dfs, type=pa.int64())}
+    )
 
 
 def build_vocabulary(
@@ -94,37 +102,63 @@ def build_vocabulary(
 def _text_features(texts, hasher: MinHasher, shingle_size: int, vocab: dict):
     """Text-derived features for a batch of texts: (token_counts, sigs,
     tf_idx list, tf_val list).  Pure function of the text — the unit the
-    interned path computes once per UNIQUE text."""
-    n = len(texts)
+    interned path computes once per UNIQUE text.
+
+    Batch kernels end-to-end: one Arrow tokenize/shingle pass, one vocab
+    lookup per DISTINCT token (dictionary encode), per-doc TF sums via
+    ``np.bincount`` with weights — which accumulates each bin in occurrence
+    order, bit-identical to the scalar dict-accumulation it replaced (pinned
+    by test_signatures_vectorized_matches_scalar)."""
+    col = (
+        texts
+        if isinstance(texts, (pa.Array, pa.ChunkedArray))
+        else pa.array(list(texts), type=pa.string())
+    )
+    flat, offs = token_lists_arrow(col)
+    n = len(offs) - 1
+    token_counts = np.diff(offs).astype(np.int64)
+    sh_flat, sh_offs = shingle_lists(flat, offs, shingle_size)
+    sh_h = (
+        stable_u64(sh_flat.to_numpy(zero_copy_only=False))
+        if len(sh_flat)
+        else np.empty(0, dtype=np.uint64)
+    )
     sigs = np.empty((n, hasher.num_perm), dtype=np.uint64)
+    for i in range(n):
+        sigs[i] = hasher.signature(sh_h[sh_offs[i] : sh_offs[i + 1]])
+    # hashed-vocab TF-IDF (sparse, L2-normalized); vocab gives (index, idf)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    dict_toks = enc.dictionary.to_pylist()
+    u_idx = np.zeros(len(dict_toks), dtype=np.int64)  # vocab index + 1; 0 = OOV
+    u_idf = np.zeros(len(dict_toks), dtype=np.float64)
+    for j, tok in enumerate(dict_toks):
+        ent = vocab.get(tok)
+        if ent is not None:
+            u_idx[j] = ent[0] + 1
+            u_idf[j] = ent[1]
+    codes = enc.indices.to_numpy(zero_copy_only=False) if len(flat) else np.empty(0, dtype=np.int32)
+    tok_vidx = u_idx[codes]
+    tok_idf = u_idf[codes]
     tf_idx: list[np.ndarray] = []
     tf_val: list[np.ndarray] = []
-    token_counts = np.zeros(n, dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = word_tokens(t) if t else []
-        token_counts[i] = len(toks)
-        sh = word_shingles(toks, shingle_size)
-        sigs[i] = hasher.signature(
-            stable_u64(np.asarray(sh, dtype=object)) if sh else np.empty(0, dtype=np.uint64)
-        )
-        # hashed-vocab TF-IDF (sparse, L2-normalized)
-        tf: dict[int, float] = {}
-        for tok in toks:
-            ent = vocab.get(tok)
-            if ent is not None:
-                tf[ent[0]] = tf.get(ent[0], 0.0) + ent[1]
-        if tf:
-            idx = np.fromiter(tf.keys(), dtype=np.uint32, count=len(tf))
-            val = np.fromiter(tf.values(), dtype=np.float32, count=len(tf))
-            order = np.argsort(idx)
-            idx, val = idx[order], val[order]
-            norm = float(np.linalg.norm(val))
-            if norm > 0:
-                val = val / norm
-        else:
-            idx = np.empty(0, dtype=np.uint32)
-            val = np.empty(0, dtype=np.float32)
-        tf_idx.append(idx)
+    empty_idx = np.empty(0, dtype=np.uint32)
+    empty_val = np.empty(0, dtype=np.float32)
+    for i in range(n):
+        vi = tok_vidx[offs[i] : offs[i + 1]]
+        m = vi > 0
+        if not m.any():
+            tf_idx.append(empty_idx)
+            tf_val.append(empty_val)
+            continue
+        uv, inv = np.unique(vi[m] - 1, return_inverse=True)
+        sums = np.bincount(inv, weights=tok_idf[offs[i] : offs[i + 1]][m])
+        val = sums.astype(np.float32)
+        norm = float(np.linalg.norm(val))
+        if norm > 0:
+            val = val / norm
+        tf_idx.append(uv.astype(np.uint32))
         tf_val.append(val)
     return token_counts, sigs, tf_idx, tf_val
 

@@ -16,7 +16,7 @@ from entity_resolution_pipeline_ray.pipelines.curation import (
     IP_RE,
     PHONE_RE,
     _contact_strings,
-    _gram_hashes,
+    _gram_hashes_batch,
 )
 
 
@@ -58,17 +58,18 @@ def test_pii_regexes_hit_planted_shapes():
 
 
 def test_gram_hashes_shingle_semantics():
-    short = _gram_hashes("one two three four")  # < DECON_NGRAM tokens
-    assert short.size == 0
-    five = _gram_hashes("one two three four five")
-    assert five.size == 1
-    six = _gram_hashes("one two three four five six")
-    assert six.size == 2
+    import pyarrow as pa
+
+    docs = ["one two three four", "one two three four five",
+            "one two three four five six", None, ""]
+    h, offs = _gram_hashes_batch(pa.array(docs, type=pa.string()))
+    sizes = list(np.diff(offs))
+    # < DECON_NGRAM tokens -> no grams; then 1 and 2 windows; null/empty -> 0
+    assert sizes == [0, 1, 2, 0, 0]
     # hash = md5_u64 of the space-joined shingle
     from entity_resolution_pipeline_ray.functions.hashing import md5_u64
 
-    assert five[0] == np.uint64(md5_u64("one two three four five"))
-    assert _gram_hashes(None).size == 0 and _gram_hashes("").size == 0
+    assert h[offs[1]] == np.uint64(md5_u64("one two three four five"))
 
 
 def test_decontaminate_flags_shared_grams(ray_session, tmp_path):

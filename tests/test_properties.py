@@ -98,7 +98,7 @@ from entity_resolution_pipeline_ray.pipelines.curation import (  # noqa: E402
     IP_RE,
     PHONE_RE,
     _contact_strings,
-    _gram_hashes,
+    _gram_hashes_batch,
 )
 
 ascii_text = st.text(
@@ -134,13 +134,16 @@ def test_pii_redaction_idempotent(doc_id):
 
 
 @settings(max_examples=100, deadline=None)
-@given(st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), max_size=20))
-def test_gram_hashes_count_and_determinism(tokens):
-    text = " ".join(tokens)
-    h = _gram_hashes(text)
-    expected = max(0, len(tokens) - 4) if tokens else 0
-    assert len(h) == expected
-    assert (h == _gram_hashes(text)).all()
+@given(st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), max_size=20), max_size=8))
+def test_gram_hashes_count_and_determinism(docs):
+    import pyarrow as pa
+
+    texts = pa.array([" ".join(toks) for toks in docs], type=pa.string())
+    h, offs = _gram_hashes_batch(texts)
+    sizes = list(np.diff(offs))
+    assert sizes == [max(0, len(toks) - 4) if toks else 0 for toks in docs]
+    h2, offs2 = _gram_hashes_batch(texts)
+    assert (h == h2).all() and (offs == offs2).all()
 
 
 from entity_resolution_pipeline_ray.pipelines.curation import (  # noqa: E402

@@ -177,3 +177,175 @@ def test_bio_string_battery_covers_all_variants():
             (y1, None), (y1, y2), (None, None),              # b.?, 'or' range, no years
         ][doc_id % 15]
         assert (b, d) == expected, (doc_id, _bio_string(doc_id), (b, d), expected)
+
+
+def test_token_lists_arrow_matches_word_tokens():
+    """The vectorized tokenizer is bit-identical to the per-string path on
+    ASCII corpora (the oracle token spec) incl. nulls/empties/punct-only."""
+    import numpy as np
+    import pyarrow as pa
+
+    from entity_resolution_pipeline_ray.functions.text import token_lists_arrow, word_tokens
+
+    docs = [
+        "Hello, World! foo_bar 42", "", None, "a", "a b", "a b c", "a b c d e",
+        "  !!! ", "one-two three", "x " * 500, "Mixed CASE tokens 99_z", "tab\tsep\nline",
+    ]
+    flat, offs = token_lists_arrow(pa.array(docs, type=pa.string()))
+    assert offs[0] == 0 and offs[-1] == len(flat)
+    for i, d in enumerate(docs):
+        assert flat[offs[i] : offs[i + 1]].to_pylist() == (word_tokens(d) if d else [])
+
+
+def test_token_lists_arrow_fuzz():
+    import random
+    import string
+
+    import pyarrow as pa
+
+    from entity_resolution_pipeline_ray.functions.text import token_lists_arrow, word_tokens
+
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + " .,_!?\n\t-"
+    docs = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 200))) for _ in range(300)]
+    flat, offs = token_lists_arrow(pa.array(docs))
+    for i, d in enumerate(docs):
+        assert flat[offs[i] : offs[i + 1]].to_pylist() == word_tokens(d)
+
+
+def test_shingle_lists_matches_word_shingles():
+    import pyarrow as pa
+
+    from entity_resolution_pipeline_ray.functions.text import (
+        shingle_lists,
+        token_lists_arrow,
+        word_shingles,
+        word_tokens,
+    )
+
+    docs = ["", None, "a", "a b", "a b c", "a b c d", "a b c d e f g", "!!!", "x y " * 50]
+    flat, offs = token_lists_arrow(pa.array(docs, type=pa.string()))
+    for k in (2, 3, 4, 5):
+        sh, so = shingle_lists(flat, offs, k)
+        for i, d in enumerate(docs):
+            exp = word_shingles(word_tokens(d) if d else [], k)
+            assert sh[so[i] : so[i + 1]].to_pylist() == exp, (k, d)
+        # short="drop": docs shorter than k emit NOTHING (decontamination rule)
+        shd, sod = shingle_lists(flat, offs, k, short="drop")
+        for i, d in enumerate(docs):
+            toks = word_tokens(d) if d else []
+            exp = word_shingles(toks, k) if len(toks) >= k else []
+            assert shd[sod[i] : sod[i + 1]].to_pylist() == exp, (k, d)
+
+
+def test_md5_dict_and_simhash_flat_match_scalar():
+    import numpy as np
+    import pyarrow as pa
+
+    from entity_resolution_pipeline_ray.functions.hashing import (
+        md5_u64_arr,
+        md5_u64_dict,
+        simhash64,
+        simhash64_flat,
+    )
+    from entity_resolution_pipeline_ray.functions.text import token_lists_arrow, word_tokens
+
+    s = pa.array(["abc", "abc", "", "zz", "abc", "zz"] * 3)
+    assert np.array_equal(md5_u64_dict(s), md5_u64_arr(s.to_pylist()))
+
+    docs = ["the cat sat", "", None, "the the the", "a b c d e f", "one"]
+    flat, offs = token_lists_arrow(pa.array(docs, type=pa.string()))
+    got = simhash64_flat(md5_u64_dict(flat), offs)
+    exp = simhash64([word_tokens(d) if d else [] for d in docs])
+    assert np.array_equal(got, exp)
+
+
+def test_signatures_vectorized_matches_scalar():
+    """_text_features (the ER doc-features kernel) is bit-identical to the
+    scalar per-doc implementation it replaced: same minhash signatures, same
+    sparse TF-IDF indices AND float32 values (bincount accumulates each bin
+    in occurrence order, like the dict it replaced)."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    from entity_resolution_pipeline_ray.functions.hashing import MinHasher, stable_u64
+    from entity_resolution_pipeline_ray.functions.text import word_shingles, word_tokens
+    from entity_resolution_pipeline_ray.stages.signatures import _text_features, token_df_partials
+
+    def scalar_features(texts, hasher, shingle_size, vocab):
+        n = len(texts)
+        sigs = np.empty((n, hasher.num_perm), dtype=np.uint64)
+        tf_idx, tf_val = [], []
+        token_counts = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = word_tokens(t) if t else []
+            token_counts[i] = len(toks)
+            sh = word_shingles(toks, shingle_size)
+            sigs[i] = hasher.signature(
+                stable_u64(np.asarray(sh, dtype=object)) if sh else np.empty(0, dtype=np.uint64)
+            )
+            tf: dict = {}
+            for tok in toks:
+                ent = vocab.get(tok)
+                if ent is not None:
+                    tf[ent[0]] = tf.get(ent[0], 0.0) + ent[1]
+            if tf:
+                idx = np.fromiter(tf.keys(), dtype=np.uint32, count=len(tf))
+                val = np.fromiter(tf.values(), dtype=np.float32, count=len(tf))
+                order = np.argsort(idx)
+                idx, val = idx[order], val[order]
+                norm = float(np.linalg.norm(val))
+                if norm > 0:
+                    val = val / norm
+            else:
+                idx = np.empty(0, dtype=np.uint32)
+                val = np.empty(0, dtype=np.float32)
+            tf_idx.append(idx)
+            tf_val.append(val)
+        return token_counts, sigs, tf_idx, tf_val
+
+    rng = random.Random(3)
+    words = ["w%03d" % i for i in range(300)]
+    texts = [" ".join(rng.choice(words) for _ in range(rng.randrange(0, 120))) for _ in range(150)]
+    texts += ["", None, "oov tokens only zz qq", "w001"]
+    vocab = {w: (i, 1.0 + (i % 7) * 0.31) for i, w in enumerate(words) if i % 3 != 0}
+    h = MinHasher(64, 1)
+    a = scalar_features(["" if t is None else t for t in texts], h, 3, vocab)
+    b = _text_features(pa.array(texts, type=pa.string()), h, 3, vocab)
+    assert np.array_equal(a[0], b[0])
+    assert np.array_equal(a[1], b[1])
+    assert all(np.array_equal(x, y) for x, y in zip(a[2], b[2]))
+    assert all(np.array_equal(x, y) for x, y in zip(a[3], b[3]))
+
+    # token_df_partials: distinct-doc counts per token
+    def scalar_df(texts):
+        counts: dict = {}
+        for t in texts:
+            if not t:
+                continue
+            for tok in set(word_tokens(t)):
+                counts[tok] = counts.get(tok, 0) + 1
+        return counts
+
+    got = token_df_partials(pa.table({"text": pa.array(texts, type=pa.string())}))
+    assert dict(zip(got["token"].to_pylist(), got["df"].to_pylist())) == scalar_df(texts)
+
+
+def test_ws_token_count_regex_equivalence():
+    """count_substring_regex(r'\\S+') == whitespace_token_count per string —
+    the vectorized t_token_count kernel's contract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from entity_resolution_pipeline_ray.functions.text import whitespace_token_count
+
+    docs = ["a b  c", "", None, "  ", " x ", "one\ttwo\nthree", "a" * 5, "\n\n", "a b"]
+    filled = pc.coalesce(pa.array(docs, type=pa.string()), pa.scalar("", type=pa.string()))
+    got = pc.cast(pc.count_substring_regex(filled, pattern=r"\S+"), pa.int64()).to_pylist()
+    assert got == [whitespace_token_count(x) for x in docs]
+    # divergence channel (documented): unicode whitespace like NBSP is \s to
+    # Python but \S to RE2 — the kernel follows RE2 == the DuckDB oracle
+    nb = pc.count_substring_regex(pa.array(["a\xa0b"]), pattern=r"\S+")
+    assert nb.to_pylist() == [1] and whitespace_token_count("a\xa0b") == 2
