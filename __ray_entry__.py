@@ -125,6 +125,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_source_cap": SP.q_source_cap,
         "p_stratified_sample": SP.q_stratified_sample,
         "p_lang_quantiles": SP.q_lang_quantiles,
+        "p_pack_sequences": SP.p_pack_sequences,
+        "p_lang_balance": SP.p_lang_balance,
+        "t_zipf_fit": T.t_zipf_fit,
+        "d_bloom_decontaminate": C.d_bloom_decontaminate,
         # --- dedup suite ---
         "d_apply_exact": D.dedup_apply_exact,
         "d_apply_fuzzy": D.dedup_apply_fuzzy,
@@ -203,6 +207,10 @@ def oracle_sql() -> dict[str, str]:
         "p_source_cap": SP.Q_SOURCE_CAP_SQL,
         "p_stratified_sample": SP.Q_STRATIFIED_SAMPLE_SQL,
         "p_lang_quantiles": SP.Q_LANG_QUANTILES_SQL,
+        "p_pack_sequences": SP.P_PACK_SEQUENCES_SQL,
+        "p_lang_balance": SP.P_LANG_BALANCE_SQL,
+        "t_zipf_fit": T.T_ZIPF_FIT_SQL,
+        "d_bloom_decontaminate": C.D_BLOOM_DECONTAMINATE_SQL,
         "d_apply_exact": D.DEDUP_APPLY_EXACT_SQL,
         "d_apply_fuzzy": D.D_APPLY_FUZZY_SQL,
         "d_minhash_pairs": D.D_MINHASH_SQL,

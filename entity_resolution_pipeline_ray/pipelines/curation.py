@@ -686,3 +686,104 @@ SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_MOD} <> 0) d
 LEFT JOIN hit h USING (doc_id)
 """
+
+
+# ----------------------------------------------------- Bloom decontamination
+# The same benchmark-overlap flag as d_decontaminate, but through a Bloom
+# filter instead of the exact gram-hash set: at 100 TB an eval suite can
+# still hold billions of distinct grams (an 8 GB+ uint64 broadcast), while a
+# Bloom filter holding them at ~1% false positives is a fixed 2^BLOOM_LOG2M
+# BITS — the broadcast shrinks ~50x and membership stays O(k) bit probes.
+# Bit positions use Kirsch–Mitzenmacher double hashing of the gram md5
+# (pos_i = (lo32 + i*hi32) mod m, public technique), so the filter — false
+# positives included — is a deterministic function of the grams and the SQL
+# oracle reproduces the EXACT same decisions by materializing the set of lit
+# bit positions.
+
+BLOOM_LOG2M = 20  # 2^20 bits = 128 KiB broadcast
+BLOOM_K = 4
+
+
+def _bloom_positions(h: np.ndarray) -> np.ndarray:
+    """(n, BLOOM_K) bit positions per gram hash (uint64 in, int64 out)."""
+    lo = h & np.uint64(0xFFFFFFFF)
+    hi = h >> np.uint64(32)
+    i = np.arange(BLOOM_K, dtype=np.uint64)
+    return ((lo[:, None] + i[None, :] * hi[:, None]) & np.uint64((1 << BLOOM_LOG2M) - 1)).astype(
+        np.int64
+    )
+
+
+def d_bloom_decontaminate(sf_dir: str):
+    """(doc_id, contaminated) for every non-benchmark doc, where contaminated
+    means "some token 5-gram probes only lit bits of the benchmark Bloom
+    filter" — d_decontaminate's semantics plus the filter's deterministic
+    false positives.  Build: per-batch partial bit arrays OR-merged on the
+    driver (HLL-register discipline — the reduced unit is the fixed-size
+    filter, never the grams).  Check: one broadcast of the packed filter;
+    each corpus batch probes vectorized and reduces all-bits-set per gram,
+    any-gram per doc."""
+    import ray
+
+    bench = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _mod_filter(True), batch_format="pyarrow"
+    )
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        h, _ = _gram_hashes_batch(t["text"])
+        bits = np.zeros(1 << BLOOM_LOG2M, dtype=bool)
+        if h.size:
+            bits[_bloom_positions(np.unique(h)).ravel()] = True
+        return pa.table({"bloom": pa.array([np.packbits(bits).tobytes()], type=pa.binary())})
+
+    packed = np.zeros((1 << BLOOM_LOG2M) // 8, dtype=np.uint8)
+    for b in bench.map_batches(partial_bloom, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for buf in b["bloom"].to_pylist():
+            packed |= np.frombuffer(buf, dtype=np.uint8)
+    ref = ray.put(packed)
+
+    corpus = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _mod_filter(False), batch_format="pyarrow"
+    )
+
+    def check(t: pa.Table, bloom_ref=ref) -> pa.Table:
+        bits = np.unpackbits(
+            ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) else bloom_ref
+        ).astype(bool)
+        h, g_offs = _gram_hashes_batch(t["text"])
+        hit = bits[_bloom_positions(h)].all(axis=1) if h.size else np.empty(0, dtype=bool)
+        cum = np.concatenate(([0], np.cumsum(hit, dtype=np.int64)))
+        out = (cum[g_offs[1:]] - cum[g_offs[:-1]]) > 0
+        return pa.table({"doc_id": t["doc_id"], "contaminated": pa.array(out)})
+
+    return corpus.map_batches(check, batch_format="pyarrow")
+
+
+_BLOOM_MASK = (1 << BLOOM_LOG2M) - 1
+D_BLOOM_DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk
+  FROM documents),
+g AS (
+  SELECT doc_id, CASE WHEN len(tk) < {NG} THEN CAST([] AS VARCHAR[])
+    ELSE list_transform(range(1, len(tk) - {NG - 2}),
+         i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))
+  END AS grams FROM toks),
+bh AS (SELECT DISTINCT md5_number_upper(gram) AS h
+       FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % {DECON_MOD} = 0)),
+bpos AS (SELECT DISTINCT ((h & 4294967295) + r.range * (h >> 32)) & {_BLOOM_MASK} AS p
+         FROM bh CROSS JOIN range(0, {BLOOM_K}) r),
+cg AS (SELECT doc_id, md5_number_upper(gram) AS h
+       FROM (SELECT doc_id, unnest(list_distinct(grams)) AS gram
+             FROM g WHERE doc_id % {DECON_MOD} <> 0)),
+cp AS (SELECT doc_id, h, ((h & 4294967295) + r.range * (h >> 32)) & {_BLOOM_MASK} AS p
+       FROM cg CROSS JOIN range(0, {BLOOM_K}) r),
+hit AS (SELECT doc_id FROM cp LEFT JOIN bpos ON cp.p = bpos.p
+        GROUP BY doc_id, h HAVING bool_and(bpos.p IS NOT NULL)),
+hd AS (SELECT DISTINCT doc_id FROM hit)
+SELECT d.doc_id, (hd.doc_id IS NOT NULL) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_MOD} <> 0) d
+LEFT JOIN hd USING (doc_id)
+"""

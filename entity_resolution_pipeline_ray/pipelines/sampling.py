@@ -133,3 +133,99 @@ SELECT lang,
        quantile_disc(n_chars, 0.99) AS p99_chars
 FROM documents GROUP BY lang
 """
+
+
+# ------------------------------------------------------------ sequence packing
+# Greedy sequence packing for training shards: docs in doc_id order fill
+# fixed token-budget shards by cumulative token count.  The running total is
+# the distributed scan (rayops.exclusive_prefix_sum) — per-block scalar sums
+# to the driver, offsets back out — so at 100 TB nothing corpus-sized is
+# driver state and the corpus streams exactly twice.
+
+PACK_BUDGET = 2048
+
+
+def p_pack_sequences(sf_dir: str):
+    """(doc_id, n_tokens, shard_id): shard_id = floor(prev_cum_tokens /
+    PACK_BUDGET) over doc_id order, n_tokens = whitespace token count (the
+    ``t_token_count`` spec).  Split-by-cumulative-count packing: shard
+    boundaries fall wherever the running token total crosses a budget
+    multiple, so every shard holds ~PACK_BUDGET tokens of consecutive docs."""
+    import pyarrow.compute as pc
+
+    from ..rayops import exclusive_prefix_sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        filled = pc.coalesce(t["text"], pa.scalar("", type=pa.string()))
+        n = pc.cast(pc.count_substring_regex(filled, pattern=r"\S+"), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+
+    slim = ds.map_batches(count, batch_format="pyarrow")
+    pref = exclusive_prefix_sum(slim, "doc_id", "n_tokens", "prev_tokens")
+
+    def shard(t: pa.Table) -> pa.Table:
+        prev = t["prev_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "shard_id": pa.array(prev // PACK_BUDGET, type=pa.int64()),
+            }
+        )
+
+    return pref.map_batches(shard, batch_format="pyarrow")
+
+
+P_PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {PACK_BUDGET} AS BIGINT) AS shard_id
+FROM t
+"""
+
+
+# ------------------------------------------------------------- language mixing
+# Data-mixing rebalance: downsample every language to the size of the
+# smallest, deterministically.  The keep decision ``md5(doc_id) % count_lang
+# < min_count`` is integer-exact (keep probability = min/count with no float
+# rate) and a pure function of doc_id, so the sample is reproducible across
+# partitionings and SQL-checkable.  Scale shape: the per-lang count table is
+# |langs| rows — a closure constant, never a shuffle side.
+
+
+def p_lang_balance(sf_dir: str):
+    """(doc_id, lang) of the kept rows after balancing the language mix down
+    to the rarest language's count."""
+    from ray.data.aggregate import Count
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    counts = {
+        r["lang"]: r["count()"]
+        for r in ds.groupby("lang").aggregate(Count()).take_all()
+    }
+    if not counts:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()), "lang": pa.array([], type=pa.string())})
+    mn = min(counts.values())
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_lang = np.array([counts[l] for l in t["lang"].to_pylist()], dtype=np.uint64)
+        h = np.array([md5_u64(str(int(i))) for i in ids], dtype=np.uint64)
+        return t.filter(pa.array(h % n_lang < np.uint64(mn)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+P_LANG_BALANCE_SQL = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c USING (lang) CROSS JOIN m
+WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR)) % c.n < m.mn
+"""

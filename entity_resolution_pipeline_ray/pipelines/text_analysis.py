@@ -521,3 +521,83 @@ SELECT doc_id, bio,
   END AS death_year
 FROM bios
 """
+
+
+# ------------------------------------------------------------------ Zipf fit
+# Corpus-health statistic: the Zipf slope of the token frequency spectrum
+# (ln count vs ln rank over the top ZIPF_TOPK tokens).  Natural webtext sits
+# near -1; template/boilerplate corpora flatten, gibberish steepens.  The
+# heavy half (global token counts) reuses the dual-plan spectrum build of
+# t_token_topk / t_unigram_logprob; the regression runs on <= ZIPF_TOPK
+# (rank, count) pairs of driver state.
+
+ZIPF_TOPK = 1000
+
+
+def t_zipf_fit(sf_dir: str, driver_merge_threshold: int = 2_000_000):
+    """One row (zipf_slope, n_ranks): OLS slope of ln(count) on ln(rank),
+    ranks by (count DESC, token ASC) — the deterministic tie order the SQL
+    window uses too."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = token_lists_arrow(t["text"])
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"token": vc.field("values").cast(pa.string()), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if ds.count() <= driver_merge_threshold:
+        frames = [
+            b.to_pandas()
+            for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        ]
+        merged = (
+            pd.concat(frames).groupby("token", sort=False)["n"].sum().reset_index()
+            if frames
+            else pd.DataFrame({"token": [], "n": []})
+        )
+    else:
+        merged = (
+            partials.groupby("token")
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "token"], descending=[True, False])
+            .limit(ZIPF_TOPK)
+            .to_pandas()
+        )
+    top = merged.sort_values(["n", "token"], ascending=[False, True], kind="mergesort").head(
+        ZIPF_TOPK
+    )
+    k = len(top)
+    if k < 2:
+        return pa.table(
+            {"zipf_slope": pa.array([None], type=pa.float64()), "n_ranks": pa.array([k], type=pa.int64())}
+        )
+    x = np.log(np.arange(1, k + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(dtype=np.float64))
+    xc = x - x.mean()
+    slope = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+    return pa.table(
+        {
+            "zipf_slope": pa.array([round(slope, 6)], type=pa.float64()),
+            "n_ranks": pa.array([k], type=pa.int64()),
+        }
+    )
+
+
+T_ZIPF_FIT_SQL = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+')) AS token
+  FROM documents),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM c),
+top AS (SELECT * FROM r WHERE rank <= {ZIPF_TOPK})
+SELECT round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+       count(*) AS n_ranks
+FROM top
+"""

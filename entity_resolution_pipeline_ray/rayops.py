@@ -532,3 +532,45 @@ def head_k_per_key(ds, key_col: str, order_col, k: int, *, descending=None):
     return rd.from_arrow_refs(
         [_block_head_k.remote(r, key_col, k, off) for r, off in zip(refs, offsets)]
     )
+
+
+@ray.remote
+def _block_i64_sum(t, col: str) -> int:
+    if t.num_rows == 0:
+        return 0
+    import numpy as np
+
+    return int(t[col].to_numpy(zero_copy_only=False).sum(dtype=np.int64))
+
+
+@ray.remote
+def _block_excl_prefix(t, col: str, out_col: str, offset: int):
+    import numpy as np
+    import pyarrow as pa
+
+    if t.num_rows == 0:
+        return t.append_column(out_col, pa.array([], type=pa.int64()))
+    v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return t.append_column(out_col, pa.array(np.cumsum(v) - v + offset, type=pa.int64()))
+
+
+def exclusive_prefix_sum(ds, order_col, val_col: str, out_col: str):
+    """Global running total — ``sum(val) OVER (ORDER BY order ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` with no partition key — as the classic
+    distributed scan: range-sort the slim rows, a first pass reducing each
+    sorted block to ONE scalar sum (O(#blocks) driver state), a driver cumsum
+    over those scalars, then one task per block writing local-cumsum + its
+    block offset.  Two streaming passes; nothing corpus-sized ever leaves the
+    workers.  ``order_col`` must be unique for a deterministic result (ties
+    across block boundaries would make the prefix partition-dependent)."""
+    sorted_ds = ds.sort(order_col).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+    import numpy as np
+
+    sums = ray.get([_block_i64_sum.remote(r, val_col) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(np.asarray(sums, dtype=np.int64))))[:-1]
+    return rd.from_arrow_refs(
+        [_block_excl_prefix.remote(r, val_col, out_col, int(o)) for r, o in zip(refs, offsets)]
+    )

@@ -340,3 +340,53 @@ def test_q5_plans_agree(ray_session):
     )
     assert len(bc) > 0
     pd.testing.assert_frame_equal(bc, jn)
+
+
+def test_bloom_decontaminate_superset_of_exact(ray_session, tmp_path):
+    """Bloom membership has no false negatives: every doc the exact-set
+    decontamination flags is flagged by the Bloom variant too, and on this
+    tiny corpus (a few hundred lit bits in 2^20) there are no false
+    positives either."""
+    rows = {
+        0: "alpha beta gamma delta epsilon zeta",
+        20: "the quick brown fox jumps over the lazy dog",
+        1: "prefix words the quick brown fox jumps over the lazy dog suffix",
+        2: "completely unrelated content with many distinct tokens here",
+        3: "short text",
+    }
+    t = pa.table(
+        {"doc_id": list(rows), "text": list(rows.values()),
+         "lang": ["en"] * len(rows), "source": ["s"] * len(rows),
+         "n_chars": [len(v) for v in rows.values()]}
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.curation import (
+        d_bloom_decontaminate,
+        d_decontaminate,
+    )
+
+    exact = d_decontaminate(str(tmp_path)).to_pandas().set_index("doc_id")["contaminated"]
+    bloom = d_bloom_decontaminate(str(tmp_path)).to_pandas().set_index("doc_id")["contaminated"]
+    assert set(exact.index) == set(bloom.index)
+    assert bool(bloom[1]) is True and bool(bloom[2]) is False and bool(bloom[3]) is False
+    for i in exact.index:
+        assert not (exact[i] and not bloom[i]), i  # no false negatives
+
+
+def test_bloom_positions_deterministic_and_bounded():
+    from entity_resolution_pipeline_ray.pipelines.curation import (
+        BLOOM_K,
+        BLOOM_LOG2M,
+        _bloom_positions,
+    )
+
+    h = np.array([0, 1, 2**63, 2**64 - 1, 123456789], dtype=np.uint64)
+    p = _bloom_positions(h)
+    assert p.shape == (5, BLOOM_K)
+    assert (p >= 0).all() and (p < (1 << BLOOM_LOG2M)).all()
+    assert np.array_equal(p, _bloom_positions(h))
+    # Kirsch-Mitzenmacher: pos_i = (lo + i*hi) mod m
+    lo, hi = int(h[4]) & 0xFFFFFFFF, int(h[4]) >> 32
+    assert list(p[4]) == [(lo + i * hi) % (1 << BLOOM_LOG2M) for i in range(BLOOM_K)]

@@ -349,3 +349,44 @@ def test_ws_token_count_regex_equivalence():
     # Python but \S to RE2 — the kernel follows RE2 == the DuckDB oracle
     nb = pc.count_substring_regex(pa.array(["a\xa0b"]), pattern=r"\S+")
     assert nb.to_pylist() == [1] and whitespace_token_count("a\xa0b") == 2
+
+
+def test_zipf_fit_known_answer(ray_session, tmp_path):
+    """A corpus whose token counts follow an exact power law n = C * rank^s
+    recovers slope s; ranks tie-break (count DESC, token ASC)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import t_zipf_fit
+
+    # token w{r} appears floor(1000 / r) times -> slope ~= -1
+    texts = []
+    for r in range(1, 30):
+        texts.extend([f"w{r:02d}"] * (1000 // r))
+    docs = [" ".join(texts[i : i + 50]) for i in range(0, len(texts), 50)]
+    t = pa.table(
+        {"doc_id": list(range(len(docs))), "text": docs,
+         "lang": ["en"] * len(docs), "source": ["s"] * len(docs),
+         "n_chars": [len(d) for d in docs]}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = t_zipf_fit(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert out["n_ranks"][0] == 29
+    assert abs(out["zipf_slope"][0] + 1.0) < 0.02  # floor() distortion only
+
+
+def test_zipf_fit_degenerate(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import t_zipf_fit
+
+    t = pa.table(
+        {"doc_id": [0], "text": ["solo solo solo"], "lang": ["en"],
+         "source": ["s"], "n_chars": [14]}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = t_zipf_fit(str(tmp_path)).to_pandas()
+    assert out["n_ranks"][0] == 1 and pd.isna(out["zipf_slope"][0])
