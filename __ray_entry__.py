@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_pack_sequences": SP.p_pack_sequences,
         "p_lang_balance": SP.p_lang_balance,
         "t_zipf_fit": T.t_zipf_fit,
+        "t_char_entropy": T.t_char_entropy,
+        "d_substring_pairs": D.substring_dup_pairs,
         "d_bloom_decontaminate": C.d_bloom_decontaminate,
         # --- dedup suite ---
         "d_apply_exact": D.dedup_apply_exact,
@@ -210,6 +212,8 @@ def oracle_sql() -> dict[str, str]:
         "p_pack_sequences": SP.P_PACK_SEQUENCES_SQL,
         "p_lang_balance": SP.P_LANG_BALANCE_SQL,
         "t_zipf_fit": T.T_ZIPF_FIT_SQL,
+        "t_char_entropy": T.T_CHAR_ENTROPY_SQL,
+        "d_substring_pairs": D.D_SUBSTRING_SQL,
         "d_bloom_decontaminate": C.D_BLOOM_DECONTAMINATE_SQL,
         "d_apply_exact": D.DEDUP_APPLY_EXACT_SQL,
         "d_apply_fuzzy": D.D_APPLY_FUZZY_SQL,

@@ -810,3 +810,66 @@ SELECT d.doc_id,
        coalesce(r.rep0, d.doc_id) = d.doc_id AS keep
 FROM documents d LEFT JOIN rep r USING (doc_id)
 """
+
+
+# ------------------------------------------------------- exact substring dup
+# Exact-substring duplication (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better", arXiv:2107.06499), restricted to token windows:
+# two docs pair iff they share any SUBSTR_WIN-token contiguous span verbatim.
+# The suffix-array criterion at window granularity — every shared span of
+# >= SUBSTR_WIN tokens contains a shared SUBSTR_WIN-window, so recall is
+# exact for the span length; the window table plays the suffix array's role
+# and shards by window hash instead of needing a global lexicographic sort.
+
+SUBSTR_WIN = 20
+
+
+def substring_dup_pairs(sf_dir: str, window: int = SUBSTR_WIN):
+    """(left_id, right_id) doc pairs sharing a verbatim ``window``-token
+    span.  Plan: tokenize/window/md5 batch kernels → per-doc distinct window
+    hashes (lexsort mask, no Python per doc) → the blocking kernel's
+    sort-based group pair enumeration + sort-based pair dedup.  The hot-block
+    cap is OPEN here (a window shared by k docs legitimately pairs all k):
+    cap via BlockingConfig when boilerplate spans are expected instead of
+    decontaminating them away first."""
+    docs = _docs(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        flat_tok, offs = token_lists_arrow(t["text"])
+        g_flat, g_offs = shingle_lists(flat_tok, offs, window, short="drop")
+        h = md5_u64_dict(g_flat)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), np.diff(g_offs))
+        order = np.lexsort((h, doc_idx))
+        d2, h2 = doc_idx[order], h[order]
+        keep = np.ones(len(h2), dtype=bool)
+        keep[1:] = (h2[1:] != h2[:-1]) | (d2[1:] != d2[:-1])
+        return pa.table(
+            {
+                "block_key": pa.array((h2[keep] >> np.uint64(1)).astype(np.int64), type=pa.int64()),
+                "doc_id": pa.array(ids[d2[keep]], type=pa.int64()),
+            }
+        )
+
+    blocks = docs.map_batches(f, batch_format="pyarrow")
+    n_docs = _docs(sf_dir, columns=("doc_id",)).count()
+    return candidate_pairs(
+        blocks, BlockingConfig(max_block_size=1_000_000), num_partitions=adaptive_partitions(n_docs)
+    )
+
+
+_SUBSTR_TERMS = ", ".join(f"tk[i+{j}]" for j in range(SUBSTR_WIN))
+D_SUBSTRING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk
+  FROM documents),
+g AS (
+  SELECT doc_id, CASE WHEN len(tk) < {SUBSTR_WIN} THEN CAST([] AS VARCHAR[])
+    ELSE list_transform(range(1, len(tk) - {SUBSTR_WIN - 2}),
+                        i -> concat_ws(' ', {_SUBSTR_TERMS}))
+  END AS grams FROM toks),
+dg AS (SELECT DISTINCT doc_id, md5_number_upper(gram) >> 1 AS k
+       FROM (SELECT doc_id, unnest(grams) AS gram FROM g))
+SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+FROM dg a JOIN dg b ON a.k = b.k AND a.doc_id < b.doc_id
+"""

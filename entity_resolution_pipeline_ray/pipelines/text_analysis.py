@@ -601,3 +601,63 @@ SELECT round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
        count(*) AS n_ranks
 FROM top
 """
+
+
+# ------------------------------------------------------------- char entropy
+# Character-level Shannon entropy — the gibberish/boilerplate quality signal
+# orthogonal to the token-level stats: natural English sits near 4.1 bits
+# equivalent (~2.9 nats); repeated templates collapse it, random bytes max it.
+# Kernel: ONE zero-copy view of the Arrow string buffer as uint8 (the corpus
+# is ASCII, where bytes == codepoints == the oracle's per-character unnest;
+# the equivalence is pinned by test), then a per-doc 256-bin bincount —
+# per-batch work is a flat numpy pass, never per-character Python.
+
+
+def t_char_entropy(sf_dir: str):
+    """(doc_id, n_chars_scored, char_entropy): entropy in nats of the doc's
+    character distribution, 0.0 for null/empty docs, rounded to 6."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        arr = arr.cast(pa.large_string())
+        filled = pc.fill_null(arr, "")
+        buf = np.frombuffer(filled.buffers()[2] or b"", dtype=np.uint8)
+        offs = np.frombuffer(filled.buffers()[1], dtype=np.int64)[
+            filled.offset : filled.offset + len(filled) + 1
+        ]
+        n = np.diff(offs)
+        ent = np.zeros(len(filled), dtype=np.float64)
+        for i in range(len(filled)):
+            if n[i] == 0:
+                continue
+            cnt = np.bincount(buf[offs[i] : offs[i + 1]])
+            p = cnt[cnt > 0] / n[i]
+            ent[i] = round(float(-(p * np.log(p)).sum()), 6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_scored": pa.array(n, type=pa.int64()),
+                "char_entropy": pa.array(ent, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+T_CHAR_ENTROPY_SQL = r"""
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '[\s\S]')) AS c
+  FROM documents),
+cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(n) AS s FROM cnt GROUP BY doc_id),
+e AS (
+  SELECT c.doc_id, CAST(t.s AS BIGINT) AS n_chars_scored,
+         round(-sum((c.n * 1.0 / t.s) * ln(c.n * 1.0 / t.s)), 6) AS char_entropy
+  FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id, t.s)
+SELECT d.doc_id,
+       coalesce(e.n_chars_scored, 0) AS n_chars_scored,
+       coalesce(e.char_entropy, 0.0) AS char_entropy
+FROM documents d LEFT JOIN e USING (doc_id)
+"""

@@ -390,3 +390,25 @@ def test_bloom_positions_deterministic_and_bounded():
     # Kirsch-Mitzenmacher: pos_i = (lo + i*hi) mod m
     lo, hi = int(h[4]) & 0xFFFFFFFF, int(h[4]) >> 32
     assert list(p[4]) == [(lo + i * hi) % (1 << BLOOM_LOG2M) for i in range(BLOOM_K)]
+
+
+def test_substring_pairs_shared_window(ray_session, tmp_path):
+    from entity_resolution_pipeline_ray.pipelines.dedup import SUBSTR_WIN, substring_dup_pairs
+
+    span = " ".join(f"w{i}" for i in range(SUBSTR_WIN))  # exactly one window
+    rows = {
+        1: f"intro text {span} outro one",
+        2: f"different beginning {span} and a different ending",
+        3: "no shared window here at all " + " ".join(f"x{i}" for i in range(SUBSTR_WIN)),
+        4: " ".join(f"w{i}" for i in range(SUBSTR_WIN - 1)),  # one token short
+    }
+    t = pa.table(
+        {"doc_id": list(rows), "text": list(rows.values()),
+         "lang": ["en"] * len(rows), "source": ["s"] * len(rows),
+         "n_chars": [len(v) for v in rows.values()]}
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = substring_dup_pairs(str(tmp_path)).to_pandas()
+    assert set(zip(got["left_id"], got["right_id"])) == {(1, 2)}

@@ -390,3 +390,26 @@ def test_zipf_fit_degenerate(ray_session, tmp_path):
     pq.write_table(t, tmp_path / "documents.parquet")
     out = t_zipf_fit(str(tmp_path)).to_pandas()
     assert out["n_ranks"][0] == 1 and pd.isna(out["zipf_slope"][0])
+
+
+def test_char_entropy_known_answers(ray_session, tmp_path):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import t_char_entropy
+
+    rows = {0: "aaaa", 1: "ab", 2: "", 3: None, 4: "aabb"}
+    t = pa.table(
+        {"doc_id": list(rows), "text": pa.array(list(rows.values()), type=pa.string()),
+         "lang": ["en"] * 5, "source": ["s"] * 5,
+         "n_chars": [len(v) if v else 0 for v in rows.values()]}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = t_char_entropy(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert got.loc[0, "char_entropy"] == 0.0 and got.loc[0, "n_chars_scored"] == 4
+    assert abs(got.loc[1, "char_entropy"] - math.log(2)) < 1e-6
+    assert got.loc[2, "char_entropy"] == 0.0 and got.loc[2, "n_chars_scored"] == 0
+    assert got.loc[3, "char_entropy"] == 0.0 and got.loc[3, "n_chars_scored"] == 0
+    assert abs(got.loc[4, "char_entropy"] - math.log(2)) < 1e-6
