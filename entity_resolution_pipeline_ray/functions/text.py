@@ -199,6 +199,35 @@ def shingle_lists(
     return combined.take(pa.array(src, type=pa.int64())), sh_offs
 
 
+def chunk_lists(flat: pa.Array, offsets: np.ndarray, w: int) -> tuple[pa.Array, np.ndarray]:
+    """Non-overlapping ``w``-token chunk joins per doc ("pseudo-lines"): doc
+    with n tokens yields ceil(n/w) space-joined chunks, the last one short.
+    Unlike ``shingle_lists`` (stride 1) the chunks tile the doc (stride w), so
+    every chunk is a CONTIGUOUS range of the flat token array and chunk j's
+    end is chunk j+1's start — the whole column joins in ONE
+    ``binary_join`` over a list view built from computed offsets (no Python
+    per doc, no token copies).  Returns ``(flat_chunks, chunk_offsets)``."""
+    n = np.diff(offsets)
+    cnt = -(-n // w)  # ceil(n / w)
+    out_offs = np.concatenate(([0], np.cumsum(cnt, dtype=np.int64)))
+    total = int(out_offs[-1])
+    if total == 0:
+        return pa.array([], type=pa.string()), out_offs
+    doc_rep = np.repeat(np.arange(len(n), dtype=np.int64), cnt)
+    within = np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1], cnt)
+    starts = offsets[:-1][doc_rep] + within * w
+    ends = np.minimum(starts + w, offsets[1:][doc_rep])
+    # chunks tile each doc and docs tile flat, so [starts[0], *ends] is a
+    # valid monotone offset vector over flat (ends[j] == starts[j+1])
+    lst = pa.LargeListArray.from_arrays(
+        pa.array(np.concatenate(([starts[0]], ends)), type=pa.int64()), flat
+    )
+    joined = pc.binary_join(lst, " ")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    return joined.cast(pa.string()), out_offs
+
+
 def nullify_sentinels(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Replace reference null-sentinel strings with real Arrow nulls."""
     if isinstance(col, pa.ChunkedArray):

@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import md5_u64_arr, md5_u64_dict
-from ..functions.text import shingle_lists, token_lists_arrow, word_tokens
+from ..functions.text import chunk_lists, shingle_lists, token_lists_arrow, word_tokens
 from ..rayops import read_parquet_clean
 
 
@@ -294,13 +294,21 @@ def d_boilerplate(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"])
 
+    def _doc_line_hashes(t: pa.Table):
+        """(hashes, line_offsets) of every pseudo-line, batch kernels only."""
+        flat, offs = token_lists_arrow(t["text"])
+        lines, l_offs = chunk_lists(flat, offs, BOILER_LINE_TOKENS)
+        return md5_u64_dict(lines), l_offs
+
     def emit(t: pa.Table) -> pa.Table:
-        hs = []
-        for x in t["text"].to_pylist():
-            lines = set(_pseudo_lines(x))  # df = DOCUMENT frequency
-            hs.append(md5_u64_arr(sorted(lines)) if lines else np.empty(0, np.uint64))
-        flat = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
-        return pa.table({"sh": pa.array(flat.astype(np.int64))})
+        h, l_offs = _doc_line_hashes(t)
+        # per-doc DISTINCT (df = DOCUMENT frequency): lexsort mask, no Python
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), np.diff(l_offs))
+        order = np.lexsort((h, doc_idx))
+        d2, h2 = doc_idx[order], h[order]
+        keep = np.ones(len(h2), dtype=bool)
+        keep[1:] = (h2[1:] != h2[:-1]) | (d2[1:] != d2[:-1])
+        return pa.table({"sh": pa.array(h2[keep].astype(np.int64))})
 
     counts = ds.map_batches(emit, batch_format="pyarrow").groupby("sh").aggregate(Count(alias_name="df"))
     hot = counts.filter(expr=f"df >= {BOILER_MIN_DF}").to_pandas()
@@ -309,14 +317,11 @@ def d_boilerplate(sf_dir: str):
 
     def flag(t: pa.Table) -> pa.Table:
         hset = ray.get(ref)
-        n_lines = np.zeros(len(t), dtype=np.int64)
-        n_common = np.zeros(len(t), dtype=np.int64)
-        for i, x in enumerate(t["text"].to_pylist()):
-            lines = _pseudo_lines(x)
-            n_lines[i] = len(lines)
-            if lines and len(hset):
-                uh = md5_u64_arr(lines)
-                n_common[i] = int(np.isin(uh, hset).sum())
+        h, l_offs = _doc_line_hashes(t)
+        n_lines = np.diff(l_offs)
+        hits = np.isin(h, hset) if (h.size and len(hset)) else np.zeros(len(h), dtype=bool)
+        cum = np.concatenate(([0], np.cumsum(hits, dtype=np.int64)))
+        n_common = cum[l_offs[1:]] - cum[l_offs[:-1]]
         return pa.table(
             {"doc_id": t["doc_id"], "n_lines": pa.array(n_lines), "n_common": pa.array(n_common)}
         )

@@ -413,3 +413,22 @@ def test_char_entropy_known_answers(ray_session, tmp_path):
     assert got.loc[2, "char_entropy"] == 0.0 and got.loc[2, "n_chars_scored"] == 0
     assert got.loc[3, "char_entropy"] == 0.0 and got.loc[3, "n_chars_scored"] == 0
     assert abs(got.loc[4, "char_entropy"] - math.log(2)) < 1e-6
+
+
+def test_chunk_lists_matches_pseudo_lines():
+    """chunk_lists (stride-w tiling join) equals the scalar per-doc
+    _pseudo_lines for every doc incl. empty/null/short/exact-multiple."""
+    import pyarrow as pa
+
+    from entity_resolution_pipeline_ray.functions.text import chunk_lists, token_lists_arrow
+    from entity_resolution_pipeline_ray.pipelines.curation import _pseudo_lines
+
+    docs = [
+        "", None, "one", " ".join(f"t{i}" for i in range(10)),
+        " ".join(f"t{i}" for i in range(25)), " ".join(f"t{i}" for i in range(30)),
+        "a b", "x " * 95,
+    ]
+    flat, offs = token_lists_arrow(pa.array(docs, type=pa.string()))
+    lines, l_offs = chunk_lists(flat, offs, 10)
+    for i, d in enumerate(docs):
+        assert lines[l_offs[i] : l_offs[i + 1]].to_pylist() == _pseudo_lines(d), d
