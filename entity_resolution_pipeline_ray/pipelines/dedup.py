@@ -858,18 +858,25 @@ def substring_dup_pairs(sf_dir: str, window: int = SUBSTR_WIN):
     )
 
 
-_SUBSTR_TERMS = ", ".join(f"tk[i+{j}]" for j in range(SUBSTR_WIN))
-D_SUBSTRING_SQL = f"""
+def d_substring_sql(window: int = SUBSTR_WIN) -> str:
+    """Oracle for ``substring_dup_pairs`` at the SAME window — generated from
+    the parameter so a non-default window gets a matching oracle instead of
+    silently diverging from the registered constant."""
+    terms = ", ".join(f"tk[i+{j}]" for j in range(window))
+    return f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk
   FROM documents),
 g AS (
-  SELECT doc_id, CASE WHEN len(tk) < {SUBSTR_WIN} THEN CAST([] AS VARCHAR[])
-    ELSE list_transform(range(1, len(tk) - {SUBSTR_WIN - 2}),
-                        i -> concat_ws(' ', {_SUBSTR_TERMS}))
+  SELECT doc_id, CASE WHEN len(tk) < {window} THEN CAST([] AS VARCHAR[])
+    ELSE list_transform(range(1, len(tk) - {window - 2}),
+                        i -> concat_ws(' ', {terms}))
   END AS grams FROM toks),
 dg AS (SELECT DISTINCT doc_id, md5_number_upper(gram) >> 1 AS k
        FROM (SELECT doc_id, unnest(grams) AS gram FROM g))
 SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
 FROM dg a JOIN dg b ON a.k = b.k AND a.doc_id < b.doc_id
 """
+
+
+D_SUBSTRING_SQL = d_substring_sql(SUBSTR_WIN)

@@ -151,18 +151,11 @@ def p_pack_sequences(sf_dir: str):
     ``t_token_count`` spec).  Split-by-cumulative-count packing: shard
     boundaries fall wherever the running token total crosses a budget
     multiple, so every shard holds ~PACK_BUDGET tokens of consecutive docs."""
-    import pyarrow.compute as pc
-
     from ..rayops import exclusive_prefix_sum
+    from .text_analysis import t_token_count
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def count(t: pa.Table) -> pa.Table:
-        filled = pc.coalesce(t["text"], pa.scalar("", type=pa.string()))
-        n = pc.cast(pc.count_substring_regex(filled, pattern=r"\S+"), pa.int64())
-        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
-
-    slim = ds.map_batches(count, batch_format="pyarrow")
+    # the token-count kernel IS t_token_count (one spec, one oracle pin)
+    slim = t_token_count(sf_dir)
     pref = exclusive_prefix_sum(slim, "doc_id", "n_tokens", "prev_tokens")
 
     def shard(t: pa.Table) -> pa.Table:
@@ -201,10 +194,20 @@ FROM t
 
 def p_lang_balance(sf_dir: str):
     """(doc_id, lang) of the kept rows after balancing the language mix down
-    to the rarest language's count."""
+    to the rarest language's count.  Null langs are one group keyed '' (same
+    coalesce on both engine and oracle sides — Ray's groupby sort rejects
+    None keys and SQL's equi-join drops NULLs, so the fill is the one
+    null-consistent spec); the output ``lang`` column is the coalesced key."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
-    ds = _docs(sf_dir, ["doc_id", "lang"])
+    ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"],
+             "lang": pc.fill_null(t["lang"], pa.scalar("", type=pa.string()))}
+        ),
+        batch_format="pyarrow",
+    )
     counts = {
         r["lang"]: r["count()"]
         for r in ds.groupby("lang").aggregate(Count()).take_all()
@@ -223,9 +226,10 @@ def p_lang_balance(sf_dir: str):
 
 
 P_LANG_BALANCE_SQL = """
-WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+WITH d AS (SELECT doc_id, coalesce(lang, '') AS lang FROM documents),
+c AS (SELECT lang, count(*) AS n FROM d GROUP BY lang),
 m AS (SELECT min(n) AS mn FROM c)
 SELECT d.doc_id, d.lang
-FROM documents d JOIN c USING (lang) CROSS JOIN m
+FROM d JOIN c USING (lang) CROSS JOIN m
 WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR)) % c.n < m.mn
 """

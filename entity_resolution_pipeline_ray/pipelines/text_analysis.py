@@ -607,10 +607,11 @@ FROM top
 # Character-level Shannon entropy — the gibberish/boilerplate quality signal
 # orthogonal to the token-level stats: natural English sits near 4.1 bits
 # equivalent (~2.9 nats); repeated templates collapse it, random bytes max it.
-# Kernel: ONE zero-copy view of the Arrow string buffer as uint8 (the corpus
-# is ASCII, where bytes == codepoints == the oracle's per-character unnest;
-# the equivalence is pinned by test), then a per-doc 256-bin bincount —
-# per-batch work is a flat numpy pass, never per-character Python.
+# Kernel: ONE zero-copy view of the Arrow string buffer as uint8 and ONE
+# whole-batch 256-bin-per-doc bincount (bytes == codepoints == the oracle's
+# per-character unnest on ASCII docs); docs containing multibyte sequences
+# fall back per doc to the exact codepoint distribution, so the operator is
+# oracle-faithful on any input, not just the ASCII corpus.
 
 
 def t_char_entropy(sf_dir: str):
@@ -623,18 +624,35 @@ def t_char_entropy(sf_dir: str):
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         arr = arr.cast(pa.large_string())
         filled = pc.fill_null(arr, "")
+        n_docs = len(filled)
         buf = np.frombuffer(filled.buffers()[2] or b"", dtype=np.uint8)
         offs = np.frombuffer(filled.buffers()[1], dtype=np.int64)[
-            filled.offset : filled.offset + len(filled) + 1
+            filled.offset : filled.offset + n_docs + 1
         ]
-        n = np.diff(offs)
-        ent = np.zeros(len(filled), dtype=np.float64)
-        for i in range(len(filled)):
-            if n[i] == 0:
-                continue
-            cnt = np.bincount(buf[offs[i] : offs[i + 1]])
-            p = cnt[cnt > 0] / n[i]
-            ent[i] = round(float(-(p * np.log(p)).sum()), 6)
+        n = np.diff(offs).copy()
+        ent = np.zeros(n_docs, dtype=np.float64)
+        if buf.size:
+            # one whole-batch histogram: row d = doc d's byte counts
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+            cnt = np.bincount(doc_idx * 256 + buf, minlength=n_docs * 256).reshape(n_docs, 256)
+            safe_n = np.maximum(n, 1)[:, None]
+            p = cnt / safe_n
+            with np.errstate(divide="ignore", invalid="ignore"):
+                terms = np.where(cnt > 0, p * np.log(p), 0.0)
+            ent = -terms.sum(axis=1)
+            # a multibyte (non-ASCII) doc falls back to the oracle's exact
+            # CODEPOINT distribution — rare by construction on web corpora
+            # after lang filtering, so per-doc decode cost is negligible
+            is_mb = cnt[:, 128:].sum(axis=1) > 0
+            for i in np.flatnonzero(is_mb):
+                cp = np.frombuffer(
+                    filled[i].as_py().encode("utf-32-le"), dtype=np.uint32
+                )
+                n[i] = len(cp)
+                _, c = np.unique(cp, return_counts=True)
+                pi = c / n[i]
+                ent[i] = -(pi * np.log(pi)).sum()
+        ent = np.array([round(float(v), 6) for v in ent], dtype=np.float64)
         return pa.table(
             {
                 "doc_id": t["doc_id"],

@@ -563,12 +563,17 @@ def exclusive_prefix_sum(ds, order_col, val_col: str, out_col: str):
     block offset.  Two streaming passes; nothing corpus-sized ever leaves the
     workers.  ``order_col`` must be unique for a deterministic result (ties
     across block boundaries would make the prefix partition-dependent)."""
+    import numpy as np
+    import pyarrow as pa
+
     sorted_ds = ds.sort(order_col).materialize()
     refs = sorted_ds.to_arrow_refs()
     if not refs:
-        return sorted_ds
-    import numpy as np
-
+        # keep the schema contract: the empty result still carries out_col
+        schema = sorted_ds.schema()
+        cols = {f.name: pa.array([], type=f.type) for f in (schema.base_schema if schema else [])}
+        cols[out_col] = pa.array([], type=pa.int64())
+        return rd.from_arrow(pa.table(cols))
     sums = ray.get([_block_i64_sum.remote(r, val_col) for r in refs])
     offsets = np.concatenate(([0], np.cumsum(np.asarray(sums, dtype=np.int64))))[:-1]
     return rd.from_arrow_refs(

@@ -400,10 +400,10 @@ def test_char_entropy_known_answers(ray_session, tmp_path):
 
     from entity_resolution_pipeline_ray.pipelines.text_analysis import t_char_entropy
 
-    rows = {0: "aaaa", 1: "ab", 2: "", 3: None, 4: "aabb"}
+    rows = {0: "aaaa", 1: "ab", 2: "", 3: None, 4: "aabb", 5: "éé", 6: "héllo"}
     t = pa.table(
         {"doc_id": list(rows), "text": pa.array(list(rows.values()), type=pa.string()),
-         "lang": ["en"] * 5, "source": ["s"] * 5,
+         "lang": ["en"] * 7, "source": ["s"] * 7,
          "n_chars": [len(v) if v else 0 for v in rows.values()]}
     )
     pq.write_table(t, tmp_path / "documents.parquet")
@@ -413,6 +413,12 @@ def test_char_entropy_known_answers(ray_session, tmp_path):
     assert got.loc[2, "char_entropy"] == 0.0 and got.loc[2, "n_chars_scored"] == 0
     assert got.loc[3, "char_entropy"] == 0.0 and got.loc[3, "n_chars_scored"] == 0
     assert abs(got.loc[4, "char_entropy"] - math.log(2)) < 1e-6
+    # non-ASCII docs score CODEPOINTS (the oracle's unnest), not UTF-8 bytes
+    assert got.loc[5, "char_entropy"] == 0.0 and got.loc[5, "n_chars_scored"] == 2
+    assert got.loc[6, "n_chars_scored"] == 5
+    # {h:1, é:1, l:2, o:1} over 5 codepoints
+    exp = -(3 * (1 / 5) * math.log(1 / 5) + (2 / 5) * math.log(2 / 5))
+    assert abs(got.loc[6, "char_entropy"] - exp) < 1e-6
 
 
 def test_chunk_lists_matches_pseudo_lines():
