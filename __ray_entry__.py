@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_ngram_jaccard_pairs": D.ngram_jaccard_dup_pairs,
         "d_embedding_pairs": D.embedding_dup_pairs,
         "d_embedding_pairs_lsh": D.embedding_dup_pairs_lsh,
+        "d_apply_semantic": D.dedup_apply_semantic,
         # --- similarity search ---
         "s_knn_bruteforce": S.knn_bruteforce,
         "s_knn_lsh": S.knn_lsh,
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "d_ngram_jaccard_pairs": D.NGRAM_JACCARD_SQL,
         "d_embedding_pairs": D.EMBEDDING_DUP_SQL,
         "d_embedding_pairs_lsh": D.D_EMBEDDING_LSH_SQL,
+        "d_apply_semantic": D.D_APPLY_SEMANTIC_SQL,
         "s_knn_bruteforce": S.KNN_BRUTEFORCE_SQL,
         "s_knn_lsh": S.KNN_LSH_SQL,
         "s_knn_ivf": S.KNN_IVF_SQL,

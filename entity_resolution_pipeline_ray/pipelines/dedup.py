@@ -618,13 +618,18 @@ def embedding_dup_pairs_lsh(
     n_planes: int = 6,
     seed: int = 42,
     max_block_size: int = 2000,
+    multi_probe: bool = True,
 ):
     """Sub-quadratic embedding dedup — the production plan at scale: bucket
     vectors by random-hyperplane sign bits (multi-probe: each vector also emits
     every 1-bit-flip bucket, so pairs whose codes differ by <=2 bits collide),
     enumerate candidates per bucket, verify exact cosine via a join back to the
     normalized-vector table.  Approximate in recall (measured vs the exact
-    baseline in tests), exact in precision (every emitted pair is verified)."""
+    baseline in tests), exact in precision (every emitted pair is verified).
+
+    With ``multi_probe=False`` each vector lands in exactly ONE sign-code
+    bucket (candidates = same-code pairs) — the single-assignment "semantic
+    cluster" view used by ``dedup_apply_semantic``."""
     normed = _normalized_embeddings(sf_dir).materialize()
     n = normed.count()
     if n == 0:
@@ -643,9 +648,10 @@ def embedding_dup_pairs_lsh(
         codes = ((m @ planes.T) > 0).astype(np.int64) @ weights
         keys = [codes]
         kids = [ids]
-        for p in range(n_planes):  # multi-probe: 1-bit flips
-            keys.append(codes ^ (1 << p))
-            kids.append(ids)
+        if multi_probe:
+            for p in range(n_planes):  # multi-probe: 1-bit flips
+                keys.append(codes ^ (1 << p))
+                kids.append(ids)
         return pa.table(
             {
                 "block_key": pa.array(np.concatenate(keys), type=pa.int64()),
@@ -657,7 +663,8 @@ def embedding_dup_pairs_lsh(
     # partition the candidate shuffle by BLOCK rows (n x (1 + n_planes) probe
     # keys, quadratic in-bucket expansion) — sizing it by the vector count
     # alone starves the self-join at 2 partitions
-    pair_parts = adaptive_partitions(n * (n_planes + 1), rows_per_partition=500)
+    probe_mult = (n_planes + 1) if multi_probe else 1
+    pair_parts = adaptive_partitions(n * probe_mult, rows_per_partition=500)
     pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=max_block_size), num_partitions=pair_parts)
 
     empty = pa.table({"left_vec_id": pa.array([], type=pa.int64()), "right_vec_id": pa.array([], type=pa.int64()),
@@ -733,6 +740,92 @@ FROM scored WHERE cos >= {threshold}
 
 
 D_EMBEDDING_LSH_SQL = _embedding_lsh_sql()
+
+
+def dedup_apply_semantic(sf_dir: str, threshold: float = 0.3, n_planes: int = 6, seed: int = 42):
+    """SemDeDup-style semantic dedup APPLY (Abbas et al., arXiv:2303.09540,
+    adapted to a deterministic rule): every vector is assigned to exactly ONE
+    semantic bucket (its hyperplane sign code — the cheap stand-in for
+    SemDeDup's k-means cluster), and within a bucket a vector is DROPPED iff
+    some lower-id vector in the same bucket has cosine >= threshold to it.
+    Output is the per-vector decision stream (vec_id, label, keep) — the form
+    a training-data pipeline consumes.
+
+    Plan: single-assignment LSH pair enumeration with fused cosine
+    verification (``embedding_dup_pairs_lsh(multi_probe=False)``), then the
+    drop set = distinct right ids of the verified pair set.  The drop set is
+    duplicate-proportional, never corpus-proportional — below the broadcast
+    threshold it ships as one sorted int64 array (searchsorted flag per
+    batch); above it the decision is a left-outer hash join against the
+    deduped drop table (same dual-plan discipline as the verification step
+    itself)."""
+    pairs = embedding_dup_pairs_lsh(
+        sf_dir, threshold=threshold, n_planes=n_planes, seed=seed, multi_probe=False
+    )
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    drops = pairs.select_columns(["right_vec_id"]).materialize()
+    n_drop_rows = drops.count()
+
+    if n_drop_rows <= BROADCAST_THRESHOLD_ROWS:
+        if n_drop_rows:
+            chunks = [t["right_vec_id"].to_numpy(zero_copy_only=False) for t in ray.get(drops.to_arrow_refs()) if t.num_rows]
+            drop_ids = np.unique(np.concatenate(chunks).astype(np.int64))
+        else:
+            drop_ids = np.empty(0, dtype=np.int64)
+        ref = ray.put(drop_ids)
+
+        def flag(t: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(d, ids)
+            dropped = (pos < len(d)) & (d[np.clip(pos, 0, max(len(d) - 1, 0))] == ids) if len(d) else np.zeros(len(ids), dtype=bool)
+            return pa.table({"vec_id": t["vec_id"], "label": t["label"], "keep": pa.array(~dropped)})
+
+        return emb.map_batches(flag, batch_format="pyarrow")
+
+    marked = drops.map_batches(
+        lambda t: pa.table(
+            {"vec_id": pc.cast(t["right_vec_id"], pa.int64()), "dropped": pa.array(np.ones(len(t), dtype=np.int8))}
+        ),
+        batch_format="pyarrow",
+    )
+    marked = first_per_key(marked, "vec_id")
+    joined = safe_join(
+        emb,
+        marked,
+        num_partitions=adaptive_partitions(emb.count()),
+        on=("vec_id",),
+        right_on=("vec_id",),
+        join_type="left_outer",
+        right_fill_schema={"dropped": pa.int8()},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.is_null(t["dropped"])
+        return pa.table({"vec_id": t["vec_id"], "label": t["label"], "keep": keep})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _apply_semantic_sql(threshold: float = 0.3, n_planes: int = 6, seed: int = 42, dim: int = 64) -> str:
+    """SQL replica of ``dedup_apply_semantic``: single-assignment buckets are
+    code equality (no multi-probe), the drop set is the distinct greater side
+    of verified same-bucket pairs, and the decision is a left anti lookup."""
+    code = hyperplane_code_sql("e", n_planes, dim, seed)
+    return f"""
+WITH c AS (
+  SELECT vec_id, e, {code} AS code, sqrt(list_dot_product(e, e)) AS nrm
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+drops AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM c a JOIN c b ON a.code = b.code AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= {threshold})
+SELECT e.vec_id, e.label, d.vec_id IS NULL AS keep
+FROM embeddings e LEFT JOIN drops d USING (vec_id)
+"""
+
+
+D_APPLY_SEMANTIC_SQL = _apply_semantic_sql()
 
 
 def dedup_apply_exact(sf_dir: str):

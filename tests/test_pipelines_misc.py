@@ -216,3 +216,22 @@ def test_knn_ivf_recall_and_oracle():
         a = set(mine[mine["query_id"] == q]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.5
+
+
+def test_apply_semantic_consistent_with_pairs(monkeypatch):
+    """The semantic-dedup apply drops exactly the distinct right ids of the
+    single-assignment (multi_probe=False) verified pair set, on BOTH the
+    broadcast-flag and the left-outer-join plan."""
+    import entity_resolution_pipeline_ray.pipelines.dedup as D
+
+    pairs = D.embedding_dup_pairs_lsh(SF, multi_probe=False).to_pandas()
+    expect_drop = set(pairs["right_vec_id"])
+    out = D.dedup_apply_semantic(SF).to_pandas()
+    n_vecs = len(out)
+    assert n_vecs > 0 and out["vec_id"].is_unique
+    assert set(out.loc[~out["keep"], "vec_id"]) == expect_drop
+
+    monkeypatch.setattr(D, "BROADCAST_THRESHOLD_ROWS", 0)
+    out_join = D.dedup_apply_semantic(SF).to_pandas()
+    assert len(out_join) == n_vecs
+    assert set(out_join.loc[~out_join["keep"], "vec_id"]) == expect_drop
