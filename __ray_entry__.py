@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_knn_ivf": S.knn_ivf,
         "s_label_centroids": S.s_label_centroids,
         "s_knn_filtered": S.knn_filtered,
+        "s_bm25_topk": S.s_bm25_topk,
         # --- multimodal plumbing ---
         "m_media_features": M.m_media_features,
         "m_media_resize": M.m_media_resize,
@@ -229,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         "s_knn_ivf": S.KNN_IVF_SQL,
         "s_label_centroids": S.S_LABEL_CENTROIDS_SQL,
         "s_knn_filtered": S.KNN_FILTERED_SQL,
+        "s_bm25_topk": S.S_BM25_SQL,
         "m_media_features": M.M_MEDIA_SQL,
         "m_media_resize": M.M_RESIZE_SQL,
         "m_frame_sample": M.M_FRAME_SAMPLE_SQL,

@@ -530,3 +530,125 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
   FROM scored)
 WHERE rank <= 10
 """
+
+
+# ------------------------------------------------------------- BM25 retrieval
+# Sparse lexical retrieval over the documents table — the text-side sibling of
+# the dense kNN family (Robertson & Zaragoza's BM25, Lucene idf variant:
+# idf = ln((N - df + 0.5) / (df + 0.5) + 1)).  Two streaming passes:
+#  1. corpus statistics — per-batch partials (doc count, total doc length,
+#     per-term document frequency), one tiny combiner row per batch;
+#  2. scoring — broadcast the <query-terms>-sized idf table, per-batch
+#     vectorized tf via Arrow tokenize + index_in + one bincount, per-block
+#     partial top-k, tiny driver merge (same plan as knn_bruteforce).
+# Nothing corpus-sized touches the driver; the shuffle count is zero.
+
+BM25_TERMS = ("table", "scan", "merge", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_tf_dl(text_col, terms: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(tf matrix [n_docs x n_terms], doc lengths) for one batch — tokenizer
+    parity with the oracle via functions.text.token_lists_arrow."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import token_lists_arrow
+
+    flat, offsets = token_lists_arrow(text_col)
+    dl = np.diff(offsets)
+    n, m = len(dl), len(terms)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), dl)
+    tid = pc.fill_null(pc.index_in(flat, value_set=terms), -1).to_numpy(zero_copy_only=False).astype(np.int64)
+    valid = tid >= 0
+    tf = np.bincount(doc_idx[valid] * m + tid[valid], minlength=n * m).reshape(n, m)
+    return tf, dl
+
+
+def s_bm25_topk(sf_dir: str, k: int = 10, terms: tuple = BM25_TERMS):
+    """Top-k documents by BM25 for a fixed query-term set.
+
+    Returns (doc_id, score, rank) — rank 1..k by (score desc, doc_id asc),
+    restricted to docs containing at least one query term (score > 0),
+    score rounded to 6 decimals (oracle float parity)."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    terms_arr = pa.array(list(terms), type=pa.string())
+    m = len(terms)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        tf, dl = _bm25_tf_dl(t["text"], terms_arr)
+        row = {"n_docs": [len(dl)], "sum_dl": [int(dl.sum())]}
+        for i in range(m):
+            row[f"df_{i}"] = [int((tf[:, i] > 0).sum())]
+        return pa.table(row)
+
+    parts = docs.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_total = int(parts["n_docs"].sum()) if len(parts) else 0
+    empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()), "score": pa.array([], type=pa.float64()),
+         "rank": pa.array([], type=pa.int64())}
+    )
+    if n_total == 0:
+        return rd.from_arrow(empty)
+    sum_dl = int(parts["sum_dl"].sum())
+    df = np.array([int(parts[f"df_{i}"].sum()) for i in range(m)], dtype=np.float64)
+    idf = np.log((n_total - df + 0.5) / (df + 0.5) + 1.0)
+    avgdl = max(sum_dl / n_total, 1e-12)
+    ref = ray.put((idf, avgdl))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        idf_, avgdl_ = ray.get(ref)
+        tf, dl = _bm25_tf_dl(t["text"], terms_arr)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl_))[:, None]
+        s = (idf_ * (tf * (BM25_K1 + 1.0)) / np.maximum(denom, 1e-12)).sum(axis=1)
+        pos = np.nonzero(s > 0)[0]
+        if len(pos) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()), "score": pa.array([], type=pa.float64())})
+        order = np.lexsort((ids[pos], -s[pos]))[: min(k, len(pos))]
+        sel = pos[order]
+        return pa.table(
+            {"doc_id": pa.array(ids[sel], type=pa.int64()), "score": pa.array(s[sel], type=pa.float64())}
+        )
+
+    pdf = docs.map_batches(score_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    if len(pdf) == 0:
+        return rd.from_arrow(empty)
+    pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(pdf["doc_id"].to_numpy(), type=pa.int64()),
+                "score": pa.array(np.round(pdf["score"].to_numpy(), 6), type=pa.float64()),
+                "rank": pa.array(np.arange(1, len(pdf) + 1), type=pa.int64()),
+            }
+        )
+    )
+
+
+def _bm25_sql(k: int = 10, terms: tuple = BM25_TERMS, k1: float = BM25_K1, b: float = BM25_B) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+')) AS tok
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents) AS n,
+                  (SELECT coalesce(sum(dl), 0) FROM dl) AS sum_dl),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+       WHERE tok IN ({term_list}) GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((corpus.n - df.df + 0.5) / (df.df + 0.5) + 1)
+              * tf.tf * ({k1} + 1)
+              / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / (corpus.sum_dl / corpus.n)))) AS score
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), corpus
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM scored)
+WHERE rank <= {k}
+"""
+
+
+S_BM25_SQL = _bm25_sql()

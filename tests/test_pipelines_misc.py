@@ -235,3 +235,21 @@ def test_apply_semantic_consistent_with_pairs(monkeypatch):
     out_join = D.dedup_apply_semantic(SF).to_pandas()
     assert len(out_join) == n_vecs
     assert set(out_join.loc[~out_join["keep"], "vec_id"]) == expect_drop
+
+
+def test_bm25_topk_matches_duckdb():
+    import duckdb
+
+    from entity_resolution_pipeline_ray.pipelines.similarity_search import S_BM25_SQL, s_bm25_topk
+
+    mine = s_bm25_topk(SF).to_pandas().sort_values("rank").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    oracle = con.sql(S_BM25_SQL).df().sort_values("rank").reset_index(drop=True)
+    con.close()
+    assert len(mine) == 10
+    assert (mine["doc_id"].to_numpy() == oracle["doc_id"].to_numpy()).all()
+    assert np.allclose(mine["score"], oracle["score"])
+    # ranks are 1..k in strictly non-increasing score order
+    assert (mine["rank"].to_numpy() == np.arange(1, 11)).all()
+    assert (np.diff(mine["score"].to_numpy()) <= 1e-12).all()
