@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_lang_quantiles": SP.q_lang_quantiles,
         "p_pack_sequences": SP.p_pack_sequences,
         "p_lang_balance": SP.p_lang_balance,
+        "p_importance_weights": SP.p_importance_weights,
         "t_zipf_fit": T.t_zipf_fit,
         "t_char_entropy": T.t_char_entropy,
         "d_substring_pairs": D.substring_dup_pairs,
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "p_lang_quantiles": SP.Q_LANG_QUANTILES_SQL,
         "p_pack_sequences": SP.P_PACK_SEQUENCES_SQL,
         "p_lang_balance": SP.P_LANG_BALANCE_SQL,
+        "p_importance_weights": SP.P_IMPORTANCE_WEIGHTS_SQL,
         "t_zipf_fit": T.T_ZIPF_FIT_SQL,
         "t_char_entropy": T.T_CHAR_ENTROPY_SQL,
         "d_substring_pairs": D.D_SUBSTRING_SQL,

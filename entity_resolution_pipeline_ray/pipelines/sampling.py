@@ -233,3 +233,101 @@ SELECT d.doc_id, d.lang
 FROM d JOIN c USING (lang) CROSS JOIN m
 WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR)) % c.n < m.mn
 """
+
+
+# --------------------------------------------------------- DSIR importance
+# Data Selection with Importance Resampling (Xie et al., arXiv:2302.03169):
+# score every raw document by how much more likely its hashed-unigram bag is
+# under a target-domain distribution than under the raw-corpus distribution.
+# Here the "target domain" proxy is source='src0'; features are md5-hashed
+# unigram buckets (DuckDB ``md5_number_upper`` parity → fully SQL-oracled).
+#
+# Plan (two streaming passes, zero shuffles):
+#  1. per-batch partial bucket histograms for target and raw — each partial
+#     is ONE row carrying two packed int64[B] arrays (32 KiB at B=4096,
+#     independent of corpus size), summed on the driver like the HLL/Bloom
+#     register merges in pipelines/curation.py;
+#  2. broadcast the add-1-smoothed log-ratio table; per-doc score is one
+#     weighted bincount over the token->bucket ids.
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_SOURCE = "src0"
+
+
+def _dsir_buckets(text_col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat bucket ids, per-doc token counts) for one batch."""
+    from ..functions.hashing import md5_u64_dict
+    from ..functions.text import token_lists_arrow
+
+    flat, offsets = token_lists_arrow(text_col)
+    counts = np.diff(offsets)
+    b = (md5_u64_dict(flat) & np.uint64(DSIR_BUCKETS - 1)).astype(np.int64)
+    return b, counts
+
+
+def p_importance_weights(sf_dir: str):
+    """(doc_id, log_weight): DSIR hashed-unigram log importance weight of
+    every document against the target domain, rounded to 6 decimals."""
+    import ray
+    import ray.data as rd
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b, counts = _dsir_buckets(t["text"])
+        is_target = np.repeat(
+            (t["source"].to_numpy(zero_copy_only=False) == DSIR_TARGET_SOURCE), counts
+        )
+        cr = np.bincount(b, minlength=DSIR_BUCKETS)
+        ct = np.bincount(b[is_target], minlength=DSIR_BUCKETS)
+        return pa.table(
+            {
+                "ct": pa.array([ct.astype(np.int64).tobytes()], type=pa.binary()),
+                "cr": pa.array([cr.astype(np.int64).tobytes()], type=pa.binary()),
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    ct = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    cr = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    for row in parts.itertuples(index=False):
+        ct += np.frombuffer(row.ct, dtype=np.int64)
+        cr += np.frombuffer(row.cr, dtype=np.int64)
+    nt, nr = int(ct.sum()), int(cr.sum())
+    lr = np.log((ct + 1.0) / (nt + DSIR_BUCKETS)) - np.log((cr + 1.0) / (nr + DSIR_BUCKETS))
+    ref = ray.put(lr)
+
+    def score(t: pa.Table) -> pa.Table:
+        lr_ = ray.get(ref)
+        b, counts = _dsir_buckets(t["text"])
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        s = np.bincount(doc_idx, weights=lr_[b], minlength=len(counts))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "log_weight": pa.array(np.round(s, 6), type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+P_IMPORTANCE_WEIGHTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         md5_number_upper(unnest(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+')))
+           & {DSIR_BUCKETS - 1} AS b
+  FROM documents),
+ct AS (SELECT b, count(*) AS c FROM toks WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b),
+cr AS (SELECT b, count(*) AS c FROM toks GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM toks WHERE source = '{DSIR_TARGET_SOURCE}') AS nt,
+               (SELECT count(*) FROM toks) AS nr),
+ratio AS (
+  SELECT cr.b,
+         ln((coalesce(ct.c, 0) + 1.0) / (tot.nt + {DSIR_BUCKETS}))
+           - ln((cr.c + 1.0) / (tot.nr + {DSIR_BUCKETS})) AS lr
+  FROM cr LEFT JOIN ct USING (b), tot),
+scored AS (SELECT t.doc_id, sum(r.lr) AS s FROM toks t JOIN ratio r USING (b) GROUP BY t.doc_id)
+SELECT d.doc_id, round(coalesce(s.s, 0.0), 6) AS log_weight
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""

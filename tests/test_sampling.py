@@ -178,3 +178,27 @@ def test_lang_balance_downsamples_to_min(ray_session, tmp_path):
     # equality is not guaranteed by hash-mod, but the minimum groups keep all)
     assert (got["lang"] == "de").sum() == 5
     assert (got["lang"] == "").sum() == 5
+
+
+def test_importance_weights_favor_target_domain(tmp_path):
+    """DSIR known-answer: on a corpus where the target domain (source='src0')
+    uses a disjoint vocabulary, target docs must get strictly higher log
+    importance weights than off-domain docs of the same length."""
+    from entity_resolution_pipeline_ray.pipelines.sampling import p_importance_weights
+
+    tgt_text = "alpha beta gamma delta alpha beta"
+    raw_text = "omega sigma theta kappa omega sigma"
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(12), type=pa.int64()),
+            "text": pa.array([tgt_text if i % 3 == 0 else raw_text for i in range(12)]),
+            "source": pa.array(["src0" if i % 3 == 0 else "src1" for i in range(12)]),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = p_importance_weights(str(tmp_path)).to_pandas().set_index("doc_id")
+    tgt = out.loc[[i for i in range(12) if i % 3 == 0], "log_weight"]
+    rest = out.loc[[i for i in range(12) if i % 3 != 0], "log_weight"]
+    assert tgt.min() > rest.max()
