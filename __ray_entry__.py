@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_curation_pipeline": C.p_curation_pipeline,
         "d_decontaminate": C.d_decontaminate,
         "d_boilerplate": C.d_boilerplate,
+        "d_line_dedup": C.d_line_dedup,
         # --- training-data sampling / curation ---
         "p_source_cap": SP.q_source_cap,
         "p_stratified_sample": SP.q_stratified_sample,
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "p_curation_pipeline": C.P_CURATION_PIPELINE_SQL,
         "d_decontaminate": C.D_DECONTAMINATE_SQL,
         "d_boilerplate": C.D_BOILERPLATE_SQL,
+        "d_line_dedup": C.D_LINE_DEDUP_SQL,
         "p_source_cap": SP.Q_SOURCE_CAP_SQL,
         "p_stratified_sample": SP.Q_STRATIFIED_SAMPLE_SQL,
         "p_lang_quantiles": SP.Q_LANG_QUANTILES_SQL,

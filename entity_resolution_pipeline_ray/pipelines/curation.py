@@ -350,6 +350,180 @@ FROM s LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# ---------------------------------------------------------- line-dedup apply
+# The APPLY form of line-level dedup (CCNet, Wenzek et al., arXiv:1911.00359:
+# dedup paragraphs by hash across the corpus, keep the first occurrence):
+# every pseudo-line occurrence except the globally FIRST of its content —
+# lowest (doc_id, line_idx) — is REMOVED, and each doc's text is rebuilt from
+# its retained lines.  Differs from d_boilerplate (a per-doc hot-line COUNT
+# signal) in that it changes the text and keeps one copy corpus-wide.
+
+LINE_POS_STRIDE = 1 << 20  # occurrence order key: doc_id * stride + line_idx
+
+
+def d_line_dedup(sf_dir: str):
+    """(doc_id, n_lines, n_removed, text): corpus-wide first-occurrence line
+    dedup.  Plan: slim (line_hash, pos) occurrence stream → ONE range shuffle
+    (``first_per_key(invert=True)``) emits exactly the non-first occurrences
+    (duplicate-proportional, never corpus-proportional) → dual-plan apply
+    (broadcast sorted pos array below the threshold, per-doc packed removal
+    lists via ``map_sorted_groups`` + hash join above) → per-batch vectorized
+    text rebuild (filter + list-view ``binary_join``)."""
+    import ray
+    import ray.data as rd
+
+    from ..rayops import (
+        adaptive_partitions,
+        first_per_key,
+        map_sorted_groups,
+        safe_join,
+    )
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    W = BOILER_LINE_TOKENS
+
+    def _lines(t: pa.Table):
+        flat, offs = token_lists_arrow(t["text"])
+        lines, l_offs = chunk_lists(flat, offs, W)
+        return lines, md5_u64_dict(lines).astype(np.int64), l_offs
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        _, h, l_offs = _lines(t)
+        cnt = np.diff(l_offs)
+        doc_rep = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), cnt)
+        within = np.arange(len(h), dtype=np.int64) - np.repeat(l_offs[:-1], cnt)
+        return pa.table(
+            {"h": pa.array(h), "pos": pa.array(doc_rep * LINE_POS_STRIDE + within, type=pa.int64())}
+        )
+
+    removed = first_per_key(
+        ds.map_batches(occurrences, batch_format="pyarrow"), "h", order_col="pos", invert=True
+    ).select_columns(["pos"]).materialize()
+    n_removed_total = removed.count()
+
+    def rebuild(t: pa.Table, rm_line_mask: np.ndarray, lines, l_offs) -> pa.Table:
+        cnt = np.diff(l_offs)
+        n = len(cnt)
+        batch_doc_idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        keep = ~rm_line_mask
+        kept_lines = lines.filter(pa.array(keep))
+        kept_cnt = np.bincount(batch_doc_idx[keep], minlength=n).astype(np.int64) if len(keep) else np.zeros(n, np.int64)
+        offsets = np.concatenate(([0], np.cumsum(kept_cnt, dtype=np.int64)))
+        lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), kept_lines)
+        text = pc.binary_join(lst, " ")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_lines": pa.array(cnt, type=pa.int64()),
+                "n_removed": pa.array(cnt - kept_cnt, type=pa.int64()),
+                "text": text,
+            }
+        )
+
+    from ..pipelines.dedup import BROADCAST_THRESHOLD_ROWS
+
+    if n_removed_total <= BROADCAST_THRESHOLD_ROWS:
+        if n_removed_total:
+            chunks = [t["pos"].to_numpy(zero_copy_only=False) for t in ray.get(removed.to_arrow_refs()) if t.num_rows]
+            rm_pos = np.sort(np.concatenate(chunks).astype(np.int64))
+        else:
+            rm_pos = np.empty(0, dtype=np.int64)
+        ref = ray.put(rm_pos)
+
+        def apply_b(t: pa.Table) -> pa.Table:
+            rm = ray.get(ref)
+            lines, _, l_offs = _lines(t)
+            cnt = np.diff(l_offs)
+            doc_rep = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), cnt)
+            within = np.arange(len(doc_rep), dtype=np.int64) - np.repeat(l_offs[:-1], cnt)
+            pos = doc_rep * LINE_POS_STRIDE + within
+            if len(rm) and len(pos):
+                p = np.searchsorted(rm, pos)
+                mask = (p < len(rm)) & (rm[np.minimum(p, len(rm) - 1)] == pos)
+            else:
+                mask = np.zeros(len(pos), dtype=bool)
+            return rebuild(t, mask, lines, l_offs)
+
+        return ds.map_batches(apply_b, batch_format="pyarrow")
+
+    # join plan: pack each doc's removal list (within-doc line indices) into
+    # one binary cell, join against the doc stream, unpack vectorized
+    rm_rows = removed.map_batches(
+        lambda t: pa.table(
+            {
+                # stride is a power of two: decode with shift/mask kernels
+                "doc_id": pc.shift_right(t["pos"], 20),
+                "idx": pc.bit_wise_and(t["pos"], LINE_POS_STRIDE - 1),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pack_group(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        i = g["idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, d))
+        d2, i2 = d[order], i[order]
+        starts = np.concatenate(([0], np.nonzero(d2[1:] != d2[:-1])[0] + 1))
+        ends = np.concatenate((starts[1:], [len(d2)]))
+        return pa.table(
+            {
+                "doc_id": pa.array(d2[starts], type=pa.int64()),
+                "rm_bin": pa.array([i2[s:e].tobytes() for s, e in zip(starts, ends)], type=pa.binary()),
+            }
+        )
+
+    empty_packed = pa.table({"doc_id": pa.array([], type=pa.int64()), "rm_bin": pa.array([], type=pa.binary())})
+    packed = map_sorted_groups(rm_rows, "doc_id", pack_group, empty_packed)
+    joined = safe_join(
+        ds,
+        packed,
+        num_partitions=adaptive_partitions(n_removed_total),
+        on=("doc_id",),
+        right_on=("doc_id",),
+        join_type="left_outer",
+        right_fill_schema={"rm_bin": pa.binary()},
+    )
+
+    def apply_j(t: pa.Table) -> pa.Table:
+        lines, _, l_offs = _lines(t)
+        mask = np.zeros(int(l_offs[-1]), dtype=bool)
+        rm_col = t["rm_bin"]
+        for row, start in enumerate(l_offs[:-1]):
+            cell = rm_col[row].as_py()
+            if cell:
+                mask[start + np.frombuffer(cell, dtype=np.int64)] = True
+        out = rebuild(t, mask, lines, l_offs)
+        return out
+
+    return joined.map_batches(apply_j, batch_format="pyarrow")
+
+
+_LD_W = BOILER_LINE_TOKENS
+D_LINE_DEDUP_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(tk) * 1.0 / {_LD_W}) AS BIGINT)),
+                        i -> array_to_string(tk[i * {_LD_W} + 1 : (i + 1) * {_LD_W}], ' ')) AS lines
+  FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk
+        FROM documents)),
+u AS (SELECT doc_id, unnest(lines) AS line, unnest(range(len(lines))) AS i FROM s),
+w AS (SELECT line, min(doc_id * {LINE_POS_STRIDE} + i) AS wpos FROM u GROUP BY line),
+kept AS (
+  SELECT u.doc_id, u.i, u.line
+  FROM u JOIN w USING (line)
+  WHERE u.doc_id * {LINE_POS_STRIDE} + u.i = w.wpos),
+clean AS (
+  SELECT doc_id, count(*) AS n_kept, string_agg(line, ' ' ORDER BY i) AS text
+  FROM kept GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(len(s.lines) AS BIGINT) AS n_lines,
+       CAST(len(s.lines) - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(c.text, '') AS text
+FROM s LEFT JOIN clean c USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------- filter applies
 # The actual KEEP/DROP steps of a webtext curation pipeline: a C4/Gopher-style
 # combined quality rule and a declared-vs-detected language consistency check.

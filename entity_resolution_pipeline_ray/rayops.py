@@ -107,7 +107,7 @@ def _block_last_key(t, key_col: str):
 
 
 @ray.remote
-def _block_first_per_key(t, key_col: str, prev_last):
+def _block_first_per_key(t, key_col: str, prev_last, invert: bool = False):
     import numpy as np
     import pyarrow as pa
 
@@ -118,10 +118,10 @@ def _block_first_per_key(t, key_col: str, prev_last):
     keep[1:] = k[1:] != k[:-1]
     if prev_last is not None and k[0] == prev_last:
         keep[0] = False
-    return t.filter(pa.array(keep))
+    return t.filter(pa.array(~keep if invert else keep))
 
 
-def first_per_key(ds, key_col: str, order_col: str | None = None):
+def first_per_key(ds, key_col: str, order_col: str | None = None, invert: bool = False):
     """One representative row per distinct ``key_col`` value, via range-sort +
     boundary-aware local first-wins (same plan as blocking.distinct_pairs —
     Ray's hash-aggregate finalizer is ~10-15k groups/s, far too slow for
@@ -130,7 +130,11 @@ def first_per_key(ds, key_col: str, order_col: str | None = None):
     (e.g. interning by content hash, where every row with the key carries
     identical content).  With ``order_col``, the sort is ``[key, order]`` and
     the representative is deterministically the min-``order_col`` row per key
-    (e.g. exact dedup keeping the lowest doc_id)."""
+    (e.g. exact dedup keeping the lowest doc_id).
+
+    With ``invert=True`` the COMPLEMENT is returned — every row that is NOT
+    its key's representative (the duplicate tail; with ``order_col`` these are
+    deterministically all non-min rows per key).  Same single range shuffle."""
     sort_key = [key_col, order_col] if order_col else key_col
     sorted_ds = ds.sort(sort_key).materialize()
     refs = sorted_ds.to_arrow_refs()
@@ -141,7 +145,7 @@ def first_per_key(ds, key_col: str, order_col: str | None = None):
     for l in lasts[:-1]:
         prevs.append(l if l is not None else prevs[-1])
     return rd.from_arrow_refs(
-        [_block_first_per_key.remote(r, key_col, p) for r, p in zip(refs, prevs)]
+        [_block_first_per_key.remote(r, key_col, p, invert) for r, p in zip(refs, prevs)]
     )
 
 

@@ -412,3 +412,30 @@ def test_substring_pairs_shared_window(ray_session, tmp_path):
     pq.write_table(t, tmp_path / "documents.parquet")
     got = substring_dup_pairs(str(tmp_path)).to_pandas()
     assert set(zip(got["left_id"], got["right_id"])) == {(1, 2)}
+
+
+def test_line_dedup_plans_agree_and_semantics(monkeypatch):
+    """Broadcast and join apply plans produce identical cleaned docs, and the
+    removed-line total equals occurrences minus distinct line contents."""
+    import duckdb
+
+    import entity_resolution_pipeline_ray.pipelines.curation as C
+    import entity_resolution_pipeline_ray.pipelines.dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    a = C.d_line_dedup(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(D, "BROADCAST_THRESHOLD_ROWS", 0)
+    b = C.d_line_dedup(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    occ, distinct = con.sql(
+        f"""WITH s AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '[0-9a-z_]+') AS tk FROM documents),
+        u AS (SELECT unnest(list_transform(range(0, CAST(ceil(len(tk)*1.0/{C.BOILER_LINE_TOKENS}) AS BIGINT)),
+              i -> array_to_string(tk[i*{C.BOILER_LINE_TOKENS}+1:(i+1)*{C.BOILER_LINE_TOKENS}], ' '))) AS line FROM s)
+        SELECT count(*), count(DISTINCT line) FROM u"""
+    ).fetchone()
+    con.close()
+    assert a["n_lines"].sum() == occ
+    assert a["n_removed"].sum() == occ - distinct
