@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_importance_weights": SP.p_importance_weights,
         "t_zipf_fit": T.t_zipf_fit,
         "t_char_entropy": T.t_char_entropy,
+        "t_readability": T.t_readability,
+        "p_temperature_mix": SP.p_temperature_mix,
         "d_substring_pairs": D.substring_dup_pairs,
         "d_bloom_decontaminate": C.d_bloom_decontaminate,
         # --- dedup suite ---
@@ -219,6 +221,8 @@ def oracle_sql() -> dict[str, str]:
         "p_importance_weights": SP.P_IMPORTANCE_WEIGHTS_SQL,
         "t_zipf_fit": T.T_ZIPF_FIT_SQL,
         "t_char_entropy": T.T_CHAR_ENTROPY_SQL,
+        "t_readability": T.T_READABILITY_SQL,
+        "p_temperature_mix": SP.P_TEMPERATURE_MIX_SQL,
         "d_substring_pairs": D.D_SUBSTRING_SQL,
         "d_bloom_decontaminate": C.D_BLOOM_DECONTAMINATE_SQL,
         "d_apply_exact": D.DEDUP_APPLY_EXACT_SQL,

@@ -331,3 +331,56 @@ scored AS (SELECT t.doc_id, sum(r.lr) AS s FROM toks t JOIN ratio r USING (b) GR
 SELECT d.doc_id, round(coalesce(s.s, 0.0), 6) AS log_weight
 FROM documents d LEFT JOIN scored s USING (doc_id)
 """
+
+
+# --------------------------------------------------- temperature-scaled mix
+# Multilingual/multi-source temperature sampling (the XLM-R / mT5 recipe,
+# Conneau et al., arXiv:1911.02116 §3): rebalance source shares to
+# q_s ∝ p_s^alpha with alpha = 0.5, realized as pure downsampling — keep
+# fraction f_s = sqrt(c_min / c_s) so kept counts are sqrt(c_min * c_s),
+# i.e. exactly the alpha=0.5 temperature shape with the rarest source kept
+# whole.  The keep decision is integer-deterministic: md5(doc_id) % 1e6
+# under a per-source threshold floor(1e6 * sqrt(c_min / c_s)) — division
+# and sqrt are correctly-rounded IEEE ops, so numpy and DuckDB compute the
+# identical threshold.
+
+TEMP_MIX_SCALE = 1_000_000
+
+
+def p_temperature_mix(sf_dir: str):
+    """(doc_id, source, keep): alpha=0.5 temperature-rebalance decision per
+    document.  One tiny source-cardinality groupby; the decision pass is a
+    pure streaming map with a broadcast threshold dict."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    counts = ds.groupby("source").aggregate(Count(alias_name="c")).to_pandas()
+    cmin = int(counts["c"].min())
+    thr = {
+        s: min(TEMP_MIX_SCALE, int(np.floor(TEMP_MIX_SCALE * np.sqrt(cmin / int(c)))))
+        for s, c in zip(counts["source"], counts["c"])
+    }
+    ref = ray.put(thr)
+
+    def f(t: pa.Table) -> pa.Table:
+        th = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        buckets = np.array([md5_u64(str(int(i))) % TEMP_MIX_SCALE for i in ids], dtype=np.int64)
+        lim = np.array([th[s] for s in t["source"].to_pylist()], dtype=np.int64)
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"], "keep": pa.array(buckets < lim)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+P_TEMPERATURE_MIX_SQL = f"""
+WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+m AS (SELECT min(c) AS cmin FROM c),
+thr AS (SELECT c.source,
+               least({TEMP_MIX_SCALE},
+                     CAST(floor({TEMP_MIX_SCALE} * sqrt(m.cmin * 1.0 / c.c)) AS BIGINT)) AS thr
+        FROM c, m)
+SELECT d.doc_id, d.source,
+       (md5_number_upper(CAST(d.doc_id AS VARCHAR)) % {TEMP_MIX_SCALE}) < t.thr AS keep
+FROM documents d JOIN thr t USING (source)
+"""

@@ -679,3 +679,53 @@ SELECT d.doc_id,
        coalesce(e.char_entropy, 0.0) AS char_entropy
 FROM documents d LEFT JOIN e USING (doc_id)
 """
+
+
+# ------------------------------------------------------------- readability
+# Flesch Reading Ease as a quality signal (Flesch 1948; the DataComp-LM-style
+# cheap readability feature).  Heuristics are fully regex-defined so the
+# score is bit-reproducible in SQL: words = ASCII token runs (the corpus
+# token spec), syllables = vowel-group runs [aeiouy]+ of the lowered text,
+# sentences = [.!?]+ runs clamped to >= 1.  Zero-word docs score NULL.
+
+
+def t_readability(sf_dir: str):
+    """(doc_id, n_words, n_syllables, n_sentences, flesch): one streaming
+    pass of three RE2 count kernels + float arithmetic, rounded to 6."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.coalesce(t["text"], pa.scalar("", type=pa.string())))
+        w = pc.count_substring_regex(low, pattern="[0-9a-z_]+").to_numpy(zero_copy_only=False).astype(np.float64)
+        syl = pc.count_substring_regex(low, pattern="[aeiouy]+").to_numpy(zero_copy_only=False).astype(np.float64)
+        sent = pc.count_substring_regex(low, pattern="[.!?]+").to_numpy(zero_copy_only=False).astype(np.float64)
+        sent = np.maximum(sent, 1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = 206.835 - 1.015 * (w / sent) - 84.6 * (syl / w)
+        score = np.round(score, 6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(w.astype(np.int64)),
+                "n_syllables": pa.array(syl.astype(np.int64)),
+                "n_sentences": pa.array(sent.astype(np.int64)),
+                "flesch": pa.array(np.nan_to_num(score), type=pa.float64(), mask=(w == 0)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+T_READABILITY_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+         CAST(greatest(len(regexp_extract_all(lower(coalesce(text, '')), '[.!?]+')), 1) AS BIGINT) AS n_sentences
+  FROM documents)
+SELECT doc_id, n_words, n_syllables, n_sentences,
+       CASE WHEN n_words = 0 THEN NULL
+            ELSE round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                       - 84.6 * (n_syllables * 1.0 / n_words), 6) END AS flesch
+FROM base
+"""

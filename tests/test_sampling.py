@@ -202,3 +202,25 @@ def test_importance_weights_favor_target_domain(tmp_path):
     tgt = out.loc[[i for i in range(12) if i % 3 == 0], "log_weight"]
     rest = out.loc[[i for i in range(12) if i % 3 != 0], "log_weight"]
     assert tgt.min() > rest.max()
+
+
+def test_temperature_mix_shape(ray_session, tmp_path):
+    """alpha=0.5 rebalance: the rarest source keeps everything; kept counts
+    track sqrt(c_min * c_s) within hash-mod noise."""
+    from entity_resolution_pipeline_ray.pipelines.sampling import p_temperature_mix
+
+    rows = {i: f"text {i}" for i in range(900)}
+    langs = ["en"] * 900
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {"doc_id": pa.array(sorted(rows), type=pa.int64()),
+         "text": [rows[i] for i in sorted(rows)], "lang": langs,
+         "source": ["big"] * 800 + ["small"] * 100, "n_chars": [7] * 900}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = p_temperature_mix(str(tmp_path)).to_pandas()
+    kept = out[out["keep"]].groupby("source").size()
+    assert kept["small"] == 100  # rarest kept whole
+    expected_big = np.sqrt(100 * 800)  # ~283
+    assert abs(kept["big"] - expected_big) < 60
