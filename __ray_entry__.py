@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_decontaminate": C.d_decontaminate,
         "d_boilerplate": C.d_boilerplate,
         "d_line_dedup": C.d_line_dedup,
+        "p_perplexity_buckets": C.p_perplexity_buckets,
         # --- training-data sampling / curation ---
         "p_source_cap": SP.q_source_cap,
         "p_stratified_sample": SP.q_stratified_sample,
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "d_decontaminate": C.D_DECONTAMINATE_SQL,
         "d_boilerplate": C.D_BOILERPLATE_SQL,
         "d_line_dedup": C.D_LINE_DEDUP_SQL,
+        "p_perplexity_buckets": C.P_PERPLEXITY_BUCKETS_SQL,
         "p_source_cap": SP.Q_SOURCE_CAP_SQL,
         "p_stratified_sample": SP.Q_STRATIFIED_SAMPLE_SQL,
         "p_lang_quantiles": SP.Q_LANG_QUANTILES_SQL,

@@ -966,3 +966,61 @@ SELECT d.doc_id, (hd.doc_id IS NOT NULL) AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_MOD} <> 0) d
 LEFT JOIN hd USING (doc_id)
 """
+
+
+# -------------------------------------------------------- perplexity buckets
+# CCNet's head/middle/tail split (Wenzek et al., arXiv:1911.00359 §4.3): rank
+# every document by its LM score and cut the corpus into terciles — head =
+# most-fluent third, tail = least.  LM score = the unigram mean log-prob
+# already computed by t_unigram_logprob (rounded to 6, so tercile boundary
+# values are identical doubles in both engines); the tercile boundaries are
+# exact distributed order statistics via rayops.kth_by_sort (one range sort,
+# O(#blocks) ints on the driver), index convention = DuckDB quantile_disc
+# (ceil(n*q) - 1).
+
+
+def p_perplexity_buckets(sf_dir: str):
+    """(doc_id, mean_logprob, bucket): bucket in {'head','middle','tail'} by
+    corpus terciles of the unigram LM score (higher logprob = more fluent =
+    'head')."""
+    import ray
+
+    from ..rayops import kth_by_sort
+
+    lp = t_unigram_logprob(sf_dir).select_columns(["doc_id", "mean_logprob"]).materialize()
+    n = lp.count()
+    if n == 0:
+        return lp.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"], "mean_logprob": t["mean_logprob"],
+                 "bucket": pa.array([], type=pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+    k1 = max(int(np.ceil(n / 3)) - 1, 0)
+    k2 = max(int(np.ceil(2 * n / 3)) - 1, 0)
+    b1, b2 = kth_by_sort(lp, "mean_logprob", [k1, k2])
+    ref = ray.put((float(b1), float(b2)))
+
+    def f(t: pa.Table) -> pa.Table:
+        lo, hi = ray.get(ref)
+        v = t["mean_logprob"].to_numpy(zero_copy_only=False)
+        bucket = np.where(v <= lo, "tail", np.where(v <= hi, "middle", "head"))
+        return pa.table(
+            {"doc_id": t["doc_id"], "mean_logprob": t["mean_logprob"],
+             "bucket": pa.array(bucket.astype(object), type=pa.string())}
+        )
+
+    return lp.map_batches(f, batch_format="pyarrow")
+
+
+P_PERPLEXITY_BUCKETS_SQL = f"""
+WITH lp AS ({T_UNIGRAM_LOGPROB_SQL}),
+q AS (SELECT quantile_disc(mean_logprob, 1.0/3) AS b1,
+             quantile_disc(mean_logprob, 2.0/3) AS b2 FROM lp)
+SELECT lp.doc_id, lp.mean_logprob,
+       CASE WHEN lp.mean_logprob <= q.b1 THEN 'tail'
+            WHEN lp.mean_logprob <= q.b2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM lp, q
+"""

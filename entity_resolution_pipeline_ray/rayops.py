@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+
 import ray
 import ray.data as rd
 
@@ -147,6 +149,37 @@ def first_per_key(ds, key_col: str, order_col: str | None = None, invert: bool =
     return rd.from_arrow_refs(
         [_block_first_per_key.remote(r, key_col, p, invert) for r, p in zip(refs, prevs)]
     )
+
+
+@ray.remote
+def _block_num_rows(t):
+    return t.num_rows
+
+
+@ray.remote
+def _block_value_at(t, col: str, i: int):
+    return t[col][i].as_py()
+
+
+def kth_by_sort(ds, col: str, ks):
+    """Exact k-th smallest values (0-based ranks ``ks``) of a numeric column,
+    distributed: ONE range sort, the driver sees only per-block row counts
+    (O(#blocks) ints) and fetches each target value from the block that owns
+    its rank — never the column itself.  The building block for exact
+    distributed quantiles over unbounded-domain columns (the bounded-domain
+    histogram trick in sampling.q_lang_quantiles doesn't apply there)."""
+    sorted_ds = ds.sort(col).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    counts = ray.get([_block_num_rows.remote(r) for r in refs])
+    bounds = np.cumsum([0] + counts)
+    n = int(bounds[-1])
+    out = []
+    for k in ks:
+        if not 0 <= k < n:
+            raise IndexError(f"rank {k} out of range for {n} rows")
+        b = int(np.searchsorted(bounds, k, side="right") - 1)
+        out.append(ray.get(_block_value_at.remote(refs[b], col, int(k - bounds[b]))))
+    return out
 
 
 def configure_context(*, quiet: bool = True) -> None:

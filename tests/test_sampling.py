@@ -224,3 +224,18 @@ def test_temperature_mix_shape(ray_session, tmp_path):
     assert kept["small"] == 100  # rarest kept whole
     expected_big = np.sqrt(100 * 800)  # ~283
     assert abs(kept["big"] - expected_big) < 60
+
+
+@pytest.mark.parametrize("num_blocks", [1, 4, 9])
+def test_kth_by_sort_matches_numpy(ray_session, num_blocks):
+    from entity_resolution_pipeline_ray.rayops import kth_by_sort
+
+    rng = np.random.default_rng(5)
+    vals = np.round(rng.normal(size=501), 6)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(num_blocks)
+    s = np.sort(vals)
+    ks = [0, 166, 333, 500]
+    got = kth_by_sort(ds, "v", ks)
+    assert got == [s[k] for k in ks]
+    with pytest.raises(IndexError):
+        kth_by_sort(ds, "v", [501])
