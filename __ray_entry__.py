@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customer_order_counts": R.q_customer_order_counts,
         "q_rollup": R.q_rollup,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "q_value_mad": R.q_value_mad,
         # --- text analysis / interning (SURVEY §2.2, §2.5) ---
         "t_normalize": T.t_normalize,
         "t_string_hash": T.t_string_hash,
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "q_customer_order_counts": R.Q_CUSTOMER_ORDER_COUNTS_SQL,
         "q_rollup": R.Q_ROLLUP_SQL,
         "q5_local_supplier_volume": R.Q5_SQL,
+        "q_value_mad": R.Q_VALUE_MAD_SQL,
         "t_normalize": T.T_NORMALIZE_SQL,
         "t_string_hash": T.T_STRING_HASH_SQL,
         "t_string_counts": T.T_STRING_COUNTS_SQL,

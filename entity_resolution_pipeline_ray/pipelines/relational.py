@@ -1115,3 +1115,48 @@ FROM customer c LEFT JOIN (
 ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey, c.c_mktsegment
 """
+
+
+def q_value_mad(sf_dir: str):
+    """(n, median_value, mad): exact distributed median and median absolute
+    deviation of ``events.value`` — two ``rayops.kth_by_sort`` passes (one
+    range sort each, O(#blocks) driver ints; the robust-statistics shape that
+    approximate sketches can't value-oracle).  Element selection follows
+    DuckDB ``quantile_disc`` (index ceil(n/2) - 1), so both engines pick the
+    IDENTICAL double and the abs-deviation pass subtracts the same constant."""
+    from ..rayops import kth_by_sort
+
+    ds = _pq(sf_dir, "events", ["value"])
+    n = ds.count()
+    if n == 0:
+        return rd.from_arrow(
+            pa.table({"n": pa.array([0], type=pa.int64()),
+                      "median_value": pa.array([None], type=pa.float64()),
+                      "mad": pa.array([None], type=pa.float64())})
+        )
+    k = max(int(np.ceil(n / 2)) - 1, 0)
+    (med,) = kth_by_sort(ds, "value", [k])
+
+    dev = ds.map_batches(
+        lambda t: pa.table({"d": pc.abs(pc.subtract(t["value"], pa.scalar(med, type=pa.float64())))}),
+        batch_format="pyarrow",
+    )
+    (mad,) = kth_by_sort(dev, "d", [k])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], type=pa.int64()),
+                "median_value": pa.array([round(float(med), 6)], type=pa.float64()),
+                "mad": pa.array([round(float(mad), 6)], type=pa.float64()),
+            }
+        )
+    )
+
+
+Q_VALUE_MAD_SQL = """
+WITH m AS (SELECT count(*) AS n, quantile_disc(value, 0.5) AS med FROM events)
+SELECT m.n AS n,
+       round(m.med, 6) AS median_value,
+       round((SELECT quantile_disc(abs(e.value - m.med), 0.5) FROM events e), 6) AS mad
+FROM m
+"""

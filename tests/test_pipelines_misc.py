@@ -253,3 +253,19 @@ def test_bm25_topk_matches_duckdb():
     # ranks are 1..k in strictly non-increasing score order
     assert (mine["rank"].to_numpy() == np.arange(1, 11)).all()
     assert (np.diff(mine["score"].to_numpy()) <= 1e-12).all()
+
+
+def test_value_mad_matches_numpy():
+    from entity_resolution_pipeline_ray.pipelines.relational import q_value_mad
+
+    import pandas as pd
+
+    out = q_value_mad(SF).to_pandas()
+    vals = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])["value"].to_numpy()
+    s = np.sort(vals)
+    k = max(int(np.ceil(len(s) / 2)) - 1, 0)
+    med = s[k]
+    mad = np.sort(np.abs(vals - med))[k]
+    assert out["n"].iloc[0] == len(vals)
+    assert out["median_value"].iloc[0] == round(float(med), 6)
+    assert out["mad"].iloc[0] == round(float(mad), 6)
