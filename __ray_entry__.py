@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_repetition": C.t_repetition,
         "t_distinct_hll": C.t_distinct_hll,
         "t_unigram_logprob": C.t_unigram_logprob,
+        "t_bigram_logprob": C.t_bigram_logprob,
         "p_quality_filter": C.p_quality_filter,
         "p_lang_filter": C.p_lang_filter,
         "p_curation_pipeline": C.p_curation_pipeline,
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "t_repetition": C.T_REPETITION_SQL,
         "t_distinct_hll": C.T_DISTINCT_HLL_SQL,
         "t_unigram_logprob": C.T_UNIGRAM_LOGPROB_SQL,
+        "t_bigram_logprob": C.T_BIGRAM_LOGPROB_SQL,
         "p_quality_filter": C.P_QUALITY_FILTER_SQL,
         "p_lang_filter": C.P_LANG_FILTER_SQL,
         "p_curation_pipeline": C.P_CURATION_PIPELINE_SQL,

@@ -1024,3 +1024,98 @@ SELECT lp.doc_id, lp.mean_logprob,
             ELSE 'head' END AS bucket
 FROM lp, q
 """
+
+
+# ------------------------------------------------------------ bigram logprob
+# The bigram upgrade of the unigram LM score (KenLM-shaped fluency signal,
+# hash-bucketed so the model is FIXED-SIZE like the DSIR features): bigrams
+# hash into 2^16 md5 buckets, pass 1 tree-reduces packed int64[65536] count
+# partials (rayops.reduce_registers — the driver sees <= 64 blobs at any
+# corpus size), pass 2 broadcasts the add-1-smoothed log-prob table and
+# scores each doc's mean bigram log-probability.
+
+BIGRAM_BUCKETS = 1 << 16
+
+
+def _bigram_buckets(text_col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat bucket ids of in-doc adjacent-token bigrams, per-doc bigram
+    counts) for one batch — bigram string = 'w1 w2', md5-bucketed (DuckDB
+    ``md5_number_upper`` parity)."""
+    flat, offsets = token_lists_arrow(text_col)
+    n = np.diff(offsets)
+    total = int(offsets[-1])
+    if total < 2:
+        return np.empty(0, dtype=np.int64), np.maximum(n - 1, 0)
+    left = flat.slice(0, total - 1)
+    right = flat.slice(1, total - 1)
+    pairs = pc.binary_join_element_wise(left, right, " ")
+    # drop pairs straddling doc boundaries: position i pairs (i, i+1), invalid
+    # when i+1 is the first token of the next doc
+    valid = np.ones(total - 1, dtype=bool)
+    # doc j (j >= 1) starts at offsets[j]: the pair at position offsets[j]-1
+    # straddles the boundary (guard offsets[j] == 0 — leading empty docs)
+    ends = offsets[1:-1]
+    cut = ends[ends > 0] - 1
+    if len(cut):
+        valid[cut] = False
+    b = (md5_u64_dict(pairs) & np.uint64(BIGRAM_BUCKETS - 1)).astype(np.int64)[valid]
+    return b, np.maximum(n - 1, 0)
+
+
+def t_bigram_logprob(sf_dir: str):
+    """(doc_id, n_bigrams, mean_logprob): mean ln(smoothed corpus bigram
+    probability) per doc; 0.0 / n_bigrams=0 for docs under two tokens."""
+    import ray
+
+    from ..rayops import reduce_registers
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b, _ = _bigram_buckets(t["text"])
+        cnt = np.bincount(b, minlength=BIGRAM_BUCKETS).astype(np.int64)
+        return pa.table({"reg": pa.array([cnt.tobytes()], type=pa.binary())})
+
+    counts = reduce_registers(
+        ds.map_batches(partial, batch_format="pyarrow"), "reg", np.int64, np.add, BIGRAM_BUCKETS
+    )
+    tot = int(counts.sum())
+    logp = np.log((counts + 1.0) / (tot + BIGRAM_BUCKETS))
+    ref = ray.put(logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        lp = ray.get(ref)
+        b, k = _bigram_buckets(t["text"])
+        doc_idx = np.repeat(np.arange(len(k), dtype=np.int64), k)
+        s = np.bincount(doc_idx, weights=lp[b], minlength=len(k))
+        with np.errstate(invalid="ignore"):
+            mean = np.where(k > 0, s / np.maximum(k, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(k.astype(np.int64)),
+                "mean_logprob": pa.array(np.round(mean, 6), type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+T_BIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk
+  FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS g
+  FROM toks WHERE len(tk) >= 2),
+hb AS (SELECT doc_id, CAST(md5_number_upper(g) & {BIGRAM_BUCKETS - 1} AS BIGINT) AS b FROM bg),
+cnt AS (SELECT b, count(*) AS c FROM hb GROUP BY b),
+tot AS (SELECT count(*) AS t FROM hb),
+per_doc AS (
+  SELECT hb.doc_id, count(*) AS k, avg(ln((cnt.c + 1.0) / (tot.t + {BIGRAM_BUCKETS}))) AS mlp
+  FROM hb JOIN cnt USING (b), tot GROUP BY hb.doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(p.k, 0) AS BIGINT) AS n_bigrams,
+       coalesce(round(p.mlp, 6), 0.0) AS mean_logprob
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""

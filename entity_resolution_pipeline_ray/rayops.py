@@ -161,6 +161,38 @@ def _block_value_at(t, col: str, i: int):
     return t[col][i].as_py()
 
 
+def reduce_registers(ds, col: str, dtype, op, width: int, fanin: int = 64):
+    """Tree-reduce a Dataset of constant-size packed 'register' rows (HLL /
+    Bloom / histogram partials: one binary cell of ``width`` ``dtype`` values
+    per row) into ONE numpy array.  Each round merges up to ``fanin`` rows
+    inside a map task, so the driver sees at most ``fanin`` blobs regardless
+    of the number of input blocks — the piece that makes sketch pipelines
+    100-TB-safe (a flat driver merge would stream #blocks × register-size
+    through one process).  ``op`` is a binary numpy ufunc whose identity on
+    non-negative registers is 0 (np.add, np.maximum, np.bitwise_or)."""
+
+    def merge_batch(t):
+        import numpy as _np
+        import pyarrow as _pa
+
+        blobs = t[col].to_pylist()
+        if not blobs:
+            return t
+        acc = op.reduce(_np.stack([_np.frombuffer(b, dtype=dtype) for b in blobs]), axis=0)
+        return _pa.table({col: _pa.array([acc.tobytes()], type=_pa.binary())})
+
+    ds = ds.materialize()
+    n = ds.count()
+    while n > fanin:
+        ds = ds.map_batches(merge_batch, batch_size=fanin, batch_format="pyarrow").materialize()
+        n = ds.count()
+    out = np.zeros(width, dtype=dtype)
+    for t in ds.iter_batches(batch_format="pyarrow"):
+        for blob in t[col].to_pylist():
+            out = op(out, np.frombuffer(blob, dtype=dtype))
+    return out
+
+
 def kth_by_sort(ds, col: str, ks):
     """Exact k-th smallest values (0-based ranks ``ks``) of a numeric column,
     distributed: ONE range sort, the driver sees only per-block row counts

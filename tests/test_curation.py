@@ -5,6 +5,7 @@ same operators is covered by tools/check_oracles.py / the driver gate."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -439,3 +440,31 @@ def test_line_dedup_plans_agree_and_semantics(monkeypatch):
     con.close()
     assert a["n_lines"].sum() == occ
     assert a["n_removed"].sum() == occ - distinct
+
+
+@pytest.mark.parametrize("op_name", ["add", "maximum", "bitwise_or"])
+def test_reduce_registers_tree_equals_flat(ray_session, op_name):
+    import ray.data as rd
+
+    from entity_resolution_pipeline_ray.rayops import reduce_registers
+
+    op = getattr(np, op_name)
+    rng = np.random.default_rng(13)
+    parts = rng.integers(0, 1000, size=(300, 64)).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"reg": pa.array([p.tobytes() for p in parts], type=pa.binary())})
+    ).repartition(7)
+    # fanin 4 forces several tree rounds on 300 rows
+    got = reduce_registers(ds, "reg", np.int64, op, 64, fanin=4)
+    assert np.array_equal(got, op.reduce(parts, axis=0))
+
+
+def test_bigram_buckets_respect_doc_boundaries():
+    from entity_resolution_pipeline_ray.pipelines.curation import BIGRAM_BUCKETS, _bigram_buckets
+    from entity_resolution_pipeline_ray.functions.hashing import md5_u64
+
+    col = pa.array(["", "a b c", None, "x", "p q"])
+    b, k = _bigram_buckets(col)
+    assert k.tolist() == [0, 2, 0, 0, 1]
+    expect = [md5_u64(s) & (BIGRAM_BUCKETS - 1) for s in ("a b", "b c", "p q")]
+    assert b.tolist() == expect
