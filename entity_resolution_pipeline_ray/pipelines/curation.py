@@ -807,10 +807,11 @@ def t_distinct_hll(sf_dir: str):
         reg = _hll_registers(md5_u64_arr(uniq.to_pylist()) if len(uniq) else np.empty(0, np.uint64))
         return pa.table({"reg": pa.array([reg.tobytes()], type=pa.binary())})
 
-    reg = np.zeros(HLL_M, dtype=np.int64)
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        for blob in b["reg"].to_pylist():
-            reg = np.maximum(reg, np.frombuffer(blob, dtype=np.int64))
+    from ..rayops import reduce_registers
+
+    reg = reduce_registers(
+        ds.map_batches(partial, batch_format="pyarrow"), "reg", np.int64, np.maximum, HLL_M
+    )
     m = HLL_M
     v = int((reg == 0).sum())
     alpha = 0.7213 / (1.0 + 1.079 / m)
@@ -915,12 +916,12 @@ def d_bloom_decontaminate(sf_dir: str):
             bits[_bloom_positions(np.unique(h)).ravel()] = True
         return pa.table({"bloom": pa.array([np.packbits(bits).tobytes()], type=pa.binary())})
 
-    packed = np.zeros((1 << BLOOM_LOG2M) // 8, dtype=np.uint8)
-    for b in bench.map_batches(partial_bloom, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for buf in b["bloom"].to_pylist():
-            packed |= np.frombuffer(buf, dtype=np.uint8)
+    from ..rayops import reduce_registers
+
+    packed = reduce_registers(
+        bench.map_batches(partial_bloom, batch_format="pyarrow"),
+        "bloom", np.uint8, np.bitwise_or, (1 << BLOOM_LOG2M) // 8,
+    )
     ref = ray.put(packed)
 
     corpus = _docs(sf_dir, ["doc_id", "text"]).map_batches(

@@ -280,19 +280,15 @@ def p_importance_weights(sf_dir: str):
         )
         cr = np.bincount(b, minlength=DSIR_BUCKETS)
         ct = np.bincount(b[is_target], minlength=DSIR_BUCKETS)
-        return pa.table(
-            {
-                "ct": pa.array([ct.astype(np.int64).tobytes()], type=pa.binary()),
-                "cr": pa.array([cr.astype(np.int64).tobytes()], type=pa.binary()),
-            }
-        )
+        reg = np.concatenate([ct, cr]).astype(np.int64)
+        return pa.table({"reg": pa.array([reg.tobytes()], type=pa.binary())})
 
-    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
-    ct = np.zeros(DSIR_BUCKETS, dtype=np.int64)
-    cr = np.zeros(DSIR_BUCKETS, dtype=np.int64)
-    for row in parts.itertuples(index=False):
-        ct += np.frombuffer(row.ct, dtype=np.int64)
-        cr += np.frombuffer(row.cr, dtype=np.int64)
+    from ..rayops import reduce_registers
+
+    merged = reduce_registers(
+        docs.map_batches(partial, batch_format="pyarrow"), "reg", np.int64, np.add, 2 * DSIR_BUCKETS
+    )
+    ct, cr = merged[:DSIR_BUCKETS], merged[DSIR_BUCKETS:]
     nt, nr = int(ct.sum()), int(cr.sum())
     lr = np.log((ct + 1.0) / (nt + DSIR_BUCKETS)) - np.log((cr + 1.0) / (nr + DSIR_BUCKETS))
     ref = ray.put(lr)
