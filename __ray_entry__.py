@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_media_features": M.m_media_features,
         "m_media_resize": M.m_media_resize,
         "m_frame_sample": M.m_frame_sample,
+        "m_media_dedup": M.m_media_dedup,
         # --- entity resolution (flagship; corpus generated, not in DuckDB views) ---
         "er_extract": _er_extract_query,
         "er_clusters": _er_query,
@@ -248,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "m_media_features": M.M_MEDIA_SQL,
         "m_media_resize": M.M_RESIZE_SQL,
         "m_frame_sample": M.M_FRAME_SAMPLE_SQL,
+        "m_media_dedup": M.M_MEDIA_DEDUP_SQL,
         # er_extract / er_clusters: corpus is generated (not a DuckDB view) —
         # rows-only; quality is gated by pytest (pairwise F1 >= 0.99).
     }

@@ -241,3 +241,25 @@ SELECT doc_id AS media_id,
        md5(substr(s, CAST(unnest(range(0, (greatest(n, 1) + {FRAME_HOP - 1}) // {FRAME_HOP})) AS BIGINT) * {FRAME_HOP} + 1, {FRAME_LEN})) AS frame_md5
 FROM t
 """
+
+
+def m_media_dedup(sf_dir: str):
+    """Exact dedup of decoded media payloads: keep the min-media_id copy per
+    payload md5 — the multimodal twin of d_apply_exact (raw payload bytes
+    through the actor-pool decode stage, no text normalization).  ONE range
+    shuffle of the slim (md5, media_id) stream via the boundary-aware
+    first-per-key kernel; returns the kept rows."""
+    from ..rayops import first_per_key
+
+    hashed = m_media_features(sf_dir)
+    kept = first_per_key(hashed, "payload_md5", order_col="media_id")
+    return kept.select_columns(["media_id", "n_bytes", "payload_md5"])
+
+
+M_MEDIA_DEDUP_SQL = """
+WITH f AS (
+  SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS n_bytes, md5(text) AS payload_md5
+  FROM documents)
+SELECT media_id, n_bytes, payload_md5 FROM f
+WHERE media_id IN (SELECT min(media_id) FROM f GROUP BY payload_md5)
+"""
