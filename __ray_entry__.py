@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_label_centroids": S.s_label_centroids,
         "s_knn_filtered": S.knn_filtered,
         "s_bm25_topk": S.s_bm25_topk,
+        "s_knn_pq": S.knn_pq,
         # --- multimodal plumbing ---
         "m_media_features": M.m_media_features,
         "m_media_resize": M.m_media_resize,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "s_label_centroids": S.S_LABEL_CENTROIDS_SQL,
         "s_knn_filtered": S.KNN_FILTERED_SQL,
         "s_bm25_topk": S.S_BM25_SQL,
+        "s_knn_pq": S.KNN_PQ_SQL,
         "m_media_features": M.M_MEDIA_SQL,
         "m_media_resize": M.M_RESIZE_SQL,
         "m_frame_sample": M.M_FRAME_SAMPLE_SQL,

@@ -652,3 +652,204 @@ WHERE rank <= {k}
 
 
 S_BM25_SQL = _bm25_sql()
+
+
+# ------------------------------------------------------ product quantization
+# PQ-ADC approximate search (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): split each vector into N_SUB subspaces, learn
+# a tiny k-means codebook per subspace, store every corpus vector as N_SUB
+# byte codes (8 bytes/vector at 64-dim — the 64x compression that makes a
+# 100-TB corpus scannable from RAM), and answer queries via asymmetric
+# distance computation: per-query lookup tables of query-to-centroid squared
+# distances, one table gather + add per subspace per vector.
+#
+# Float-parity discipline (what makes this SQL-oracle-able): every squared-L2
+# distance and every ADC score is evaluated as a LEFT-ASSOCIATIVE chain on
+# both sides — numpy accumulates term by term below, the generated SQL nests
+# parentheses the same way — and centroid updates round to 6 decimals after
+# the mean, so Lloyd iterations produce bit-identical codebooks in both
+# engines (DuckDB avg() and the engine's partial-sum merge may sum in
+# different orders; the round absorbs the ulps).
+
+PQ_SUB_DIM = 8
+
+
+def _chain_sq_dists(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(n, k) squared L2 distances with LEFT-ASSOCIATIVE per-dimension
+    accumulation — FP-order-pinned to the SQL chain expression."""
+    out = (m[:, [0]] - c[None, :, 0]) ** 2
+    for j in range(1, m.shape[1]):
+        out = out + (m[:, [j]] - c[None, :, j]) ** 2
+    return out
+
+
+def knn_pq(sf_dir: str, k: int = 10, n_queries: int = 4, n_cells: int = 16, n_iters: int = 2):
+    """PQ-ADC top-k by approximate squared L2 distance (rank asc, ties by
+    vec_id; self-matches excluded).  Training is one ``map_batches`` pass per
+    Lloyd iteration covering ALL subspaces (per-(subspace, cell) partial sums
+    — a combiner, never a shuffle); the scan fuses encode + table gather +
+    per-block partial top-k."""
+    qids, qmat = _fixed_queries(sf_dir, n_queries)
+    _, seed_mat = _fixed_queries(sf_dir, n_cells)
+    emb = _embeddings(sf_dir)
+    dim = qmat.shape[1]
+    if dim % PQ_SUB_DIM:
+        raise ValueError(f"dim {dim} not divisible by PQ_SUB_DIM {PQ_SUB_DIM}")
+    n_sub = dim // PQ_SUB_DIM
+    cents = np.stack(
+        [seed_mat[:, s * PQ_SUB_DIM : (s + 1) * PQ_SUB_DIM].astype(np.float64) for s in range(n_sub)]
+    )  # (n_sub, n_cells, PQ_SUB_DIM)
+
+    for _ in range(n_iters):
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table, _cref=cref) -> pa.Table:
+            c = ray.get(_cref)
+            m = list_float_matrix(t["embedding"])
+            sub_col, cid_col, cnt_col, sum_col = [], [], [], []
+            for s in range(c.shape[0]):
+                sub = m[:, s * PQ_SUB_DIM : (s + 1) * PQ_SUB_DIM]
+                a = np.argmin(_chain_sq_dists(sub, c[s]), axis=1)  # ties → lowest cid
+                cids, inv = np.unique(a, return_inverse=True)
+                sums = np.zeros((len(cids), PQ_SUB_DIM), dtype=np.float64)
+                np.add.at(sums, inv, sub)
+                sub_col.extend([s] * len(cids))
+                cid_col.extend(int(x) for x in cids)
+                cnt_col.extend(int(x) for x in np.bincount(inv))
+                sum_col.extend(row.tolist() for row in sums)
+            return pa.table(
+                {
+                    "sub": pa.array(sub_col, type=pa.int64()),
+                    "cid": pa.array(cid_col, type=pa.int64()),
+                    "cnt": pa.array(cnt_col, type=pa.int64()),
+                    "s": pa.array(sum_col),
+                }
+            )
+
+        parts = emb.map_batches(partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+        sums = np.zeros_like(cents)
+        counts = np.zeros((n_sub, n_cells), dtype=np.int64)
+        for sub, cid, cnt, sv in zip(parts["sub"], parts["cid"], parts["cnt"], parts["s"]):
+            sums[int(sub), int(cid)] += np.asarray(sv, dtype=np.float64)
+            counts[int(sub), int(cid)] += int(cnt)
+        # updated cells: round(mean, 6); empty cells keep the previous value
+        means = np.round(sums / np.maximum(counts, 1)[:, :, None], 6)
+        cents = np.where(counts[:, :, None] > 0, means, cents)
+
+    # per-(subspace, query) ADC lookup tables, same chain arithmetic
+    luts = np.stack(
+        [_chain_sq_dists(qmat[:, s * PQ_SUB_DIM : (s + 1) * PQ_SUB_DIM].astype(np.float64), cents[s]) for s in range(n_sub)]
+    )  # (n_sub, n_q, n_cells)
+    ref = ray.put((qids, luts, cents))
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids_q, lt, c = ray.get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = list_float_matrix(t["embedding"])
+        codes = [
+            np.argmin(_chain_sq_dists(m[:, s * PQ_SUB_DIM : (s + 1) * PQ_SUB_DIM], c[s]), axis=1)
+            for s in range(c.shape[0])
+        ]
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(ids_q)):
+            d = lt[0][qi][codes[0]]
+            for s in range(1, len(codes)):
+                d = d + lt[s][qi][codes[s]]  # left-assoc, matches the SQL chain
+            mask = ids != ids_q[qi]
+            rows = np.nonzero(mask)[0]
+            if len(rows) == 0:
+                continue
+            order = np.lexsort((ids[rows], d[rows]))
+            sel = rows[order[: min(k, len(rows))]]
+            out_q.extend([int(ids_q[qi])] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_d.extend(d[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "d": pa.array(out_d, type=pa.float64()),
+            }
+        )
+
+    pdf = emb.map_batches(scan, batch_format="pyarrow", batch_size=2048).to_pandas()
+    if pdf.empty:
+        return pa.table({"query_id": pa.array([], type=pa.int64()), "vec_id": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64())})
+    pdf = pdf.sort_values(["query_id", "d", "vec_id"], ascending=[True, True, True])
+    top = pdf.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(top[["query_id", "vec_id", "rank"]].astype(np.int64), preserve_index=False)
+
+
+def _knn_pq_sql(k: int = 10, n_queries: int = 4, n_cells: int = 16, n_iters: int = 2,
+                dim: int = 64, sub_dim: int = PQ_SUB_DIM) -> str:
+    """Exact SQL replica of ``knn_pq``: per-subspace Lloyd iterations unrolled
+    as CTE pairs (assign → round(avg,6) update with empty cells kept), codes
+    from the final codebooks, ADC lookup tables and the ADC score all written
+    as the SAME left-associative chains the engine evaluates."""
+    n_sub = dim // sub_dim
+
+    def chain(terms):
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = f"({expr} + {t})"
+        return expr
+
+    def dist(vexpr: str, base: int, c: str) -> str:
+        return chain(
+            [f"({vexpr}[{base + j + 1}] - {c}.c{j}) * ({vexpr}[{base + j + 1}] - {c}.c{j})" for j in range(sub_dim)]
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_cells}))",
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT {n_queries})",
+    ]
+    for s in range(n_sub):
+        base = s * sub_dim
+        cols = ", ".join(f"v[{base + j + 1}] AS c{j}" for j in range(sub_dim))
+        ctes.append(f"c{s}_0 AS (SELECT cid, {cols} FROM seeds)")
+        for it in range(n_iters):
+            ctes.append(
+                f"a{s}_{it} AS (SELECT vec_id, cid FROM ("
+                f"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
+                f"ORDER BY {dist('e.v', base, 'c')} ASC, c.cid ASC) AS rn FROM e, c{s}_{it} c) WHERE rn = 1)"
+            )
+            means = ", ".join(f"avg(e.v[{base + j + 1}]) AS m{j}" for j in range(sub_dim))
+            upd = ", ".join(f"coalesce(round(u.m{j}, 6), p.c{j}) AS c{j}" for j in range(sub_dim))
+            ctes.append(
+                f"c{s}_{it + 1} AS (SELECT p.cid, {upd} FROM c{s}_{it} p LEFT JOIN ("
+                f"SELECT a.cid, {means} FROM a{s}_{it} a JOIN e USING (vec_id) GROUP BY a.cid) u USING (cid))"
+            )
+        ctes.append(
+            f"code{s} AS (SELECT vec_id, cid FROM ("
+            f"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {dist('e.v', base, 'c')} ASC, c.cid ASC) AS rn FROM e, c{s}_{n_iters} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"lut{s} AS (SELECT q.query_id, c.cid, {dist('q.qv', base, 'c')} AS l FROM q, c{s}_{n_iters} c)"
+        )
+    code_joins = " ".join(f"JOIN code{s} cd{s} USING (vec_id)" for s in range(n_sub))
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cid = cd{s}.cid AND l{s}.query_id = l0.query_id" for s in range(1, n_sub)
+    )
+    score = chain([f"l{s}.l" for s in range(n_sub)])
+    ctes.append(
+        "scored AS ("
+        f"SELECT l0.query_id, cd0.vec_id, {score} AS d "
+        f"FROM e {code_joins} JOIN lut0 l0 ON l0.cid = cd0.cid {lut_joins} "
+        "WHERE cd0.vec_id <> l0.query_id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+    )
+
+
+KNN_PQ_SQL = _knn_pq_sql()

@@ -269,3 +269,35 @@ def test_value_mad_matches_numpy():
     assert out["n"].iloc[0] == len(vals)
     assert out["median_value"].iloc[0] == round(float(med), 6)
     assert out["mad"].iloc[0] == round(float(mad), 6)
+
+
+def test_knn_pq_matches_duckdb_and_recall():
+    import duckdb
+
+    from entity_resolution_pipeline_ray.pipelines.similarity_search import KNN_PQ_SQL, knn_pq
+
+    mine = knn_pq(SF).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    oracle = con.sql(KNN_PQ_SQL).df().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    con.close()
+    # the chain-arithmetic discipline makes engine and SQL bit-identical
+    assert (mine["vec_id"].to_numpy() == oracle["vec_id"].to_numpy()).all()
+    assert len(mine) == 40 and (mine.groupby("query_id")["rank"].max() == 10).all()
+
+    # quality floor: ADC recall@10 vs exact L2 (4-bit codebooks are coarse —
+    # measured 0.30 mean on this corpus; the oracle above is the exactness
+    # claim, this pins the approximation from regressing)
+    import pandas as pd
+
+    df = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    ids = df["vec_id"].to_numpy()
+    recalls = []
+    for qi in range(4):
+        d = ((M - M[qi]) ** 2).sum(axis=1)
+        mask = ids != ids[qi]
+        top = set(ids[mask][np.lexsort((ids[mask], d[mask]))][:10])
+        got = set(mine[mine["query_id"] == ids[qi]]["vec_id"])
+        recalls.append(len(top & got) / 10)
+    assert np.mean(recalls) >= 0.2
