@@ -44,15 +44,23 @@ def _gate_spec(sf_dir: str):
     return PagesSpec(num_pages=2000 if sf <= 0.001 else 4000, num_shards=8)
 
 
+def _gate_pages(spec):
+    """Raw pages for the gate corpus, memoized — generated once per driver
+    sweep, shared by the extraction and the URL-snapshot queries."""
+    from entity_resolution_pipeline_ray.rayops import memo_dataset
+    from entity_resolution_pipeline_ray.sources.pages import pages_dataset
+
+    return memo_dataset(("gate_pages", spec), lambda: pages_dataset(spec).materialize())
+
+
 def _gate_docs(spec):
     """Extracted docs for the gate corpus, memoized — er_extract and
     er_clusters share the same deterministic corpus, so the driver's sweep
     generates and extracts it once (bench never uses these helpers)."""
     from entity_resolution_pipeline_ray.rayops import memo_dataset
-    from entity_resolution_pipeline_ray.sources.pages import pages_dataset
     from entity_resolution_pipeline_ray.stages.extract import extract_docs
 
-    return memo_dataset(("gate_docs", spec), lambda: extract_docs(pages_dataset(spec)))
+    return memo_dataset(("gate_docs", spec), lambda: extract_docs(_gate_pages(spec)))
 
 
 def _er_query(sf_dir: str):
@@ -65,6 +73,12 @@ def _er_query(sf_dir: str):
 
 def _er_extract_query(sf_dir: str):
     return _gate_docs(_gate_spec(sf_dir)).select_columns(["url", "title", "domain", "text"])
+
+
+def _url_dedup_query(sf_dir: str):
+    from entity_resolution_pipeline_ray.pipelines.er import url_snapshot_dedup
+
+    return url_snapshot_dedup(_gate_pages(_gate_spec(sf_dir)))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -161,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_frame_sample": M.m_frame_sample,
         "m_media_dedup": M.m_media_dedup,
         # --- entity resolution (flagship; corpus generated, not in DuckDB views) ---
+        "p_url_snapshot_dedup": _url_dedup_query,
         "er_extract": _er_extract_query,
         "er_clusters": _er_query,
     }

@@ -364,3 +364,41 @@ def _attach_urls(res: dict, n_rows: int, cfg: ERConfig):
         right_on=("doc_id",),
     )
     return joined.select_columns(["url", "cluster_id"])
+
+
+def url_snapshot_dedup(pages_ds):
+    """Latest-crawl-wins URL snapshot dedup over a web-pages Dataset: the
+    canonical URL is the page URL with its trailing version segment stripped,
+    and per canonical URL the row with the greatest (warc_ts, url asc
+    tiebreak) survives — the "keep the newest snapshot of each page" step in
+    front of any crawl-corpus pipeline.  ONE range shuffle of slim
+    (canon_url, url, epoch_us) rows via the boundary-aware top-1-per-key
+    kernel; warc_ts shuffles as int64 epoch-us (Ray's sort-boundary sampling
+    of timestamp keys round-trips through numpy datetime64 and warns — same
+    fix as relational.q_events_hourly)."""
+    import pyarrow.compute as pc
+
+    from ..rayops import head_k_per_key
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "canon_url": pc.replace_substring_regex(t["url"], pattern=r"/\d+$", replacement=""),
+                "url": t["url"],
+                "ts_us": pc.cast(t["warc_ts"], pa.int64()),
+            }
+        )
+
+    slim = pages_ds.select_columns(["url", "warc_ts"]).map_batches(prep, batch_format="pyarrow")
+    kept = head_k_per_key(slim, "canon_url", ["ts_us", "url"], 1, descending=[True, False])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "canon_url": t["canon_url"],
+                "url": t["url"],
+                "warc_ts": pc.cast(t["ts_us"], pa.timestamp("us")),
+            }
+        )
+
+    return kept.map_batches(finish, batch_format="pyarrow")

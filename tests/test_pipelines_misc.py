@@ -301,3 +301,33 @@ def test_knn_pq_matches_duckdb_and_recall():
         got = set(mine[mine["query_id"] == ids[qi]]["vec_id"])
         recalls.append(len(top & got) / 10)
     assert np.mean(recalls) >= 0.2
+
+
+def test_url_snapshot_dedup_matches_pandas():
+    """Latest-warc_ts-per-canonical-URL, url-asc tiebreak — pinned against a
+    pandas groupby on the same generated shard."""
+    import pandas as pd
+
+    from entity_resolution_pipeline_ray.pipelines.er import url_snapshot_dedup
+    from entity_resolution_pipeline_ray.sources.pages import PagesSpec, pages_dataset
+
+    spec = PagesSpec(num_pages=600, num_shards=4)
+    got = (
+        url_snapshot_dedup(pages_dataset(spec))
+        .to_pandas()
+        .sort_values("canon_url")
+        .reset_index(drop=True)
+    )
+    raw = pages_dataset(spec).select_columns(["url", "warc_ts"]).to_pandas()
+    raw["canon_url"] = raw["url"].str.replace(r"/\d+$", "", regex=True)
+    exp = (
+        raw.sort_values(["canon_url", "warc_ts", "url"], ascending=[True, False, True])
+        .groupby("canon_url")
+        .head(1)
+        .sort_values("canon_url")
+        .reset_index(drop=True)
+    )
+    assert got["url"].tolist() == exp["url"].tolist()
+    assert (got["warc_ts"].to_numpy() == exp["warc_ts"].to_numpy()).all()
+    # snapshots exist: the dedup must actually drop versioned rows
+    assert len(got) < len(raw)
