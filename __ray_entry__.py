@@ -18,6 +18,7 @@ from typing import Any
 
 from entity_resolution_pipeline_ray.pipelines import curation as C
 from entity_resolution_pipeline_ray.pipelines import dedup as D
+from entity_resolution_pipeline_ray.pipelines import graph as G
 from entity_resolution_pipeline_ray.pipelines import multimodal as M
 from entity_resolution_pipeline_ray.pipelines import relational as R
 from entity_resolution_pipeline_ray.pipelines import sampling as SP
@@ -111,6 +112,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup": R.q_rollup,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q_value_mad": R.q_value_mad,
+        "q_user_gaps": R.q_user_gaps,
+        # --- graph operators over the derived purchase graph ---
+        "g_pagerank": G.g_pagerank,
+        "g_components": G.g_components,
         # --- text analysis / interning (SURVEY §2.2, §2.5) ---
         "t_normalize": T.t_normalize,
         "t_string_hash": T.t_string_hash,
@@ -210,6 +215,9 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup": R.Q_ROLLUP_SQL,
         "q5_local_supplier_volume": R.Q5_SQL,
         "q_value_mad": R.Q_VALUE_MAD_SQL,
+        "q_user_gaps": R.Q_USER_GAPS_SQL,
+        "g_pagerank": G.G_PAGERANK_SQL,
+        "g_components": G.G_COMPONENTS_SQL,
         "t_normalize": T.T_NORMALIZE_SQL,
         "t_string_hash": T.T_STRING_HASH_SQL,
         "t_string_counts": T.T_STRING_COUNTS_SQL,

@@ -1,0 +1,344 @@
+"""Graph operators over a derived purchase graph (customer → supplier).
+
+The web-scale analog is the hyperlink graph a crawl pipeline derives from
+extracted pages (PageRank-style quality priors are standard web-corpus
+curation signals — e.g. the Common Crawl harmonic-centrality rankings used to
+pick crawl seeds).  The testdata has no link table, so the graph is derived
+deterministically from the relational tables: one edge per DISTINCT
+(customer, supplier) pair that appears on an order.  Supplier node ids are
+offset by ``SUPP_OFFSET`` so the two id spaces never collide.
+
+Both operators are engine compositions, not driver algorithms:
+
+- ``g_pagerank`` — K rounds of damped PageRank in EXACT integer arithmetic
+  (ranks held in 1e-12 units; every division is a floor division) so the
+  distributed sum order cannot perturb the result and the unrolled-CTE DuckDB
+  oracle is bit-identical.  Dangling mass (suppliers have no out-edges) is
+  dropped, a documented variant — ranks then sum to < SCALE, which is fine
+  for a relative quality prior.  Dual plan per round: below
+  ``broadcast_threshold_rows`` nodes, the rank/degree table is broadcast
+  (``ray.put`` of sorted arrays) and each round is ONE streaming pass over
+  the edges with per-batch ``bincount`` partials merged on the driver (node-
+  cardinality state only — the million-node / billion-edge shape); above it,
+  each round is an edges⋈ranks hash join + groupby-sum (the all-distributed
+  plan), pinned equal in tests.
+- ``g_components`` — connected components of the undirected purchase graph
+  via the clustering stage's min-label propagation (stages/clustering.py),
+  i.e. the SAME kernel the flagship uses for transitive entity clusters
+  (reference analog: networkx connected components,
+  /root/reference/src/batch_parallel_classification.py:840-943).
+
+Oracle SQL: PageRank unrolls the K rounds as CTEs with identical integer
+arithmetic; components uses a recursive min-label closure (the
+D_APPLY_FUZZY_SQL pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..rayops import adaptive_partitions, first_per_key, read_parquet_clean, safe_join
+
+SUPP_OFFSET = 1_000_000
+# edge key packing: ekey = src * EKEY_BASE + dst (dst < EKEY_BASE always:
+# dst = SUPP_OFFSET + suppkey and suppkey < SUPP_OFFSET at every sf)
+EKEY_BASE = 2_000_000
+SCALE = 10**12
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def _pq(sf_dir: str, name: str, columns=None):
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def purchase_edges(sf_dir: str, broadcast_threshold_rows: int = 2_000_000):
+    """DISTINCT (src=o_custkey, dst=SUPP_OFFSET+l_suppkey) edges.
+
+    Plan: attach custkey to the lineitem stream (broadcast sorted-array
+    lookup below the threshold, hash join above), pack the pair into one
+    int64 key, then ONE range shuffle (``first_per_key``) dedups — the same
+    sort-based distinct the blocking stage uses instead of Ray's slow
+    hash-aggregate on row-cardinality keys."""
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    n_orders = orders.count()
+    if n_orders <= broadcast_threshold_rows:
+        odf = orders.to_pandas()
+        ok = odf["o_orderkey"].to_numpy(dtype=np.int64)
+        oc = odf["o_custkey"].to_numpy(dtype=np.int64)
+        order = np.argsort(ok, kind="mergesort")
+        ref = ray.put((ok[order], oc[order]))
+
+        def to_ekey(t: pa.Table) -> pa.Table:
+            k, c = ray.get(ref)
+            lk = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(k, lk)  # every lineitem has an order row
+            src = c[pos]
+            dst = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64) + SUPP_OFFSET
+            return pa.table({"ekey": pa.array(src * EKEY_BASE + dst, type=pa.int64())})
+
+        keyed = li.map_batches(to_ekey, batch_format="pyarrow")
+    else:
+        joined = safe_join(
+            li,
+            orders,
+            num_partitions=adaptive_partitions(n_orders),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def pack(t: pa.Table) -> pa.Table:
+            src = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64) + SUPP_OFFSET
+            return pa.table({"ekey": pa.array(src * EKEY_BASE + dst, type=pa.int64())})
+
+        keyed = joined.map_batches(pack, batch_format="pyarrow")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        ek = t["ekey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(ek // EKEY_BASE, type=pa.int64()),
+                "dst": pa.array(ek % EKEY_BASE, type=pa.int64()),
+            }
+        )
+
+    return first_per_key(keyed, "ekey").map_batches(unpack, batch_format="pyarrow")
+
+
+def _node_deg_partials(t: pa.Table) -> pa.Table:
+    """Per-batch (node, outdeg-partial) rows: every src with its in-batch edge
+    count, every dst with 0 — the union is the node set and the sum per node
+    is the out-degree."""
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    us, cs = np.unique(src, return_counts=True)
+    ud = np.unique(dst)
+    return pa.table(
+        {
+            "node": pa.array(np.concatenate([us, ud]), type=pa.int64()),
+            "outdeg": pa.array(
+                np.concatenate([cs.astype(np.int64), np.zeros(len(ud), np.int64)]), type=pa.int64()
+            ),
+        }
+    )
+
+
+def g_pagerank(sf_dir: str, iters: int = 5, broadcast_threshold_rows: int = 2_000_000):
+    """Damped PageRank over the purchase graph, ``iters`` exact-integer rounds.
+
+    rank0 = SCALE // N per node;
+    round: rank'(v) = (SCALE*15//100)//N + Σ_{(u,v)∈E} ((rank(u)*85//100) // outdeg(u)).
+
+    Returns (node, rank_units) for every node."""
+    from ray.data.aggregate import Sum
+
+    edges = purchase_edges(sf_dir, broadcast_threshold_rows).materialize()
+    deg_partials = edges.map_batches(_node_deg_partials, batch_format="pyarrow")
+    n_edges = edges.count()
+
+    if n_edges <= broadcast_threshold_rows:
+        # ---- broadcast plan: node-cardinality driver state, one streaming
+        # pass over the edges per round
+        frames = [
+            b.to_pandas()
+            for b in deg_partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            if b.num_rows
+        ]
+        if not frames:
+            return pa.table({"node": pa.array([], type=pa.int64()), "rank_units": pa.array([], type=pa.int64())})
+        import pandas as pd
+
+        nd = pd.concat(frames).groupby("node", sort=True)["outdeg"].sum()
+        nodes = nd.index.to_numpy(dtype=np.int64)  # sorted
+        deg = nd.to_numpy(dtype=np.int64)
+        n = len(nodes)
+        rank = np.full(n, SCALE // n, dtype=np.int64)
+        teleport = (SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN) // n
+        for _ in range(iters):
+            ref = ray.put((nodes, rank, deg))
+
+            def step(t: pa.Table) -> pa.Table:
+                nk, r, d = ray.get(ref)
+                si = np.searchsorted(nk, t["src"].to_numpy(zero_copy_only=False))
+                di = np.searchsorted(nk, t["dst"].to_numpy(zero_copy_only=False))
+                contrib = (r[si] * DAMP_NUM // DAMP_DEN) // d[si]
+                # int64 scatter-add: exact at any magnitude (bincount would
+                # round through float64)
+                sums = np.zeros(len(nk), dtype=np.int64)
+                np.add.at(sums, di, contrib)
+                nz = np.nonzero(sums)[0]
+                return pa.table(
+                    {
+                        "i": pa.array(nz.astype(np.int64), type=pa.int64()),
+                        "s": pa.array(sums[nz], type=pa.int64()),
+                    }
+                )
+
+            acc = np.zeros(n, dtype=np.int64)
+            for b in edges.map_batches(step, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            ):
+                if b.num_rows:
+                    np.add.at(acc, b["i"].to_numpy(zero_copy_only=False), b["s"].to_numpy(zero_copy_only=False))
+            rank = teleport + acc
+        return pa.table(
+            {"node": pa.array(nodes, type=pa.int64()), "rank_units": pa.array(rank, type=pa.int64())}
+        )
+
+    # ---- all-distributed plan: ranks live in a Dataset; each round is an
+    # edges⋈ranks hash join + groupby-sum + teleport zero-fill
+    nodes_ds = (
+        deg_partials.groupby("node").aggregate(Sum("outdeg", alias_name="outdeg")).materialize()
+    )
+    n = nodes_ds.count()
+    teleport = (SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN) // n
+    r0 = SCALE // n
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rnode": t["node"],
+                "rank_units": pa.array(np.full(len(t), r0, dtype=np.int64), type=pa.int64()),
+                "outdeg": t["outdeg"],
+            }
+        )
+
+    ranks = nodes_ds.map_batches(init_ranks, batch_format="pyarrow").materialize()
+    parts = adaptive_partitions(n_edges)
+    for _ in range(iters):
+        contribs = safe_join(edges, ranks, num_partitions=parts, on=("src",), right_on=("rnode",))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = t["rank_units"].to_numpy(zero_copy_only=False)
+            d = t["outdeg"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"dst": t["dst"], "c": pa.array(r * DAMP_NUM // DAMP_DEN // d, type=pa.int64())}
+            )
+
+        sums = (
+            contribs.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        joined = safe_join(
+            nodes_ds,
+            sums,
+            num_partitions=parts,
+            join_type="left_outer",
+            on=("node",),
+            right_on=("dst",),
+            right_fill_schema={"c": pa.int64()},
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # the outer join nulls (no-inedge nodes) fill to 0 contribution
+            c = pc.fill_null(pc.cast(t["c"], pa.int64()), 0).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "rnode": t["node"],
+                    "rank_units": pa.array(teleport + c, type=pa.int64()),
+                    "outdeg": t["outdeg"],
+                }
+            )
+
+        ranks = joined.map_batches(finish, batch_format="pyarrow").materialize()
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["rnode"], "rank_units": t["rank_units"]})
+
+    return ranks.map_batches(out, batch_format="pyarrow")
+
+
+def g_components(sf_dir: str, driver_edge_threshold: int | None = None):
+    """Connected components of the undirected purchase graph: (node,
+    component) with component = min node id reachable — the flagship's
+    transitive-clustering kernel applied to an explicit edge table."""
+    from ..config import ClusteringConfig
+    from ..stages.clustering import propagate_labels
+
+    edges = purchase_edges(sf_dir).materialize()
+
+    def nodes_of(t: pa.Table) -> pa.Table:
+        # the clustering stage's id-stream column name is doc_id
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [t["src"].combine_chunks().cast(pa.int64()), t["dst"].combine_chunks().cast(pa.int64())]
+                )
+            }
+        )
+
+    all_nodes = first_per_key(edges.map_batches(nodes_of, batch_format="pyarrow"), "doc_id")
+    cfg = ClusteringConfig()
+    labels = propagate_labels(
+        edges, all_nodes, cfg, driver_edge_threshold=driver_edge_threshold
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["doc_id"], "component": t["cluster_id"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ oracles
+
+_EDGES_CTE = f"""
+edges AS (
+  SELECT DISTINCT o_custkey AS src, {SUPP_OFFSET} + l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+-- subquery-distinct, NOT a top-level UNION: under WITH RECURSIVE DuckDB
+-- parses a CTE whose body is "X UNION Y" as a recursive fixpoint CTE
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+params AS (SELECT COUNT(*) AS n FROM nodes)
+"""
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    its = [f"r0 AS (SELECT node, {SCALE} // p.n AS r FROM nodes CROSS JOIN params p)"]
+    for i in range(1, iters + 1):
+        its.append(
+            f"""r{i} AS (
+  SELECT n0.node,
+         ({SCALE} * {DAMP_DEN - DAMP_NUM} // {DAMP_DEN}) // p.n
+           + COALESCE(SUM(r.r * {DAMP_NUM} // {DAMP_DEN} // d.outdeg), 0) AS r
+  FROM nodes n0
+  CROSS JOIN params p
+  LEFT JOIN edges e ON e.dst = n0.node
+  LEFT JOIN r{i - 1} r ON r.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n0.node, p.n
+)"""
+        )
+    return (
+        "WITH "
+        + _EDGES_CTE.strip().rstrip()
+        + ",\n"
+        + ",\n".join(its)
+        + f"\nSELECT node, r AS rank_units FROM r{iters}"
+    )
+
+
+G_PAGERANK_SQL = _pagerank_sql(5)
+
+G_COMPONENTS_SQL = f"""
+WITH RECURSIVE
+{_EDGES_CTE.strip().rstrip()},
+bi AS (SELECT DISTINCT u, v FROM (SELECT src AS u, dst AS v FROM edges UNION ALL SELECT dst, src FROM edges)),
+reach AS (
+  SELECT u, v FROM bi
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN bi e ON r.v = e.u
+),
+rep AS (SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u)
+SELECT n.node, coalesce(rep.comp, n.node) AS component
+FROM nodes n LEFT JOIN rep ON rep.node = n.node
+"""

@@ -610,6 +610,46 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def q_user_gaps(sf_dir: str):
+    """Per-user inter-arrival gap statistics (LAG-window shape): events sorted
+    by (ts, event_id) within user, gap = delta to the previous event in
+    integer microseconds — exact at any accumulation order, so the engine and
+    the window-SQL oracle hash-match bit for bit.  Emits (user_id, n_events,
+    n_gaps, total_gap_us, max_gap_us); single-event users keep a 0/0 row."""
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        gaps = np.diff(us)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": np.int64(len(g)),
+                "n_gaps": np.int64(len(gaps)),
+                "total_gap_us": np.int64(gaps.sum()) if len(gaps) else np.int64(0),
+                "max_gap_us": np.int64(gaps.max()) if len(gaps) else np.int64(0),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+Q_USER_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id,
+       count(*) AS n_events,
+       count(gap) AS n_gaps,
+       CAST(coalesce(sum(gap), 0) AS BIGINT) AS total_gap_us,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us
+FROM g GROUP BY user_id
+"""
+
+
 def q_running_total(sf_dir: str):
     """Windowed running aggregate per key (ray_guide per-group cumulative
     pattern): cumulative value per user ordered by ts — per-event output.

@@ -1,0 +1,86 @@
+"""Graph operators over the derived purchase graph: PageRank (integer-exact,
+dual broadcast/join plans) and connected components (driver union-find vs
+distributed min-label propagation), plus the inter-arrival gap window query."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _pdf(x):
+    return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+
+def test_purchase_edges_distinct_and_bipartite():
+    from entity_resolution_pipeline_ray.pipelines.graph import SUPP_OFFSET, purchase_edges
+
+    e = purchase_edges(SF).to_pandas()
+    assert len(e) == len(e.drop_duplicates(["src", "dst"]))
+    assert (e["src"] < SUPP_OFFSET).all()  # customers
+    assert (e["dst"] >= SUPP_OFFSET).all()  # suppliers
+
+    # join plan (threshold 0) emits the identical edge set
+    e2 = purchase_edges(SF, broadcast_threshold_rows=0).to_pandas()
+    assert _canon(e).equals(_canon(e2))
+
+
+def test_pagerank_plans_agree_and_conserve_mass():
+    from entity_resolution_pipeline_ray.pipelines.graph import SCALE, g_pagerank
+
+    broadcast = _canon(_pdf(g_pagerank(SF)))
+    joined = _canon(_pdf(g_pagerank(SF, broadcast_threshold_rows=0)))
+    assert broadcast.equals(joined)
+
+    r = broadcast["rank_units"].to_numpy()
+    assert (r > 0).all()
+    # dropped dangling mass (suppliers have no out-edges) keeps the total
+    # strictly under SCALE but the teleport floor keeps it well above 0
+    assert 0 < r.sum() <= SCALE
+    # suppliers aggregate many customers' mass: the max rank must exceed the
+    # uniform start
+    assert r.max() > SCALE // len(r)
+
+
+def test_components_plans_agree_and_are_consistent():
+    from entity_resolution_pipeline_ray.pipelines.graph import g_components, purchase_edges
+
+    fast = _canon(_pdf(g_components(SF)))
+    dist = _canon(_pdf(g_components(SF, driver_edge_threshold=0)))
+    assert fast.equals(dist)
+
+    comp = dict(zip(fast["node"], fast["component"]))
+    # every edge's endpoints share a component, and the label is the min id
+    e = purchase_edges(SF).to_pandas()
+    assert all(comp[s] == comp[d] for s, d in zip(e["src"], e["dst"]))
+    labels = fast.groupby("component")["node"].min()
+    assert (labels.index == labels.to_numpy()).all()
+
+
+def test_user_gaps_matches_pandas_reference():
+    from entity_resolution_pipeline_ray.pipelines.relational import q_user_gaps
+
+    mine = _canon(_pdf(q_user_gaps(SF)))
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts", "user_id"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        us = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        gaps = np.diff(us)
+        rows.append(
+            {
+                "user_id": uid,
+                "n_events": len(g),
+                "n_gaps": len(gaps),
+                "total_gap_us": int(gaps.sum()) if len(gaps) else 0,
+                "max_gap_us": int(gaps.max()) if len(gaps) else 0,
+            }
+        )
+    ref = _canon(pd.DataFrame(rows))
+    assert mine.astype("int64").equals(ref.astype("int64"))
