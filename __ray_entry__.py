@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pii_redact": C.t_pii_redact,
         "t_repetition": C.t_repetition,
         "t_distinct_hll": C.t_distinct_hll,
+        "t_cms_topk": C.t_cms_topk,
         "t_unigram_logprob": C.t_unigram_logprob,
         "t_bigram_logprob": C.t_bigram_logprob,
         "p_quality_filter": C.p_quality_filter,
@@ -235,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "t_pii_redact": C.T_PII_REDACT_SQL,
         "t_repetition": C.T_REPETITION_SQL,
         "t_distinct_hll": C.T_DISTINCT_HLL_SQL,
+        "t_cms_topk": C.T_CMS_TOPK_SQL,
         "t_unigram_logprob": C.T_UNIGRAM_LOGPROB_SQL,
         "t_bigram_logprob": C.T_BIGRAM_LOGPROB_SQL,
         "p_quality_filter": C.P_QUALITY_FILTER_SQL,

@@ -1120,3 +1120,127 @@ SELECT t.doc_id,
        coalesce(round(p.mlp, 6), 0.0) AS mean_logprob
 FROM toks t LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+# --------------------------------------------------- Count-Min heavy hitters
+# Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005): CMS_D
+# hashed counter rows of width CMS_W; a token's estimate is the MIN of its
+# counters, an overestimate with error <= eps*N at probability 1-delta.  The
+# row buckets are disjoint 16-bit fields of ONE md5 per token (pairwise
+# independence in the KM-double-hashing spirit; one hash pass, not CMS_D),
+# so the sketch — collisions included — is a deterministic function of the
+# corpus and the SQL oracle reproduces the EXACT same estimates.  At 100 TB
+# the sketch is the point: per-batch partials are a fixed 2 MB register
+# blob merged by the bounded-fan-in tree reduce (rayops.reduce_registers),
+# never a token-cardinality shuffle.
+
+CMS_W = 1 << 16  # counters per row (16-bit bucket fields)
+CMS_D = 4  # rows (64-bit md5 / 16)
+
+
+def _cms_partial(t: pa.Table) -> pa.Table:
+    flat, _ = token_lists_arrow(t["text"])
+    regs = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    if len(flat):
+        uniq, counts = np.unique(np.asarray(flat, dtype=object), return_counts=True)
+        h = md5_u64_arr(list(uniq))
+        for r in range(CMS_D):
+            b = ((h >> np.uint64(16 * r)) & np.uint64(CMS_W - 1)).astype(np.int64)
+            np.add.at(regs, r * CMS_W + b, counts)
+    return pa.table({"reg": pa.array([regs.tobytes()], type=pa.binary())})
+
+
+def t_cms_topk(sf_dir: str, k: int = 25, driver_merge_threshold: int = 5_000_000):
+    """CMS-estimated vs exact counts for the corpus's top-``k`` tokens by
+    total occurrences.  Two streaming passes: (1) fixed-size CMS register
+    partials -> tree reduce; (2) (token, n) occurrence partials -> driver
+    merge below the doc threshold / distributed groupby-sum above (the
+    t_token_topk dual plan).  Output (token, exact_count, est_count) with
+    est_count >= exact_count always (CMS never undercounts)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..rayops import reduce_registers
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()
+
+    regs = reduce_registers(
+        ds.map_batches(_cms_partial, batch_format="pyarrow"), "reg", np.int64, np.add, CMS_D * CMS_W
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        flat, _ = token_lists_arrow(t["text"])
+        if not len(flat):
+            return pa.table({"token": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())})
+        uniq, counts = np.unique(np.asarray(flat, dtype=object), return_counts=True)
+        return pa.table(
+            {"token": pa.array(uniq.astype(str)), "n": pa.array(counts.astype(np.int64), type=pa.int64())}
+        )
+
+    partials = ds.map_batches(count_partial, batch_format="pyarrow")
+    if n_docs <= driver_merge_threshold:
+        frames = [
+            b.to_pandas()
+            for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            if b.num_rows
+        ]
+        if not frames:
+            return pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    "exact_count": pa.array([], type=pa.int64()),
+                    "est_count": pa.array([], type=pa.int64()),
+                }
+            )
+        merged = pd.concat(frames).groupby("token", sort=False)["n"].sum().reset_index()
+        top = merged.sort_values(["n", "token"], ascending=[False, True], kind="mergesort").head(k)
+    else:
+        agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+        from ..rayops import head_k_per_key
+
+        # global top-k: single constant key, per-block partial top-k
+        def tag(t: pa.Table) -> pa.Table:
+            return t.append_column("one", pa.array(np.zeros(len(t), np.int64)))
+
+        top = (
+            head_k_per_key(agg.map_batches(tag, batch_format="pyarrow"), "one", ["n", "token"], k, descending=[True, False])
+            .to_pandas()[["token", "n"]]
+        )
+
+    toks = top["token"].tolist()
+    exact = top["n"].to_numpy(dtype=np.int64)
+    h = md5_u64_arr(toks) if toks else np.empty(0, np.uint64)
+    est = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(CMS_D):
+        b = ((h >> np.uint64(16 * r)) & np.uint64(CMS_W - 1)).astype(np.int64)
+        est = np.minimum(est, regs[r * CMS_W + b])
+    return pa.table(
+        {
+            "token": pa.array(toks, type=pa.string()),
+            "exact_count": pa.array(exact, type=pa.int64()),
+            "est_count": pa.array(est if len(toks) else np.empty(0, np.int64), type=pa.int64()),
+        }
+    )
+
+
+T_CMS_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+')) AS tok
+  FROM documents),
+ht AS (SELECT tok, md5_number_upper(tok) AS h FROM toks),
+exact AS (
+  SELECT tok, count(*) AS exact_count FROM toks
+  GROUP BY tok ORDER BY exact_count DESC, tok LIMIT 25),
+r0 AS (SELECT CAST(h & {CMS_W - 1} AS BIGINT) AS b, count(*) AS c FROM ht GROUP BY 1),
+r1 AS (SELECT CAST((h >> 16) & {CMS_W - 1} AS BIGINT) AS b, count(*) AS c FROM ht GROUP BY 1),
+r2 AS (SELECT CAST((h >> 32) & {CMS_W - 1} AS BIGINT) AS b, count(*) AS c FROM ht GROUP BY 1),
+r3 AS (SELECT CAST((h >> 48) & {CMS_W - 1} AS BIGINT) AS b, count(*) AS c FROM ht GROUP BY 1)
+SELECT e.tok AS token, e.exact_count,
+       least(c0.c, c1.c, c2.c, c3.c) AS est_count
+FROM exact e
+JOIN r0 c0 ON c0.b = CAST(md5_number_upper(e.tok) & {CMS_W - 1} AS BIGINT)
+JOIN r1 c1 ON c1.b = CAST((md5_number_upper(e.tok) >> 16) & {CMS_W - 1} AS BIGINT)
+JOIN r2 c2 ON c2.b = CAST((md5_number_upper(e.tok) >> 32) & {CMS_W - 1} AS BIGINT)
+JOIN r3 c3 ON c3.b = CAST((md5_number_upper(e.tok) >> 48) & {CMS_W - 1} AS BIGINT)
+"""

@@ -468,3 +468,38 @@ def test_bigram_buckets_respect_doc_boundaries():
     assert k.tolist() == [0, 2, 0, 0, 1]
     expect = [md5_u64(s) & (BIGRAM_BUCKETS - 1) for s in ("a b", "b c", "p q")]
     assert b.tolist() == expect
+
+
+def test_cms_topk_estimates_dominate_exact_and_plans_agree():
+    """CMS never undercounts; the driver-merge and distributed top-k plans
+    emit identical rows; estimates match a direct numpy CMS replay."""
+    import pandas as pd
+
+    from entity_resolution_pipeline_ray.functions.hashing import md5_u64_arr
+    from entity_resolution_pipeline_ray.functions.text import token_lists_arrow
+    from entity_resolution_pipeline_ray.pipelines.curation import CMS_D, CMS_W, t_cms_topk
+
+    sf = "/root/testdata/sf0.001"
+    a = t_cms_topk(sf).to_pandas()
+    assert len(a) == 25
+    assert (a["est_count"] >= a["exact_count"]).all()
+
+    b = t_cms_topk(sf, driver_merge_threshold=0).to_pandas()
+    canon = lambda df: df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
+    assert canon(a).equals(canon(b))
+
+    # replay the sketch in one numpy pass over the whole corpus
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    flat, _ = token_lists_arrow(pa.array(docs["text"].tolist()))
+    uniq, counts = np.unique(np.asarray(flat, dtype=object), return_counts=True)
+    h = md5_u64_arr(list(uniq))
+    regs = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    for r in range(CMS_D):
+        bk = ((h >> np.uint64(16 * r)) & np.uint64(CMS_W - 1)).astype(np.int64)
+        np.add.at(regs, r * CMS_W + bk, counts)
+    ht = md5_u64_arr(a["token"].tolist())
+    est = np.full(len(a), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(CMS_D):
+        bk = ((ht >> np.uint64(16 * r)) & np.uint64(CMS_W - 1)).astype(np.int64)
+        est = np.minimum(est, regs[r * CMS_W + bk])
+    assert (a["est_count"].to_numpy() == est).all()
