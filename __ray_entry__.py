@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_fingerprint": T.t_fingerprint,
         "t_life_years": T.t_life_years,
         "t_token_topk": T.t_token_topk,
+        "t_source_terms": T.t_source_terms,
         # --- webtext curation (BPE counting, PII scrub, repetition, decontamination) ---
         "t_bpe_count": C.t_bpe_count,
         "t_pii_redact": C.t_pii_redact,
@@ -175,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_knn_filtered": S.knn_filtered,
         "s_bm25_topk": S.s_bm25_topk,
         "s_knn_pq": S.knn_pq,
+        "s_hard_negatives": S.s_hard_negatives,
         # --- multimodal plumbing ---
         "m_media_features": M.m_media_features,
         "m_media_resize": M.m_media_resize,
@@ -232,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "t_fingerprint": T.T_FINGERPRINT_SQL,
         "t_life_years": T.T_LIFE_YEARS_SQL,
         "t_token_topk": T.T_TOKEN_TOPK_SQL,
+        "t_source_terms": T.T_SOURCE_TERMS_SQL,
         "t_bpe_count": C.T_BPE_COUNT_SQL,
         "t_pii_redact": C.T_PII_REDACT_SQL,
         "t_repetition": C.T_REPETITION_SQL,
@@ -273,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "s_knn_filtered": S.KNN_FILTERED_SQL,
         "s_bm25_topk": S.S_BM25_SQL,
         "s_knn_pq": S.KNN_PQ_SQL,
+        "s_hard_negatives": S.S_HARD_NEGATIVES_SQL,
         "m_media_features": M.M_MEDIA_SQL,
         "m_media_resize": M.M_RESIZE_SQL,
         "m_frame_sample": M.M_FRAME_SAMPLE_SQL,

@@ -103,6 +103,20 @@ WHERE rank <= 10
 """
 
 
+S_HARD_NEGATIVES_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+           FROM embeddings ORDER BY vec_id LIMIT 4),
+scored AS (
+  SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id AND e.label <> q.ql)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
 def knn_lsh(sf_dir: str, k: int = 10, n_queries: int = 4, n_planes: int = 6, seed: int = 42, probe_radius: int = 2):
     """LSH-bucketed ANN: random-hyperplane sign buckets; queries multi-probe all
     buckets within Hamming distance ``probe_radius`` of their own.  Approximate
@@ -468,6 +482,19 @@ def knn_filtered(sf_dir: str, k: int = 10, n_queries: int = 4):
     with the predicate pushed into the scan (per-batch mask before the
     partial top-k) rather than post-filtering a larger candidate list, so
     there is no recall loss and no over-fetch."""
+    return _knn_label_predicate(sf_dir, k, n_queries, same_label=True)
+
+
+def s_hard_negatives(sf_dir: str, k: int = 10, n_queries: int = 4):
+    """Hard-negative mining for embedding training (the in-batch-negatives
+    upgrade: Xiong et al., ANCE, arXiv:2007.00808): per query, the top-k most
+    similar vectors with a DIFFERENT label — the candidates most likely to
+    confuse a contrastive learner.  Same pushed-predicate scan as
+    knn_filtered with the label test inverted."""
+    return _knn_label_predicate(sf_dir, k, n_queries, same_label=False)
+
+
+def _knn_label_predicate(sf_dir: str, k: int, n_queries: int, *, same_label: bool):
     import duckdb
 
     con = duckdb.connect()
@@ -491,7 +518,8 @@ def knn_filtered(sf_dir: str, k: int = 10, n_queries: int = 4):
         out_q, out_v, out_s = [], [], []
         for qi in range(len(ids_q)):
             s = sims[qi]
-            mask = (ids != ids_q[qi]) & (labs == labs_q[qi])
+            lab_ok = (labs == labs_q[qi]) if same_label else (labs != labs_q[qi])
+            mask = (ids != ids_q[qi]) & lab_ok
             cand_idx = np.nonzero(mask)[0]
             if len(cand_idx) == 0:
                 continue

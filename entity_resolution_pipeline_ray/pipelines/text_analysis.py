@@ -729,3 +729,174 @@ SELECT doc_id, n_words, n_syllables, n_sentences,
                        - 84.6 * (n_syllables * 1.0 / n_words), 6) END AS flesch
 FROM base
 """
+
+
+# --------------------------------------------------- per-source distinctive terms
+# Weighted log-odds with add-1 smoothing (the "Fightin' Words" shape, Monroe
+# et al., Political Analysis 2008, simplified to symmetric Dirichlet): for
+# each source, which tokens are over-represented vs the REST of the corpus.
+# score(t, s) = ln((c_ts + 1) / (N_s + V)) - ln((c_t - c_ts + 1) / (N - N_s + V)).
+
+
+def _source_token_partials(t: pa.Table) -> pa.Table:
+    """Per-batch partial (source, token, n) occurrence counts — one Arrow
+    tokenize pass, counts via a dictionary-encode + bincount, no per-row
+    Python."""
+    flat, offs = token_lists_arrow(t["text"])
+    if len(flat) == 0:
+        return pa.table(
+            {
+                "source": pa.array([], type=pa.string()),
+                "token": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    src = t["source"].to_numpy(zero_copy_only=False)
+    src_per_tok = np.repeat(src, np.diff(offs))
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    s_enc = pd.factorize(src_per_tok)[0].astype(np.int64)
+    n_dict = len(enc.dictionary)
+    pair = s_enc * n_dict + codes
+    uniq, counts = np.unique(pair, return_counts=True)
+    s_names = pd.unique(src_per_tok)
+    return pa.table(
+        {
+            "source": pa.array(s_names[(uniq // n_dict)].astype(str)),
+            "token": enc.dictionary.take(pa.array(uniq % n_dict, type=pa.int64())),
+            "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def _logodds_frame(ct: pd.DataFrame, k: int) -> pa.Table:
+    """(source, token, n) counts -> top-k log-odds rows per source."""
+    if ct.empty:
+        return pa.table(
+            {
+                "source": pa.array([], type=pa.string()),
+                "token": pa.array([], type=pa.string()),
+                "log_odds": pa.array([], type=pa.float64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+    ns = ct.groupby("source")["n"].sum()
+    c_all = ct.groupby("token")["n"].sum()
+    v = len(c_all)
+    n_total = int(ct["n"].sum())
+    c = ct["n"].to_numpy(dtype=np.float64)
+    ns_v = ns.loc[ct["source"]].to_numpy(dtype=np.float64)
+    ca_v = c_all.loc[ct["token"]].to_numpy(dtype=np.float64)
+    score = np.log((c + 1.0) / (ns_v + v)) - np.log((ca_v - c + 1.0) / (n_total - ns_v + v))
+    out = ct[["source", "token"]].copy()
+    out["log_odds"] = score
+    out = out.sort_values(["source", "log_odds", "token"], ascending=[True, False, True], kind="mergesort")
+    out = out.groupby("source", sort=True).head(k).copy()
+    out["rank"] = out.groupby("source").cumcount() + 1
+    out["log_odds"] = out["log_odds"].round(6)
+    return pa.Table.from_pandas(
+        out.astype({"rank": np.int64}).reset_index(drop=True), preserve_index=False
+    )
+
+
+def t_source_terms(sf_dir: str, k: int = 10, driver_merge_threshold: int = 2_000_000):
+    """Top-``k`` distinctive tokens per source by smoothed log-odds vs the
+    rest of the corpus.  Dual plan: per-batch (source, token, n) combiners
+    stream to a driver pandas merge below the doc threshold (vocab-sized
+    state); above it the counts aggregate distributedly (packed key groupby
+    -> token-total side table joined back) and only the per-source top-k
+    reaches the driver."""
+    ds = _docs(sf_dir, ["source", "text"])
+    n_docs = ds.count()
+    partials = ds.map_batches(_source_token_partials, batch_format="pyarrow")
+
+    if n_docs <= driver_merge_threshold:
+        frames = [
+            b.to_pandas()
+            for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            if b.num_rows
+        ]
+        ct = (
+            pd.concat(frames).groupby(["source", "token"], sort=False)["n"].sum().reset_index()
+            if frames
+            else pd.DataFrame(columns=["source", "token", "n"])
+        )
+        return _logodds_frame(ct, k)
+
+    # distributed plan: pack (source, token) into one string key (sources
+    # never contain \x00), aggregate, then recompute the marginals as slim
+    # side tables and join them back token-partitioned
+    from ray.data.aggregate import Sum
+
+    from ..rayops import head_k_per_key, safe_join
+
+    def packkey(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["source"], t["token"], "\x00")
+        return pa.table({"key": key, "n": t["n"]})
+
+    ct = partials.map_batches(packkey, batch_format="pyarrow").groupby("key").aggregate(
+        Sum("n", alias_name="n")
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["key"], "\x00")
+        return pa.table(
+            {
+                "source": pc.list_element(parts, 0),
+                "token": pc.list_element(parts, 1),
+                "n": t["n"],
+            }
+        )
+
+    ct = ct.map_batches(unpack, batch_format="pyarrow").materialize()
+    tok_tot = ct.groupby("token").aggregate(Sum("n", alias_name="c_all"))
+    src_tot = {
+        r["source"]: int(r["ns"])
+        for r in ct.groupby("source").aggregate(Sum("n", alias_name="ns")).take_all()
+    }
+    v = tok_tot.count()
+    n_total = sum(src_tot.values())
+    joined = safe_join(ct, tok_tot, num_partitions=16, on=("token",), right_on=("token",))
+
+    import ray as _ray
+
+    sref = _ray.put(src_tot)
+
+    def score(t: pa.Table) -> pa.Table:
+        st = _ray.get(sref)
+        c = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = t["c_all"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ns_v = np.array([st[s] for s in t["source"].to_pylist()], dtype=np.float64)
+        sc = np.log((c + 1.0) / (ns_v + v)) - np.log((ca - c + 1.0) / (n_total - ns_v + v))
+        return pa.table(
+            {"source": t["source"], "token": t["token"], "log_odds": pa.array(sc, type=pa.float64())}
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    top = head_k_per_key(scored, "source", ["log_odds", "token"], k, descending=[True, False])
+    df = top.to_pandas().sort_values(["source", "log_odds", "token"], ascending=[True, False, True])
+    df["rank"] = df.groupby("source").cumcount() + 1
+    df["log_odds"] = df["log_odds"].round(6)
+    return pa.Table.from_pandas(df.astype({"rank": np.int64}).reset_index(drop=True), preserve_index=False)
+
+
+T_SOURCE_TERMS_SQL = """
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+')) AS tok
+  FROM documents),
+ct AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+tot_s AS (SELECT source, count(*) AS ns FROM toks GROUP BY source),
+tot_t AS (SELECT tok, count(*) AS c_all FROM toks GROUP BY tok),
+consts AS (SELECT (SELECT count(*) FROM tot_t) AS v, (SELECT count(*) FROM toks) AS n),
+scored AS (
+  SELECT ct.source, ct.tok AS token,
+         ln((ct.c + 1.0) / (tot_s.ns + consts.v))
+           - ln((tot_t.c_all - ct.c + 1.0) / (consts.n - tot_s.ns + consts.v)) AS lo
+  FROM ct JOIN tot_s USING (source) JOIN tot_t ON tot_t.tok = ct.tok, consts)
+SELECT source, token, round(lo, 6) AS log_odds, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY lo DESC, token) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""

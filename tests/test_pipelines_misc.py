@@ -331,3 +331,36 @@ def test_url_snapshot_dedup_matches_pandas():
     assert (got["warc_ts"].to_numpy() == exp["warc_ts"].to_numpy()).all()
     # snapshots exist: the dedup must actually drop versioned rows
     assert len(got) < len(raw)
+
+
+def test_hard_negatives_cross_label_only():
+    """Every mined hard negative carries a label different from its query's."""
+    import pandas as pd
+
+    from entity_resolution_pipeline_ray.pipelines.similarity_search import s_hard_negatives
+
+    out = s_hard_negatives(SF).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "label"])
+    lab = dict(zip(emb["vec_id"], emb["label"]))
+    assert len(out) > 0
+    assert all(lab[q] != lab[v] for q, v in zip(out["query_id"], out["vec_id"]))
+    # and the same-label twin keeps its semantics after the shared-kernel refactor
+    from entity_resolution_pipeline_ray.pipelines.similarity_search import knn_filtered
+
+    pos = knn_filtered(SF).to_pandas()
+    assert all(lab[q] == lab[v] for q, v in zip(pos["query_id"], pos["vec_id"]))
+
+
+def test_source_terms_plans_agree_and_are_distinctive():
+    import pandas as pd
+
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import t_source_terms
+
+    a = t_source_terms(SF).to_pandas()
+    b = t_source_terms(SF, driver_merge_threshold=0).to_pandas()
+    canon = lambda df: df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
+    assert canon(a).equals(canon(b))
+    # 10 ranked rows per source, log-odds positive at rank 1 (over-represented)
+    sizes = a.groupby("source")["rank"].agg(["min", "max", "count"])
+    assert (sizes["min"] == 1).all() and (sizes["count"] == sizes["max"]).all()
+    assert (a.loc[a["rank"] == 1, "log_odds"] > 0).all()
