@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q_value_mad": R.q_value_mad,
         "q_user_gaps": R.q_user_gaps,
+        "q_anti_join": R.q_anti_join,
+        "q_value_histogram": R.q_value_histogram,
         # --- graph operators over the derived purchase graph ---
         "g_pagerank": G.g_pagerank,
         "g_components": G.g_components,
@@ -219,6 +221,8 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier_volume": R.Q5_SQL,
         "q_value_mad": R.Q_VALUE_MAD_SQL,
         "q_user_gaps": R.Q_USER_GAPS_SQL,
+        "q_anti_join": R.Q_ANTI_JOIN_SQL,
+        "q_value_histogram": R.Q_VALUE_HISTOGRAM_SQL,
         "g_pagerank": G.G_PAGERANK_SQL,
         "g_components": G.G_COMPONENTS_SQL,
         "t_normalize": T.T_NORMALIZE_SQL,

@@ -1200,3 +1200,114 @@ SELECT m.n AS n,
        round((SELECT quantile_disc(abs(e.value - m.med), 0.5) FROM events e), 6) AS mad
 FROM m
 """
+
+
+def q_anti_join(sf_dir: str, broadcast_threshold_rows: int = 2_000_000):
+    """ANTI join: churned customers — no order on or after 1998-04-01.  Dual
+    plan — below the threshold the distinct recent-o_custkey set broadcasts
+    as one sorted array and the customer stream filters via searchsorted
+    membership (no shuffle); above it, a left-outer join on the
+    pre-aggregated keys with a null-filter (the shuffle anti-join)."""
+    from ..rayops import adaptive_partitions, safe_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def recent(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp("1998-04-01")))
+        return pa.table({"o_custkey": t.filter(m)["o_custkey"]})
+
+    keys = orders.map_batches(recent, batch_format="pyarrow").groupby("o_custkey").aggregate(
+        Count(alias_name="n_o")
+    )
+    n_orders = orders.count()
+
+    if n_orders <= broadcast_threshold_rows:
+        kdf = keys.to_pandas()
+        arr = np.sort(kdf["o_custkey"].to_numpy(dtype=np.int64)) if len(kdf) else np.empty(0, np.int64)
+        ref = ray.put(arr)
+
+        def keep(t: pa.Table) -> pa.Table:
+            k = ray.get(ref)
+            ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(k) == 0:
+                return t
+            pos = np.clip(np.searchsorted(k, ck), 0, len(k) - 1)
+            return t.filter(pa.array(k[pos] != ck))
+
+        return cust.map_batches(keep, batch_format="pyarrow")
+
+    joined = safe_join(
+        cust,
+        keys,
+        num_partitions=adaptive_partitions(n_orders),
+        join_type="left_outer",
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        right_fill_schema={"n_o": pa.int64()},
+    )
+
+    def null_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["n_o"])).select(["c_custkey", "c_mktsegment"])
+
+    return joined.map_batches(null_only, batch_format="pyarrow")
+
+
+Q_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-04-01')
+"""
+
+
+def q_value_histogram(sf_dir: str, buckets: int = 20):
+    """Equi-width histogram of ``events.value``: global (min, max) in one
+    aggregate pass, then per-batch fixed-size bincount partials merged on the
+    driver (``buckets`` ints per block — constant-size state at any corpus
+    size, the register-sketch shape).  Bucket math is the identical IEEE
+    double expression in both engines, so assignments hash-match.  Emits only
+    non-empty buckets: (bucket, n, lo_edge)."""
+    ds = _pq(sf_dir, "events", ["value"])
+    agg = ds.aggregate(Min("value"), Max("value"))
+    lo, hi = float(agg["min(value)"]), float(agg["max(value)"])
+    if not np.isfinite(lo) or hi == lo:
+        # degenerate domain: everything lands in bucket 0
+        n = ds.count()
+        return pa.table(
+            {
+                "bucket": pa.array([0] if n else [], type=pa.int64()),
+                "n": pa.array([n] if n else [], type=pa.int64()),
+                "lo_edge": pa.array([round(lo, 6)] if n else [], type=pa.float64()),
+            }
+        )
+    w = (hi - lo) / float(buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.minimum(np.floor((v - lo) / w), buckets - 1).astype(np.int64)
+        return pa.table({"reg": pa.array([np.bincount(b, minlength=buckets).astype(np.int64).tobytes()], type=pa.binary())})
+
+    from ..rayops import reduce_registers
+
+    counts = reduce_registers(
+        ds.map_batches(partial, batch_format="pyarrow"), "reg", np.int64, np.add, buckets
+    )
+    nz = np.nonzero(counts)[0]
+    return pa.table(
+        {
+            "bucket": pa.array(nz.astype(np.int64), type=pa.int64()),
+            "n": pa.array(counts[nz], type=pa.int64()),
+            "lo_edge": pa.array(np.round(lo + nz * w, 6), type=pa.float64()),
+        }
+    )
+
+
+Q_VALUE_HISTOGRAM_SQL = """
+WITH m AS (SELECT min(value) AS lo, (max(value) - min(value)) / 20.0 AS w FROM events),
+b AS (SELECT least(CAST(floor((value - m.lo) / m.w) AS BIGINT), 19) AS bucket
+      FROM events, m)
+SELECT bucket, count(*) AS n,
+       round((SELECT lo FROM m) + bucket * (SELECT w FROM m), 6) AS lo_edge
+FROM b GROUP BY bucket
+"""

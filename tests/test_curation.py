@@ -503,3 +503,39 @@ def test_cms_topk_estimates_dominate_exact_and_plans_agree():
         bk = ((ht >> np.uint64(16 * r)) & np.uint64(CMS_W - 1)).astype(np.int64)
         est = np.minimum(est, regs[r * CMS_W + bk])
     assert (a["est_count"].to_numpy() == est).all()
+
+
+def test_anti_join_plans_agree_and_complement_holds(ray_session):
+    import pandas as pd
+
+    from entity_resolution_pipeline_ray.pipelines.relational import q_anti_join
+
+    sf = "/root/testdata/sf0.001"
+    a = q_anti_join(sf).to_pandas()
+    b = q_anti_join(sf, broadcast_threshold_rows=0).to_pandas()
+    canon = lambda df: df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
+    assert canon(a).equals(canon(b))
+    # complement check: flagged customers truly have no recent order
+    orders = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    recent = set(orders.loc[orders["o_orderdate"] >= pd.Timestamp("1998-04-01"), "o_custkey"])
+    assert not (set(a["c_custkey"]) & recent)
+    cust = pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey"])
+    assert set(a["c_custkey"]) == set(cust["c_custkey"]) - recent
+
+
+def test_value_histogram_counts_match_numpy(ray_session):
+    import pandas as pd
+
+    from entity_resolution_pipeline_ray.pipelines.relational import q_value_histogram
+
+    sf = "/root/testdata/sf0.001"
+    h = q_value_histogram(sf).to_pandas()
+    v = pd.read_parquet(f"{sf}/events.parquet", columns=["value"])["value"].to_numpy(np.float64)
+    lo, hi = v.min(), v.max()
+    w = (hi - lo) / 20.0
+    b = np.minimum(np.floor((v - lo) / w), 19).astype(np.int64)
+    ref = np.bincount(b, minlength=20)
+    got = np.zeros(20, dtype=np.int64)
+    got[h["bucket"].to_numpy()] = h["n"].to_numpy()
+    assert (got == ref).all()
+    assert h["n"].sum() == len(v)
