@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessions": R.q_sessions,
         "q_json_props": R.q_json_props,
         "q_running_total": R.q_running_total,
+        "q_rolling_mean": R.q_rolling_mean,
         "q_window_join": R.q_window_join,
         "q_pivot": R.q_pivot,
         "q_unpivot": R.q_unpivot,
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sessions": R.Q_SESSIONS_SQL,
         "q_json_props": R.Q_JSON_PROPS_SQL,
         "q_running_total": R.Q_RUNNING_SQL,
+        "q_rolling_mean": R.Q_ROLLING_MEAN_SQL,
         "q_window_join": R.Q_WINDOW_JOIN_SQL,
         "q_pivot": R.Q_PIVOT_SQL,
         "q_unpivot": R.Q_UNPIVOT_SQL,

@@ -1311,3 +1311,27 @@ SELECT bucket, count(*) AS n,
        round((SELECT lo FROM m) + bucket * (SELECT w FROM m), 6) AS lo_edge
 FROM b GROUP BY bucket
 """
+
+
+def q_rolling_mean(sf_dir: str, window: int = 4):
+    """Bounded window frame (ROWS 3 PRECEDING .. CURRENT ROW): per event, the
+    rolling mean of the user's last ``window`` values ordered by
+    (ts, event_id).  The frame complements the unbounded prefix of
+    q_running_total; per-user state is O(window), the streaming-window shape."""
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").copy()
+        g["rolling_value"] = g["value"].rolling(window, min_periods=1).mean().round(6)
+        return g[["event_id", "user_id", "rolling_value"]]
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+Q_ROLLING_MEAN_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_value
+FROM events
+"""

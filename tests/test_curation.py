@@ -539,3 +539,20 @@ def test_value_histogram_counts_match_numpy(ray_session):
     got[h["bucket"].to_numpy()] = h["n"].to_numpy()
     assert (got == ref).all()
     assert h["n"].sum() == len(v)
+
+
+def test_rolling_mean_matches_pandas_reference(ray_session):
+    import pandas as pd
+
+    from entity_resolution_pipeline_ray.pipelines.relational import q_rolling_mean
+
+    sf = "/root/testdata/sf0.001"
+    mine = q_rolling_mean(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ev["rolling_value"] = (
+        ev.groupby("user_id")["value"].transform(lambda s: s.rolling(4, min_periods=1).mean()).round(6)
+    )
+    ref = ev.sort_values("event_id").reset_index(drop=True)
+    assert (mine["event_id"].to_numpy() == ref["event_id"].to_numpy()).all()
+    assert np.allclose(mine["rolling_value"], ref["rolling_value"], atol=0)
