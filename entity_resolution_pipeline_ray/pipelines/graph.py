@@ -135,9 +135,15 @@ def g_pagerank(sf_dir: str, iters: int = 5, broadcast_threshold_rows: int = 2_00
     round: rank'(v) = (SCALE*15//100)//N + Σ_{(u,v)∈E} ((rank(u)*85//100) // outdeg(u)).
 
     Returns (node, rank_units) for every node."""
-    from ray.data.aggregate import Sum
-
     edges = purchase_edges(sf_dir, broadcast_threshold_rows).materialize()
+    return pagerank_on_edges(edges, iters, broadcast_threshold_rows)
+
+
+def pagerank_on_edges(edges, iters: int = 5, broadcast_threshold_rows: int = 2_000_000):
+    """Core PageRank over an arbitrary (src, dst) edge Dataset — see
+    ``g_pagerank`` for the exact integer recurrence and the dual-plan
+    split."""
+    from ray.data.aggregate import Sum
     deg_partials = edges.map_batches(_node_deg_partials, batch_format="pyarrow")
     n_edges = edges.count()
 

@@ -180,3 +180,62 @@ def test_hll_registers_mergeable():
     b = rng.integers(0, 1 << 64, size=500, dtype=np.uint64)
     merged = np.maximum(_hll_registers(a), _hll_registers(b))
     assert (merged == _hll_registers(np.concatenate([a, b]))).all()
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _edge_lists(draw):
+    n = draw(st.integers(min_value=2, max_value=12))
+    m = draw(st.integers(min_value=1, max_value=30))
+    edges = draw(
+        st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)).filter(lambda e: e[0] != e[1]),
+            min_size=m,
+            max_size=m,
+        )
+    )
+    return sorted(set(edges))
+
+
+def _pagerank_reference(edges, iters=3):
+    """10-line driver replay of the exact integer recurrence."""
+    from entity_resolution_pipeline_ray.pipelines.graph import DAMP_DEN, DAMP_NUM, SCALE
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    n = len(nodes)
+    rank = {v: SCALE // n for v in nodes}
+    teleport = (SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN) // n
+    for _ in range(iters):
+        acc = {v: 0 for v in nodes}
+        for u, v in edges:
+            acc[v] += (rank[u] * DAMP_NUM // DAMP_DEN) // deg[u]
+        rank = {v: teleport + acc[v] for v in nodes}
+    return rank
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edge_lists())
+def test_pagerank_on_edges_matches_reference_replay(ray_session, edges):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from entity_resolution_pipeline_ray.pipelines.graph import pagerank_on_edges
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([u for u, _ in edges], type=pa.int64()),
+                "dst": pa.array([v for _, v in edges], type=pa.int64()),
+            }
+        )
+    )
+    got = pagerank_on_edges(ds, iters=3)
+    gdf = got.to_pandas()  # pa.Table (broadcast plan) and Dataset both expose it
+    ref = _pagerank_reference(edges, iters=3)
+    assert dict(zip(gdf["node"], gdf["rank_units"])) == ref
