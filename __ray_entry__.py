@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_bm25_topk": S.s_bm25_topk,
         "s_knn_pq": S.knn_pq,
         "s_hard_negatives": S.s_hard_negatives,
+        "s_kmeans": S.s_kmeans,
         # --- multimodal plumbing ---
         "m_media_features": M.m_media_features,
         "m_media_resize": M.m_media_resize,
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "s_bm25_topk": S.S_BM25_SQL,
         "s_knn_pq": S.KNN_PQ_SQL,
         "s_hard_negatives": S.S_HARD_NEGATIVES_SQL,
+        "s_kmeans": S.S_KMEANS_SQL,
         "m_media_features": M.M_MEDIA_SQL,
         "m_media_resize": M.M_RESIZE_SQL,
         "m_frame_sample": M.M_FRAME_SAMPLE_SQL,

@@ -254,36 +254,8 @@ def knn_ivf(
     """
     qids, qmat = _fixed_queries(sf_dir, n_queries)
     _, seed_mat = _fixed_queries(sf_dir, n_cells)
-    cents = seed_mat.astype(np.float64)
     emb = _embeddings(sf_dir)
-
-    for _ in range(n_iters):
-        cref = ray.put(cents)
-
-        def partial_sums(t: pa.Table, _cref=cref) -> pa.Table:
-            c = ray.get(_cref)
-            m = list_float_matrix(t["embedding"])
-            a = np.argmin(_sq_dists(m, c), axis=1)  # ties → lowest cid
-            cids, inv = np.unique(a, return_inverse=True)
-            sums = np.zeros((len(cids), m.shape[1]), dtype=np.float64)
-            np.add.at(sums, inv, m)
-            return pa.table(
-                {
-                    "cid": pa.array(cids.astype(np.int64)),
-                    "cnt": pa.array(np.bincount(inv).astype(np.int64)),
-                    "s": pa.array([row.tolist() for row in sums]),
-                }
-            )
-
-        parts = emb.map_batches(partial_sums, batch_format="pyarrow", batch_size=4096).to_pandas()
-        sums = np.zeros_like(cents)
-        counts = np.zeros(len(cents), dtype=np.int64)
-        for cid, cnt, s in zip(parts["cid"], parts["cnt"], parts["s"]):
-            sums[int(cid)] += np.asarray(s, dtype=np.float64)
-            counts[int(cid)] += int(cnt)
-        # empty cell keeps its previous centroid (mirrored by the oracle's
-        # left-join + coalesce)
-        cents = np.where(counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], cents)
+    cents = _train_kmeans(emb, seed_mat.astype(np.float64), n_iters)
 
     # per-query probe sets: n_probe nearest final centroids, ties → lowest cid
     qd2 = _sq_dists(qmat, cents)
@@ -331,6 +303,73 @@ def knn_ivf(
     top = pdf.groupby("query_id", sort=True).head(k).copy()
     top["rank"] = top.groupby("query_id").cumcount() + 1
     return pa.Table.from_pandas(top[["query_id", "vec_id", "rank"]].astype(np.int64), preserve_index=False)
+
+
+def _train_kmeans(emb, cents: np.ndarray, n_iters: int) -> np.ndarray:
+    """Distributed deterministic Lloyd iterations: each round is ONE
+    ``map_batches`` pass emitting per-cell partial (sum, count) combiners —
+    never a shuffle — reduced on the driver to the (n_cells × dim) update.
+    Ties assign to the lowest cid; an empty cell keeps its previous centroid
+    (mirrored by the SQL oracle's left-join + coalesce)."""
+    for _ in range(n_iters):
+        cref = ray.put(cents)
+
+        def partial_sums(t: pa.Table, _cref=cref) -> pa.Table:
+            c = ray.get(_cref)
+            m = list_float_matrix(t["embedding"])
+            a = np.argmin(_sq_dists(m, c), axis=1)  # ties → lowest cid
+            cids, inv = np.unique(a, return_inverse=True)
+            sums = np.zeros((len(cids), m.shape[1]), dtype=np.float64)
+            np.add.at(sums, inv, m)
+            return pa.table(
+                {
+                    "cid": pa.array(cids.astype(np.int64)),
+                    "cnt": pa.array(np.bincount(inv).astype(np.int64)),
+                    "s": pa.array([row.tolist() for row in sums]),
+                }
+            )
+
+        parts = emb.map_batches(partial_sums, batch_format="pyarrow", batch_size=4096).to_pandas()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for cid, cnt, sv in zip(parts["cid"], parts["cnt"], parts["s"]):
+            sums[int(cid)] += np.asarray(sv, dtype=np.float64)
+            counts[int(cid)] += int(cnt)
+        cents = np.where(counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None], cents)
+    return cents
+
+
+def s_kmeans(sf_dir: str, n_cells: int = 16, n_iters: int = 2):
+    """Distributed k-means clustering of the embedding corpus exposed as a
+    query: the IVF coarse quantizer's deterministic Lloyd training (seeds =
+    lowest vec_ids, combiner-only rounds) followed by one streaming
+    assignment pass.  Emits (vec_id, cid) — the reusable partitioning key
+    the 100-TB corpus would be bucketed by (SemDeDup-style cluster-then-
+    dedup, IVF cell lists, per-cluster sampling all start here)."""
+    _, seed_mat = _fixed_queries(sf_dir, n_cells)
+    emb = _embeddings(sf_dir)
+    cents = _train_kmeans(emb, seed_mat.astype(np.float64), n_iters)
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = list_float_matrix(t["embedding"])
+        a = np.argmin(_sq_dists(m, c), axis=1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].combine_chunks().cast(pa.int64()),
+                "cid": pa.array(a.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def _kmeans_sql(n_cells: int = 16, n_iters: int = 2, dim: int = 64) -> str:
+    """Prefix of the IVF replica up to the final assignment."""
+    full = _knn_ivf_sql(n_cells=n_cells, n_iters=n_iters, dim=dim)
+    cut = full.index(",\nq AS (")
+    return full[:cut] + "\nSELECT vec_id, cid FROM asgf"
 
 
 def _knn_ivf_sql(
@@ -400,6 +439,7 @@ WHERE rank <= {k}
 
 
 KNN_IVF_SQL = _knn_ivf_sql()
+S_KMEANS_SQL = _kmeans_sql()
 
 
 def s_label_centroids(sf_dir: str):

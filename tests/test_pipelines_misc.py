@@ -364,3 +364,30 @@ def test_source_terms_plans_agree_and_are_distinctive():
     sizes = a.groupby("source")["rank"].agg(["min", "max", "count"])
     assert (sizes["min"] == 1).all() and (sizes["count"] == sizes["max"]).all()
     assert (a.loc[a["rank"] == 1, "log_odds"] > 0).all()
+
+
+def test_kmeans_assignment_consistent_with_centroid_geometry():
+    """Every vector's assigned cell is its true argmin distance to the final
+    centroids; cluster ids cover a bounded range; assignment is total."""
+    import pandas as pd
+
+    from entity_resolution_pipeline_ray.pipelines.similarity_search import (
+        _embeddings,
+        _fixed_queries,
+        _train_kmeans,
+        s_kmeans,
+    )
+    from entity_resolution_pipeline_ray.rayops import list_float_matrix
+
+    out = s_kmeans(SF).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    assert len(out) == len(emb)
+    assert out["cid"].between(0, 15).all()
+
+    _, seeds = _fixed_queries(SF, 16)
+    cents = _train_kmeans(_embeddings(SF), seeds.astype(np.float64), 2)
+    m = np.stack(emb.sort_values("vec_id")["embedding"].to_numpy())
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    ref = np.argmin(d2, axis=1)
+    got = out.sort_values("vec_id")["cid"].to_numpy()
+    assert (got == ref).all()
