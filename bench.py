@@ -43,6 +43,7 @@ ORACLE_QUERIES = [
     "d_apply_fuzzy",
     "s_knn_bruteforce",
     "m_media_features",
+    "g_pagerank",
 ]
 
 

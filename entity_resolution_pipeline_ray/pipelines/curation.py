@@ -1142,8 +1142,10 @@ def _cms_partial(t: pa.Table) -> pa.Table:
     flat, _ = token_lists_arrow(t["text"])
     regs = np.zeros(CMS_D * CMS_W, dtype=np.int64)
     if len(flat):
-        uniq, counts = np.unique(np.asarray(flat, dtype=object), return_counts=True)
-        h = md5_u64_arr(list(uniq))
+        vc = pc.value_counts(flat)  # one C++ hash-count pass, no object numpy
+        uniq = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = md5_u64_arr(uniq.to_pylist())
         for r in range(CMS_D):
             b = ((h >> np.uint64(16 * r)) & np.uint64(CMS_W - 1)).astype(np.int64)
             np.add.at(regs, r * CMS_W + b, counts)
@@ -1173,9 +1175,12 @@ def t_cms_topk(sf_dir: str, k: int = 25, driver_merge_threshold: int = 5_000_000
         flat, _ = token_lists_arrow(t["text"])
         if not len(flat):
             return pa.table({"token": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())})
-        uniq, counts = np.unique(np.asarray(flat, dtype=object), return_counts=True)
+        vc = pc.value_counts(flat)
         return pa.table(
-            {"token": pa.array(uniq.astype(str)), "n": pa.array(counts.astype(np.int64), type=pa.int64())}
+            {
+                "token": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
         )
 
     partials = ds.map_batches(count_partial, batch_format="pyarrow")
