@@ -31,12 +31,22 @@ def test_purchase_edges_distinct_and_bipartite():
 
 
 def test_pagerank_plans_agree_and_conserve_mass():
-    from entity_resolution_pipeline_ray.pipelines.graph import SCALE, g_pagerank
+    from entity_resolution_pipeline_ray.pipelines.graph import (
+        SCALE,
+        g_pagerank,
+        pagerank_on_edges,
+        purchase_edges,
+    )
 
-    broadcast = _canon(_pdf(g_pagerank(SF)))
+    driver = _canon(_pdf(g_pagerank(SF)))  # default: driver fast path
     joined = _canon(_pdf(g_pagerank(SF, broadcast_threshold_rows=0)))
-    assert broadcast.equals(joined)
+    assert driver.equals(joined)
+    # the middle (broadcast streaming-round) plan
+    edges = purchase_edges(SF).materialize()
+    mid = _canon(_pdf(pagerank_on_edges(edges, driver_edge_threshold=0)))
+    assert driver.equals(mid)
 
+    broadcast = driver
     r = broadcast["rank_units"].to_numpy()
     assert (r > 0).all()
     # dropped dangling mass (suppliers have no out-edges) keeps the total
