@@ -1335,3 +1335,64 @@ SELECT event_id, user_id,
          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_value
 FROM events
 """
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_HOURS = 6
+
+
+def q_funnel(sf_dir: str):
+    """Windowed funnel analysis (sequential pattern matching): per user, how
+    far the ordered view → click → purchase sequence progresses through the
+    event stream (ordered by ts, event_id), each step within
+    ``FUNNEL_WINDOW_HOURS`` of the previous step's timestamp.  Greedy from
+    the FIRST view, first qualifying match per step — the deterministic
+    earliest-attempt semantics both engines replicate exactly.  Output
+    (user_id, funnel_stage ∈ 0..3); per-user state is O(#steps), the
+    streaming-sessionization shape."""
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    win = pd.Timedelta(hours=FUNNEL_WINDOW_HOURS)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        types = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy()
+        pos = -1
+        stage = 0
+        prev_ts = None
+        for step in FUNNEL_STEPS:
+            ok = types == step
+            idx = np.nonzero(ok)[0]
+            idx = idx[idx > pos]
+            if prev_ts is not None and len(idx):
+                idx = idx[ts[idx] <= prev_ts + win]
+            if len(idx) == 0:
+                break
+            pos = int(idx[0])
+            prev_ts = ts[pos]
+            stage += 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "funnel_stage": np.int64(stage)})
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+Q_FUNNEL_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events),
+s1 AS (SELECT user_id, min(pos) AS p1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+t1 AS (SELECT e.user_id, s1.p1, e.ts AS ts1 FROM e JOIN s1 ON e.user_id = s1.user_id AND e.pos = s1.p1),
+s2 AS (SELECT e.user_id, min(pos) AS p2 FROM e JOIN t1 USING (user_id)
+       WHERE event_type = 'click' AND pos > p1
+         AND e.ts <= ts1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR GROUP BY e.user_id),
+t2 AS (SELECT e.user_id, s2.p2, e.ts AS ts2 FROM e JOIN s2 ON e.user_id = s2.user_id AND e.pos = s2.p2),
+s3 AS (SELECT e.user_id, min(pos) AS p3 FROM e JOIN t2 USING (user_id)
+       WHERE event_type = 'purchase' AND pos > p2
+         AND e.ts <= ts2 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN p3 IS NOT NULL THEN 3 WHEN p2 IS NOT NULL THEN 2
+                 WHEN p1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""

@@ -556,3 +556,35 @@ def test_rolling_mean_matches_pandas_reference(ray_session):
     ref = ev.sort_values("event_id").reset_index(drop=True)
     assert (mine["event_id"].to_numpy() == ref["event_id"].to_numpy()).all()
     assert np.allclose(mine["rolling_value"], ref["rolling_value"], atol=0)
+
+
+def test_funnel_stage_semantics(ray_session):
+    """Greedy-from-first-view windowed funnel: replay per user in pure pandas
+    and compare stages exactly."""
+    import pandas as pd
+
+    from entity_resolution_pipeline_ray.pipelines.relational import (
+        FUNNEL_STEPS,
+        FUNNEL_WINDOW_HOURS,
+        q_funnel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    mine = q_funnel(sf).to_pandas().set_index("user_id")["funnel_stage"]
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"])
+    win = pd.Timedelta(hours=FUNNEL_WINDOW_HOURS)
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        pos, stage, prev_ts = -1, 0, None
+        for step in FUNNEL_STEPS:
+            cand = g[(g["event_type"] == step) & (g.index > pos)]
+            if prev_ts is not None:
+                cand = cand[cand["ts"] <= prev_ts + win]
+            if cand.empty:
+                break
+            pos = int(cand.index[0])
+            prev_ts = cand["ts"].iloc[0]
+            stage += 1
+        assert mine.loc[uid] == stage, uid
+    # all three stages occur on this corpus (discriminative window)
+    assert set(mine.unique()) == {1, 2, 3}
