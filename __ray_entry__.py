@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_join": R.q_asof_join,
         "q_sessions": R.q_sessions,
         "q_funnel": R.q_funnel,
+        "q_retention": R.q_retention,
         "q_json_props": R.q_json_props,
         "q_running_total": R.q_running_total,
         "q_rolling_mean": R.q_rolling_mean,
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "q_asof_join": R.Q_ASOF_SQL,
         "q_sessions": R.Q_SESSIONS_SQL,
         "q_funnel": R.Q_FUNNEL_SQL,
+        "q_retention": R.Q_RETENTION_SQL,
         "q_json_props": R.Q_JSON_PROPS_SQL,
         "q_running_total": R.Q_RUNNING_SQL,
         "q_rolling_mean": R.Q_ROLLING_MEAN_SQL,

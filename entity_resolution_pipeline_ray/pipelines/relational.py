@@ -1396,3 +1396,103 @@ SELECT u.user_id,
                  WHEN p1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage
 FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
+
+
+def q_retention(sf_dir: str, broadcast_threshold_rows: int = 2_000_000):
+    """Cohort retention matrix: users grouped by first-activity DAY
+    (cohort_m = days since epoch, an integer both engines compute
+    identically; the synthetic events span 30 days, so day is the natural
+    cohort grain), counted in each subsequent active-day offset k.  Plan:
+    distinct (user, day) pairs via ONE range shuffle (packed int64 key),
+    per-user cohort via groupby-min, then the cohort table attaches back —
+    broadcast sorted-array gather below the threshold, hash join above —
+    and a tiny (cohort_m, k) groupby-count finishes.  Output
+    (cohort_m, k, n_users)."""
+    from ..rayops import adaptive_partitions, first_per_key, safe_join
+
+    ev = _pq(sf_dir, "events", ["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        m = ts.astype(np.int64)  # days since epoch (DuckDB: date - DATE '1970-01-01')
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": pa.array(uid * (1 << 20) + m, type=pa.int64())})
+
+    am = first_per_key(ev.map_batches(pairs, batch_format="pyarrow"), "pk").map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": pa.array(t["pk"].to_numpy(zero_copy_only=False) >> 20, type=pa.int64()),
+                "m": pa.array(t["pk"].to_numpy(zero_copy_only=False) & ((1 << 20) - 1), type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    coh = am.groupby("user_id").aggregate(Min("m", alias_name="m0"))
+
+    n_users = coh.count()
+    if n_users <= broadcast_threshold_rows:
+        cdf = coh.to_pandas()
+        keys = cdf["user_id"].to_numpy(dtype=np.int64)
+        m0s = cdf["m0"].to_numpy(dtype=np.int64)
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], m0s[order]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(k, uid)  # every active user has a cohort
+            m0 = v[pos]
+            m = t["m"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "cohort_m": pa.array(m0, type=pa.int64()),
+                    "k": pa.array(m - m0, type=pa.int64()),
+                }
+            )
+
+        attached = am.map_batches(attach, batch_format="pyarrow")
+    else:
+        joined = safe_join(
+            am, coh, num_partitions=adaptive_partitions(n_users), on=("user_id",), right_on=("user_id",)
+        )
+
+        def diff(t: pa.Table) -> pa.Table:
+            m = t["m"].to_numpy(zero_copy_only=False)
+            m0 = t["m0"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"cohort_m": pa.array(m0, type=pa.int64()), "k": pa.array(m - m0, type=pa.int64())}
+            )
+
+        attached = joined.map_batches(diff, batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["cohort_m", "k"], sort=False, as_index=False).size().rename(columns={"size": "n_users"})
+
+    parts = [
+        b
+        for b in attached.map_batches(partial, batch_format="pandas").iter_batches(
+            batch_size=1 << 20, batch_format="pandas"
+        )
+        if len(b)
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "cohort_m": pa.array([], type=pa.int64()),
+                "k": pa.array([], type=pa.int64()),
+                "n_users": pa.array([], type=pa.int64()),
+            }
+        )
+    agg = pd.concat(parts).groupby(["cohort_m", "k"], sort=True, as_index=False)["n_users"].sum()
+    agg["n_users"] = agg["n_users"].astype(np.int64)
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+Q_RETENTION_SQL = """
+WITH am AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS m
+  FROM events),
+coh AS (SELECT user_id, min(m) AS m0 FROM am GROUP BY user_id)
+SELECT coh.m0 AS cohort_m, CAST(am.m - coh.m0 AS BIGINT) AS k, count(*) AS n_users
+FROM am JOIN coh USING (user_id) GROUP BY coh.m0, k
+"""

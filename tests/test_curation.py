@@ -588,3 +588,28 @@ def test_funnel_stage_semantics(ray_session):
         assert mine.loc[uid] == stage, uid
     # all three stages occur on this corpus (discriminative window)
     assert set(mine.unique()) == {1, 2, 3}
+
+
+def test_retention_matrix_invariants(ray_session):
+    """Cohort sizes at k=0 equal the number of users first seen that day;
+    retention counts never exceed the cohort size; total distinct
+    (user, day) pairs are conserved."""
+    import pandas as pd
+
+    from entity_resolution_pipeline_ray.pipelines.relational import q_retention
+
+    sf = "/root/testdata/sf0.001"
+    r = q_retention(sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["ts", "user_id"])
+    ev["d"] = ev["ts"].dt.floor("D")
+    am = ev[["user_id", "d"]].drop_duplicates()
+    coh = am.groupby("user_id")["d"].min()
+    # k=0 row per cohort equals the cohort's user count
+    c0 = r[r["k"] == 0].set_index("cohort_m")["n_users"]
+    days = (coh.dt.floor("D") - pd.Timestamp("1970-01-01")).dt.days
+    ref0 = days.value_counts()
+    assert c0.to_dict() == ref0.to_dict()
+    # conservation + bound
+    assert r["n_users"].sum() == len(am)
+    cohort_sizes = r[r["k"] == 0].set_index("cohort_m")["n_users"]
+    assert (r.set_index("cohort_m")["n_users"] <= cohort_sizes.reindex(r["cohort_m"]).to_numpy()).all()
