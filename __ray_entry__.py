@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_life_years": T.t_life_years,
         "t_token_topk": T.t_token_topk,
         "t_source_terms": T.t_source_terms,
+        "t_pmi_bigrams": T.t_pmi_bigrams,
         # --- webtext curation (BPE counting, PII scrub, repetition, decontamination) ---
         "t_bpe_count": C.t_bpe_count,
         "t_pii_redact": C.t_pii_redact,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "t_life_years": T.T_LIFE_YEARS_SQL,
         "t_token_topk": T.T_TOKEN_TOPK_SQL,
         "t_source_terms": T.T_SOURCE_TERMS_SQL,
+        "t_pmi_bigrams": T.T_PMI_BIGRAMS_SQL,
         "t_bpe_count": C.T_BPE_COUNT_SQL,
         "t_pii_redact": C.T_PII_REDACT_SQL,
         "t_repetition": C.T_REPETITION_SQL,

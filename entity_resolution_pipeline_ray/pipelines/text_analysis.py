@@ -900,3 +900,126 @@ SELECT source, token, round(lo, 6) AS log_odds, CAST(rank AS BIGINT) AS rank FRO
   FROM scored)
 WHERE rank <= 10
 """
+
+
+# ------------------------------------------------------------ PMI collocations
+# Pointwise mutual information of adjacent token pairs (Church & Hanks, CL
+# 1990): pmi(x,y) = ln(p(xy)) - ln(p(x)) - ln(p(y)) with p over bigram/unigram
+# totals.  High-PMI pairs are collocations ("new york"); a corpus-health /
+# phrase-mining staple.
+
+PMI_MIN_COUNT = 5
+
+
+def _bigram_count_partials(t: pa.Table) -> pa.Table:
+    """Per-batch partial (bigram, n) counts: one Arrow tokenize pass, adjacent
+    pairs joined with ' ' (tokens never contain spaces), doc-boundary pairs
+    masked out, counts via the C++ value_counts kernel."""
+    flat, offs = token_lists_arrow(t["text"])
+    if len(flat) < 2:
+        return pa.table({"bigram": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())})
+    left = flat.slice(0, len(flat) - 1)
+    right = flat.slice(1)
+    grams = pc.binary_join_element_wise(left, right, " ")
+    # positions where the pair crosses a doc boundary: left index == offs-1
+    mask = np.ones(len(grams), dtype=bool)
+    ends = offs[1:-1] - 1  # last token of every doc but the final one
+    mask[ends[ends >= 0]] = False
+    grams = grams.filter(pa.array(mask))
+    if len(grams) == 0:
+        return pa.table({"bigram": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())})
+    vc = pc.value_counts(grams)
+    return pa.table({"bigram": vc.field("values"), "n": vc.field("counts").cast(pa.int64())})
+
+
+def _token_count_partials(t: pa.Table) -> pa.Table:
+    flat, _ = token_lists_arrow(t["text"])
+    if not len(flat):
+        return pa.table({"token": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())})
+    vc = pc.value_counts(flat)
+    return pa.table({"token": vc.field("values"), "n": vc.field("counts").cast(pa.int64())})
+
+
+def t_pmi_bigrams(sf_dir: str, k: int = 25, driver_merge_threshold: int = 2_000_000):
+    """Top-``k`` collocations by PMI among bigrams with count >=
+    ``PMI_MIN_COUNT``.  Dual count-merge plan (the t_token_topk discipline):
+    per-batch combiners -> driver pandas merge below the doc threshold,
+    distributed groupby-sum above; scoring and top-k always run over the
+    VOCABULARY-bounded aggregated tables (never the corpus).  Ranking is by
+    unrounded float64 PMI (ties -> bigram asc) in both engines; emitted pmi
+    is rounded to 6."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()
+    bg_parts = ds.map_batches(_bigram_count_partials, batch_format="pyarrow")
+    un_parts = ds.map_batches(_token_count_partials, batch_format="pyarrow")
+
+    def _merge(partials, key):
+        if n_docs <= driver_merge_threshold:
+            frames = [
+                b.to_pandas()
+                for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+                if b.num_rows
+            ]
+            if not frames:
+                return pd.DataFrame(columns=[key, "n"])
+            return pd.concat(frames).groupby(key, sort=False)["n"].sum().reset_index()
+        agg = partials.groupby(key).aggregate(Sum("n", alias_name="n"))
+        return agg.to_pandas()  # vocabulary-bounded, not corpus-bounded
+
+    bc = _merge(bg_parts, "bigram")
+    uc = _merge(un_parts, "token")
+    if bc.empty or uc.empty:
+        return pa.table(
+            {
+                "bigram": pa.array([], type=pa.string()),
+                "n_pair": pa.array([], type=pa.int64()),
+                "pmi": pa.array([], type=pa.float64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+    nb = int(bc["n"].sum())
+    nu = int(uc["n"].sum())
+    bc = bc[bc["n"] >= PMI_MIN_COUNT].copy()
+    toks = bc["bigram"].str.split(" ", n=1, expand=True)
+    um = uc.set_index("token")["n"]
+    cl = um.loc[toks[0]].to_numpy(dtype=np.float64)
+    cr = um.loc[toks[1]].to_numpy(dtype=np.float64)
+    c = bc["n"].to_numpy(dtype=np.float64)
+    pmi = np.log(c / nb) - np.log(cl / nu) - np.log(cr / nu)
+    bc["pmi_raw"] = pmi
+    bc = bc.sort_values(["pmi_raw", "bigram"], ascending=[False, True], kind="mergesort").head(k)
+    bc["rank"] = np.arange(1, len(bc) + 1, dtype=np.int64)
+    return pa.table(
+        {
+            "bigram": pa.array(bc["bigram"].tolist(), type=pa.string()),
+            "n_pair": pa.array(bc["n"].to_numpy(np.int64), type=pa.int64()),
+            "pmi": pa.array(np.round(bc["pmi_raw"].to_numpy(), 6), type=pa.float64()),
+            "rank": pa.array(bc["rank"].to_numpy(), type=pa.int64()),
+        }
+    )
+
+
+T_PMI_BIGRAMS_SQL = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk FROM documents),
+uni AS (SELECT unnest(tk) AS tok FROM toks),
+ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+nu AS (SELECT count(*) AS n FROM uni),
+bg AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS g
+       FROM toks WHERE len(tk) >= 2),
+bcnt AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+nb AS (SELECT count(*) AS n FROM bg),
+scored AS (
+  SELECT bcnt.g AS bigram, bcnt.c AS n_pair,
+         ln(bcnt.c * 1.0 / nb.n) - ln(cl.c * 1.0 / nu.n) - ln(cr.c * 1.0 / nu.n) AS pmi_raw
+  FROM bcnt
+  JOIN ucnt cl ON cl.tok = split_part(bcnt.g, ' ', 1)
+  JOIN ucnt cr ON cr.tok = split_part(bcnt.g, ' ', 2)
+  CROSS JOIN nb CROSS JOIN nu
+  WHERE bcnt.c >= {PMI_MIN_COUNT})
+SELECT bigram, n_pair, round(pmi_raw, 6) AS pmi, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi_raw DESC, bigram) AS rank FROM scored)
+WHERE rank <= {25}
+"""

@@ -613,3 +613,36 @@ def test_retention_matrix_invariants(ray_session):
     assert r["n_users"].sum() == len(am)
     cohort_sizes = r[r["k"] == 0].set_index("cohort_m")["n_users"]
     assert (r.set_index("cohort_m")["n_users"] <= cohort_sizes.reindex(r["cohort_m"]).to_numpy()).all()
+
+
+def test_pmi_bigrams_are_true_collocations(ray_session):
+    """PMI replay in pure pandas: top bigrams occur more often than chance
+    (pmi > 0) and their counts meet the minimum support."""
+    import pandas as pd
+
+    from entity_resolution_pipeline_ray.functions.text import token_lists_arrow
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import PMI_MIN_COUNT, t_pmi_bigrams
+
+    sf = "/root/testdata/sf0.001"
+    out = t_pmi_bigrams(sf).to_pandas()
+    assert len(out) == 25
+    assert (out["n_pair"] >= PMI_MIN_COUNT).all()
+    assert (out["pmi"] > 0).all()
+    assert (out["rank"].to_numpy() == np.arange(1, 26)).all()
+
+    # spot-replay the top bigram's pmi from raw counts
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    flat, offs = token_lists_arrow(pa.array(docs["text"].tolist()))
+    toks = flat.to_pylist()
+    from collections import Counter
+
+    uni = Counter(toks)
+    bi = Counter()
+    for d in range(len(offs) - 1):
+        seg = toks[offs[d] : offs[d + 1]]
+        bi.update(" ".join(p) for p in zip(seg, seg[1:]))
+    nu, nb = sum(uni.values()), sum(bi.values())
+    top = out.iloc[0]
+    x, y = top["bigram"].split(" ", 1)
+    ref = np.log(bi[top["bigram"]] / nb) - np.log(uni[x] / nu) - np.log(uni[y] / nu)
+    assert abs(top["pmi"] - round(ref, 6)) < 1e-9
