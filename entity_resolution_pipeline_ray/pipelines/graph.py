@@ -68,8 +68,9 @@ def purchase_edges(sf_dir: str, broadcast_threshold_rows: int = 2_000_000):
     n_orders = orders.count()
     if n_orders <= broadcast_threshold_rows:
         odf = orders.to_pandas()
-        ok = odf["o_orderkey"].to_numpy(dtype=np.int64)
-        oc = odf["o_custkey"].to_numpy(dtype=np.int64)
+        # empty-result frames lose their columns (Ray empty-block semantics)
+        ok = odf["o_orderkey"].to_numpy(dtype=np.int64) if n_orders else np.empty(0, np.int64)
+        oc = odf["o_custkey"].to_numpy(dtype=np.int64) if n_orders else np.empty(0, np.int64)
         order = np.argsort(ok, kind="mergesort")
         ref = ray.put((ok[order], oc[order]))
 

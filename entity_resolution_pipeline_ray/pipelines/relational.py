@@ -1270,6 +1270,14 @@ def q_value_histogram(sf_dir: str, buckets: int = 20):
     non-empty buckets: (bucket, n, lo_edge)."""
     ds = _pq(sf_dir, "events", ["value"])
     agg = ds.aggregate(Min("value"), Max("value"))
+    if agg is None or agg.get("min(value)") is None:  # 0-row table
+        return pa.table(
+            {
+                "bucket": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "lo_edge": pa.array([], type=pa.float64()),
+            }
+        )
     lo, hi = float(agg["min(value)"]), float(agg["max(value)"])
     if not np.isfinite(lo) or hi == lo:
         # degenerate domain: everything lands in bucket 0
@@ -1432,8 +1440,9 @@ def q_retention(sf_dir: str, broadcast_threshold_rows: int = 2_000_000):
     n_users = coh.count()
     if n_users <= broadcast_threshold_rows:
         cdf = coh.to_pandas()
-        keys = cdf["user_id"].to_numpy(dtype=np.int64)
-        m0s = cdf["m0"].to_numpy(dtype=np.int64)
+        # empty-result frames lose their columns (Ray empty-block semantics)
+        keys = cdf["user_id"].to_numpy(dtype=np.int64) if n_users else np.empty(0, np.int64)
+        m0s = cdf["m0"].to_numpy(dtype=np.int64) if n_users else np.empty(0, np.int64)
         order = np.argsort(keys)
         ref = ray.put((keys[order], m0s[order]))
 

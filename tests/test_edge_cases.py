@@ -95,3 +95,79 @@ def test_clustering_on_no_edges():
     for algo in ("connected_components", "louvain", "label_propagation"):
         df = cluster_labels(edges, ids, ClusteringConfig(algorithm=algo)).to_pandas()
         assert sorted(df["cluster_id"]) == [7, 8, 9], algo  # all singletons
+
+
+def test_new_operators_on_empty_tables(ray_session, tmp_path):
+    """Session-6 operators short-circuit cleanly on 0-row inputs (the
+    ADVICE-class edge: empty frames lose their columns, np.concatenate([])
+    raises, pd.concat([]) raises)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "value": pa.array([], type=pa.float64()),
+                "props": pa.array([], type=pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "o_custkey": pa.array([], type=pa.int64()),
+                "o_orderdate": pa.array([], type=pa.timestamp("us")),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([], type=pa.int64()),
+                "l_suppkey": pa.array([], type=pa.int64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+
+    from entity_resolution_pipeline_ray.pipelines.graph import g_components, g_pagerank
+    from entity_resolution_pipeline_ray.pipelines.relational import (
+        q_funnel,
+        q_retention,
+        q_user_gaps,
+        q_value_histogram,
+    )
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import t_pmi_bigrams, t_source_terms
+
+    sf = str(tmp_path)
+
+    def rows(x):
+        return len(x) if isinstance(x, (pa.Table, pd.DataFrame)) else x.count()
+
+    assert rows(g_pagerank(sf)) == 0
+    assert rows(g_components(sf)) == 0
+    assert rows(q_funnel(sf)) == 0
+    assert rows(q_retention(sf)) == 0
+    assert rows(q_user_gaps(sf)) == 0
+    assert rows(q_value_histogram(sf)) == 0
+    assert rows(t_pmi_bigrams(sf)) == 0
+    assert rows(t_source_terms(sf)) == 0
