@@ -5,8 +5,9 @@ extracted pages (PageRank-style quality priors are standard web-corpus
 curation signals — e.g. the Common Crawl harmonic-centrality rankings used to
 pick crawl seeds).  The testdata has no link table, so the graph is derived
 deterministically from the relational tables: one edge per DISTINCT
-(customer, supplier) pair that appears on an order.  Supplier node ids are
-offset by ``SUPP_OFFSET`` so the two id spaces never collide.
+(customer, supplier) pair that appears on an order.  Node ids are parity-
+encoded (customers even = 2*custkey, suppliers odd = 2*suppkey+1) so the
+two id spaces stay disjoint at every scale factor.
 
 Both operators are engine compositions, not driver algorithms:
 
@@ -42,12 +43,20 @@ import ray
 
 from ..rayops import adaptive_partitions, first_per_key, read_parquet_clean, safe_join
 
-SUPP_OFFSET = 1_000_000
-# edge key packing: ekey = src * EKEY_BASE + dst (dst < EKEY_BASE always:
-# dst = SUPP_OFFSET + suppkey and suppkey < SUPP_OFFSET at every sf)
-EKEY_BASE = 2_000_000
+# node encoding: customers -> 2*custkey (even), suppliers -> 2*suppkey+1
+# (odd) — disjoint id spaces at EVERY scale factor (an additive offset would
+# collide once custkey exceeds it).  Edge key packing: ekey = (src << 31) |
+# dst, exact while both node ids stay below 2^31 (~1 B customers / suppliers;
+# asserted in the pack kernels — a silent wrap would corrupt the dedup).
+EKEY_SHIFT = 31
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def _pack_edges(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    if len(src) and (int(src.max()) >= (1 << (63 - EKEY_SHIFT)) or int(dst.max()) >= (1 << EKEY_SHIFT)):
+        raise ValueError("node id exceeds the 2^31 packing bound; widen EKEY_SHIFT")
+    return (src << EKEY_SHIFT) | dst
 
 
 def _pq(sf_dir: str, name: str, columns=None):
@@ -55,7 +64,7 @@ def _pq(sf_dir: str, name: str, columns=None):
 
 
 def purchase_edges(sf_dir: str, broadcast_threshold_rows: int = 2_000_000):
-    """DISTINCT (src=o_custkey, dst=SUPP_OFFSET+l_suppkey) edges.
+    """DISTINCT (src=2*o_custkey, dst=2*l_suppkey+1) edges.
 
     Plan: attach custkey to the lineitem stream (broadcast sorted-array
     lookup below the threshold, hash join above), pack the pair into one
@@ -78,9 +87,9 @@ def purchase_edges(sf_dir: str, broadcast_threshold_rows: int = 2_000_000):
             k, c = ray.get(ref)
             lk = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
             pos = np.searchsorted(k, lk)  # every lineitem has an order row
-            src = c[pos]
-            dst = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64) + SUPP_OFFSET
-            return pa.table({"ekey": pa.array(src * EKEY_BASE + dst, type=pa.int64())})
+            src = 2 * c[pos]
+            dst = 2 * t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64) + 1
+            return pa.table({"ekey": pa.array(_pack_edges(src, dst), type=pa.int64())})
 
         keyed = li.map_batches(to_ekey, batch_format="pyarrow")
     else:
@@ -93,9 +102,9 @@ def purchase_edges(sf_dir: str, broadcast_threshold_rows: int = 2_000_000):
         )
 
         def pack(t: pa.Table) -> pa.Table:
-            src = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            dst = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64) + SUPP_OFFSET
-            return pa.table({"ekey": pa.array(src * EKEY_BASE + dst, type=pa.int64())})
+            src = 2 * t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = 2 * t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64) + 1
+            return pa.table({"ekey": pa.array(_pack_edges(src, dst), type=pa.int64())})
 
         keyed = joined.map_batches(pack, batch_format="pyarrow")
 
@@ -103,8 +112,8 @@ def purchase_edges(sf_dir: str, broadcast_threshold_rows: int = 2_000_000):
         ek = t["ekey"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "src": pa.array(ek // EKEY_BASE, type=pa.int64()),
-                "dst": pa.array(ek % EKEY_BASE, type=pa.int64()),
+                "src": pa.array(ek >> EKEY_SHIFT, type=pa.int64()),
+                "dst": pa.array(ek & ((1 << EKEY_SHIFT) - 1), type=pa.int64()),
             }
         )
 
@@ -129,21 +138,21 @@ def _node_deg_partials(t: pa.Table) -> pa.Table:
     )
 
 
-def g_pagerank(sf_dir: str, iters: int = 5, broadcast_threshold_rows: int = 2_000_000):
+def g_pagerank(sf_dir: str, iters: int = 5, broadcast_threshold_rows: int = 50_000_000):
     """Damped PageRank over the purchase graph, ``iters`` exact-integer rounds.
 
     rank0 = SCALE // N per node;
     round: rank'(v) = (SCALE*15//100)//N + Σ_{(u,v)∈E} ((rank(u)*85//100) // outdeg(u)).
 
     Returns (node, rank_units) for every node."""
-    edges = purchase_edges(sf_dir, broadcast_threshold_rows).materialize()
+    edges = purchase_edges(sf_dir).materialize()
     return pagerank_on_edges(edges, iters, broadcast_threshold_rows=broadcast_threshold_rows)
 
 
 def pagerank_on_edges(
     edges,
     iters: int = 5,
-    broadcast_threshold_rows: int = 2_000_000,
+    broadcast_threshold_rows: int = 50_000_000,
     driver_edge_threshold: int = 5_000_000,
 ):
     """Core PageRank over an arbitrary (src, dst) edge Dataset — see
@@ -159,7 +168,7 @@ def pagerank_on_edges(
     deg_partials = edges.map_batches(_node_deg_partials, batch_format="pyarrow")
     n_edges = edges.count()
 
-    if n_edges <= min(driver_edge_threshold, broadcast_threshold_rows):
+    if n_edges <= driver_edge_threshold:
         # ---- driver fast path: the edge list is slim int64 pairs
         parts = [
             b for b in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow") if b.num_rows
@@ -334,7 +343,7 @@ def g_components(sf_dir: str, driver_edge_threshold: int | None = None):
 
 _EDGES_CTE = f"""
 edges AS (
-  SELECT DISTINCT o_custkey AS src, {SUPP_OFFSET} + l_suppkey AS dst
+  SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 -- subquery-distinct, NOT a top-level UNION: under WITH RECURSIVE DuckDB

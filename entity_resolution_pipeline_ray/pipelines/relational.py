@@ -1313,7 +1313,8 @@ def q_value_histogram(sf_dir: str, buckets: int = 20):
 
 Q_VALUE_HISTOGRAM_SQL = """
 WITH m AS (SELECT min(value) AS lo, (max(value) - min(value)) / 20.0 AS w FROM events),
-b AS (SELECT least(CAST(floor((value - m.lo) / m.w) AS BIGINT), 19) AS bucket
+b AS (SELECT CASE WHEN m.w = 0 THEN 0
+             ELSE least(CAST(floor((value - m.lo) / m.w) AS BIGINT), 19) END AS bucket
       FROM events, m)
 SELECT bucket, count(*) AS n,
        round((SELECT lo FROM m) + bucket * (SELECT w FROM m), 6) AS lo_edge

@@ -366,28 +366,24 @@ def s_kmeans(sf_dir: str, n_cells: int = 16, n_iters: int = 2):
 
 
 def _kmeans_sql(n_cells: int = 16, n_iters: int = 2, dim: int = 64) -> str:
-    """Prefix of the IVF replica up to the final assignment."""
-    full = _knn_ivf_sql(n_cells=n_cells, n_iters=n_iters, dim=dim)
-    cut = full.index(",\nq AS (")
-    return full[:cut] + "\nSELECT vec_id, cid FROM asgf"
+    """IVF replica's CTE chain cut at the final assignment — composed from the
+    shared CTE builder, not substring surgery on the rendered kNN SQL."""
+    ctes = _ivf_assignment_ctes(n_cells=n_cells, n_iters=n_iters, dim=dim)
+    return "WITH " + ",\n".join(ctes) + "\nSELECT vec_id, cid FROM asgf"
 
 
-def _knn_ivf_sql(
-    k: int = 10, n_queries: int = 4, n_cells: int = 16, n_iters: int = 2, n_probe: int = 4, dim: int = 64
-) -> str:
-    """Exact SQL replica of ``knn_ivf``: same deterministic seeds (lowest
-    vec_ids), the same squared-L2 expansion for assignment (ties → lowest cid
-    via the ORDER BY), per-cell means via avg(e[i]) with empty cells keeping
-    the previous centroid (left join + coalesce), the same probe rule, and the
-    same float64 cosine ranking.  The Lloyd iterations are unrolled as CTE
-    pairs (asgN → centN+1)."""
+def _d2_sql(x: str, cent: str) -> str:
+    return (
+        f"list_dot_product({x},{x}) - 2*list_dot_product({x},{cent})"
+        f" + list_dot_product({cent},{cent})"
+    )
 
-    def d2(x, cent):
-        return (
-            f"list_dot_product({x},{x}) - 2*list_dot_product({x},{cent})"
-            f" + list_dot_product({cent},{cent})"
-        )
 
+def _ivf_assignment_ctes(n_cells: int = 16, n_iters: int = 2, dim: int = 64) -> list[str]:
+    """Shared CTE chain: deterministic seeds (lowest vec_ids), unrolled Lloyd
+    iterations (asgN → centN+1, empty cells keep the previous centroid via
+    left join + coalesce), ending at the final assignment ``asgf``."""
+    d2 = _d2_sql
     ctes = [
         "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
         f"""cent0 AS (
@@ -413,6 +409,17 @@ def _knn_ivf_sql(
     SELECT c.vec_id, c.e, t.cid,
            row_number() OVER (PARTITION BY c.vec_id ORDER BY {d2("c.e", "t.ce")}, t.cid) AS rn
     FROM c, cent{T} t) WHERE rn = 1)""")
+    return ctes
+
+
+def _knn_ivf_sql(
+    k: int = 10, n_queries: int = 4, n_cells: int = 16, n_iters: int = 2, n_probe: int = 4, dim: int = 64
+) -> str:
+    """Exact SQL replica of ``knn_ivf``: the shared assignment CTE chain plus
+    the same probe rule and float64 cosine ranking."""
+    d2 = _d2_sql
+    T = n_iters
+    ctes = _ivf_assignment_ctes(n_cells=n_cells, n_iters=n_iters, dim=dim)
     ctes.append(f"""q AS (
   SELECT vec_id AS query_id, e AS qe, sqrt(list_dot_product(e, e)) AS qn
   FROM c ORDER BY vec_id LIMIT {n_queries})""")

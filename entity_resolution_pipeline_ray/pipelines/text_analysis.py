@@ -911,77 +911,123 @@ WHERE rank <= 10
 PMI_MIN_COUNT = 5
 
 
-def _bigram_count_partials(t: pa.Table) -> pa.Table:
-    """Per-batch partial (bigram, n) counts: one Arrow tokenize pass, adjacent
-    pairs joined with ' ' (tokens never contain spaces), doc-boundary pairs
-    masked out, counts via the C++ value_counts kernel."""
+def _gram_count_partials(t: pa.Table) -> pa.Table:
+    """ONE tokenize pass emitting BOTH unigram and adjacent-bigram partial
+    counts as a tagged table (is_bigram, key, n) — the corpus is scanned
+    once, not twice.  Bigrams join adjacent tokens with ' ' (tokens never
+    contain spaces); pairs crossing a doc boundary are masked out; counts
+    come from the C++ value_counts kernel."""
     flat, offs = token_lists_arrow(t["text"])
-    if len(flat) < 2:
-        return pa.table({"bigram": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())})
-    left = flat.slice(0, len(flat) - 1)
-    right = flat.slice(1)
-    grams = pc.binary_join_element_wise(left, right, " ")
-    # positions where the pair crosses a doc boundary: left index == offs-1
-    mask = np.ones(len(grams), dtype=bool)
-    ends = offs[1:-1] - 1  # last token of every doc but the final one
-    mask[ends[ends >= 0]] = False
-    grams = grams.filter(pa.array(mask))
-    if len(grams) == 0:
-        return pa.table({"bigram": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())})
-    vc = pc.value_counts(grams)
-    return pa.table({"bigram": vc.field("values"), "n": vc.field("counts").cast(pa.int64())})
-
-
-def _token_count_partials(t: pa.Table) -> pa.Table:
-    flat, _ = token_lists_arrow(t["text"])
+    empty = pa.table(
+        {
+            "is_bigram": pa.array([], type=pa.bool_()),
+            "key": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
     if not len(flat):
-        return pa.table({"token": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())})
-    vc = pc.value_counts(flat)
-    return pa.table({"token": vc.field("values"), "n": vc.field("counts").cast(pa.int64())})
+        return empty
+    uvc = pc.value_counts(flat)
+    u_keys, u_ns = uvc.field("values"), uvc.field("counts").cast(pa.int64())
+    if len(flat) >= 2:
+        left = flat.slice(0, len(flat) - 1)
+        right = flat.slice(1)
+        grams = pc.binary_join_element_wise(left, right, " ")
+        # positions where the pair crosses a doc boundary: left index == offs-1
+        mask = np.ones(len(grams), dtype=bool)
+        ends = offs[1:-1] - 1  # last token of every doc but the final one
+        mask[ends[ends >= 0]] = False
+        grams = grams.filter(pa.array(mask))
+    else:
+        grams = pa.array([], type=pa.string())
+    if len(grams):
+        bvc = pc.value_counts(grams)
+        b_keys, b_ns = bvc.field("values"), bvc.field("counts").cast(pa.int64())
+    else:
+        b_keys = pa.array([], type=pa.string())
+        b_ns = pa.array([], type=pa.int64())
+    def _arr(x):
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    return pa.table(
+        {
+            "is_bigram": pa.array(
+                np.concatenate([np.zeros(len(u_keys), bool), np.ones(len(b_keys), bool)])
+            ),
+            "key": pa.concat_arrays([_arr(u_keys), _arr(b_keys)]),
+            "n": pa.concat_arrays([_arr(u_ns), _arr(b_ns)]),
+        }
+    )
 
 
 def t_pmi_bigrams(sf_dir: str, k: int = 25, driver_merge_threshold: int = 2_000_000):
     """Top-``k`` collocations by PMI among bigrams with count >=
-    ``PMI_MIN_COUNT``.  Dual count-merge plan (the t_token_topk discipline):
-    per-batch combiners -> driver pandas merge below the doc threshold,
-    distributed groupby-sum above; scoring and top-k always run over the
-    VOCABULARY-bounded aggregated tables (never the corpus).  Ranking is by
-    unrounded float64 PMI (ties -> bigram asc) in both engines; emitted pmi
-    is rounded to 6."""
+    ``PMI_MIN_COUNT``.  One tokenize pass emits tagged unigram+bigram
+    combiners; the count merge is dual-plan (driver pandas below the doc
+    threshold, distributed groupby-sum above — the t_token_topk discipline);
+    scoring and top-k always run over VOCABULARY-bounded aggregated tables
+    (never the corpus).  Ranking is by unrounded float64 PMI (ties -> bigram
+    asc) in both engines; emitted pmi is rounded to 6."""
     from ray.data.aggregate import Sum
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     n_docs = ds.count()
-    bg_parts = ds.map_batches(_bigram_count_partials, batch_format="pyarrow")
-    un_parts = ds.map_batches(_token_count_partials, batch_format="pyarrow")
+    partials = ds.map_batches(_gram_count_partials, batch_format="pyarrow")
 
-    def _merge(partials, key):
-        if n_docs <= driver_merge_threshold:
-            frames = [
-                b.to_pandas()
-                for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-                if b.num_rows
-            ]
-            if not frames:
-                return pd.DataFrame(columns=[key, "n"])
-            return pd.concat(frames).groupby(key, sort=False)["n"].sum().reset_index()
-        agg = partials.groupby(key).aggregate(Sum("n", alias_name="n"))
-        return agg.to_pandas()  # vocabulary-bounded, not corpus-bounded
-
-    bc = _merge(bg_parts, "bigram")
-    uc = _merge(un_parts, "token")
-    if bc.empty or uc.empty:
-        return pa.table(
-            {
-                "bigram": pa.array([], type=pa.string()),
-                "n_pair": pa.array([], type=pa.int64()),
-                "pmi": pa.array([], type=pa.float64()),
-                "rank": pa.array([], type=pa.int64()),
-            }
+    if n_docs <= driver_merge_threshold:
+        frames = [
+            b.to_pandas()
+            for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            if b.num_rows
+        ]
+        merged = (
+            pd.concat(frames).groupby(["is_bigram", "key"], sort=False)["n"].sum().reset_index()
+            if frames
+            else pd.DataFrame(columns=["is_bigram", "key", "n"])
         )
+    else:
+
+        def packkey(t: pa.Table) -> pa.Table:
+            tag = pc.if_else(t["is_bigram"], pa.scalar("b"), pa.scalar("u"))
+            return pa.table(
+                {"key": pc.binary_join_element_wise(tag, t["key"], "\x00"), "n": t["n"]}
+            )
+
+        agg = partials.map_batches(packkey, batch_format="pyarrow").groupby("key").aggregate(
+            Sum("n", alias_name="n")
+        )
+        mdf = agg.to_pandas()  # vocabulary-bounded, not corpus-bounded
+        if mdf.empty:
+            merged = pd.DataFrame(columns=["is_bigram", "key", "n"])
+        else:
+            merged = pd.DataFrame(
+                {
+                    "is_bigram": mdf["key"].str[0].eq("b"),
+                    "key": mdf["key"].str[2:],
+                    "n": mdf["n"],
+                }
+            )
+
+    empty = pa.table(
+        {
+            "bigram": pa.array([], type=pa.string()),
+            "n_pair": pa.array([], type=pa.int64()),
+            "pmi": pa.array([], type=pa.float64()),
+            "rank": pa.array([], type=pa.int64()),
+        }
+    )
+    if merged.empty:  # empty object mask would index COLUMNS, not rows
+        return empty
+    mask = merged["is_bigram"].astype(bool)
+    bc = merged[mask][["key", "n"]].rename(columns={"key": "bigram"})
+    uc = merged[~mask][["key", "n"]].rename(columns={"key": "token"})
+    if bc.empty or uc.empty:
+        return empty
     nb = int(bc["n"].sum())
     nu = int(uc["n"].sum())
     bc = bc[bc["n"] >= PMI_MIN_COUNT].copy()
+    if bc.empty:  # no bigram reaches min support (split on empty loses columns)
+        return empty
     toks = bc["bigram"].str.split(" ", n=1, expand=True)
     um = uc.set_index("token")["n"]
     cl = um.loc[toks[0]].to_numpy(dtype=np.float64)

@@ -171,3 +171,25 @@ def test_new_operators_on_empty_tables(ray_session, tmp_path):
     assert rows(q_value_histogram(sf)) == 0
     assert rows(t_pmi_bigrams(sf)) == 0
     assert rows(t_source_terms(sf)) == 0
+
+
+def test_pmi_no_bigram_reaches_min_support(ray_session, tmp_path):
+    """All-unique bigrams (< PMI_MIN_COUNT occurrences each) must yield an
+    empty result, not a KeyError from splitting an empty Series."""
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(4)), type=pa.int64()),
+            "text": ["alpha beta", "gamma delta", "epsilon zeta", "eta theta"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": pa.array([10] * 4, type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import t_pmi_bigrams
+
+    for thresh in (2_000_000, 0):
+        out = t_pmi_bigrams(str(tmp_path), driver_merge_threshold=thresh)
+        assert len(out) == 0, thresh

@@ -18,12 +18,12 @@ def _pdf(x):
 
 
 def test_purchase_edges_distinct_and_bipartite():
-    from entity_resolution_pipeline_ray.pipelines.graph import SUPP_OFFSET, purchase_edges
+    from entity_resolution_pipeline_ray.pipelines.graph import purchase_edges
 
     e = purchase_edges(SF).to_pandas()
     assert len(e) == len(e.drop_duplicates(["src", "dst"]))
-    assert (e["src"] < SUPP_OFFSET).all()  # customers
-    assert (e["dst"] >= SUPP_OFFSET).all()  # suppliers
+    assert (e["src"] % 2 == 0).all()  # customers are even-encoded
+    assert (e["dst"] % 2 == 1).all()  # suppliers are odd-encoded
 
     # join plan (threshold 0) emits the identical edge set
     e2 = purchase_edges(SF, broadcast_threshold_rows=0).to_pandas()
