@@ -84,7 +84,61 @@ def _url_dedup_query(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # --- relational operator surface (SURVEY §2.5-2.6) ---
+        # --- rotation window (round 4): never-driver-checked + newly-oracled
+        # + the two fixed hash-fails lead; driver oracles the FIRST 50 entries.
+        # Append NEW queries immediately after this window (before the r03-green
+        # tail) so they get driver-checked without evicting fresh green rows.
+        "t_cms_topk": C.t_cms_topk,
+        "t_bigram_logprob": C.t_bigram_logprob,
+        "d_line_dedup": C.d_line_dedup,
+        "p_perplexity_buckets": C.p_perplexity_buckets,
+        "p_lang_quantiles": SP.q_lang_quantiles,
+        "p_pack_sequences": SP.p_pack_sequences,
+        "p_lang_balance": SP.p_lang_balance,
+        "p_importance_weights": SP.p_importance_weights,
+        "t_zipf_fit": T.t_zipf_fit,
+        "t_char_entropy": T.t_char_entropy,
+        "t_readability": T.t_readability,
+        "p_temperature_mix": SP.p_temperature_mix,
+        "d_substring_pairs": D.substring_dup_pairs,
+        "d_bloom_decontaminate": C.d_bloom_decontaminate,
+        "d_apply_fuzzy": D.dedup_apply_fuzzy,
+        "d_embedding_pairs_lsh": D.embedding_dup_pairs_lsh,
+        "d_apply_semantic": D.dedup_apply_semantic,
+        "s_knn_ivf": S.knn_ivf,
+        "s_label_centroids": S.s_label_centroids,
+        "s_knn_filtered": S.knn_filtered,
+        "s_bm25_topk": S.s_bm25_topk,
+        "s_knn_pq": S.knn_pq,
+        "s_hard_negatives": S.s_hard_negatives,
+        "s_kmeans": S.s_kmeans,
+        "m_media_resize": M.m_media_resize,
+        "m_frame_sample": M.m_frame_sample,
+        "m_media_dedup": M.m_media_dedup,
+        "p_url_snapshot_dedup": _url_dedup_query,
+        "d_minhash_pairs": D.minhash_dup_pairs,
+        "d_simhash_pairs": D.simhash_dup_pairs,
+        "d_ngram_jaccard_pairs": D.ngram_jaccard_dup_pairs,
+        "s_knn_lsh": S.knn_lsh,
+        "q_json_props": R.q_json_props,
+        "g_pagerank": G.g_pagerank,
+        "d_apply_exact": D.dedup_apply_exact,
+        "d_embedding_pairs": D.embedding_dup_pairs,
+        "s_knn_bruteforce": S.knn_bruteforce,
+        "m_media_features": M.m_media_features,
+        "t_bpe_count": C.t_bpe_count,
+        "t_pii_redact": C.t_pii_redact,
+        "t_repetition": C.t_repetition,
+        "t_distinct_hll": C.t_distinct_hll,
+        "t_unigram_logprob": C.t_unigram_logprob,
+        "p_quality_filter": C.p_quality_filter,
+        "p_lang_filter": C.p_lang_filter,
+        "p_curation_pipeline": C.p_curation_pipeline,
+        "d_decontaminate": C.d_decontaminate,
+        "d_boilerplate": C.d_boilerplate,
+        "p_source_cap": SP.q_source_cap,
+        "p_stratified_sample": SP.q_stratified_sample,
+        # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
         "q_segment_revenue": R.q_segment_revenue,
@@ -103,7 +157,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessions": R.q_sessions,
         "q_funnel": R.q_funnel,
         "q_retention": R.q_retention,
-        "q_json_props": R.q_json_props,
         "q_running_total": R.q_running_total,
         "q_rolling_mean": R.q_rolling_mean,
         "q_window_join": R.q_window_join,
@@ -118,10 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_gaps": R.q_user_gaps,
         "q_anti_join": R.q_anti_join,
         "q_value_histogram": R.q_value_histogram,
-        # --- graph operators over the derived purchase graph ---
-        "g_pagerank": G.g_pagerank,
         "g_components": G.g_components,
-        # --- text analysis / interning (SURVEY §2.2, §2.5) ---
         "t_normalize": T.t_normalize,
         "t_string_hash": T.t_string_hash,
         "t_string_counts": T.t_string_counts,
@@ -137,67 +187,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_token_topk": T.t_token_topk,
         "t_source_terms": T.t_source_terms,
         "t_pmi_bigrams": T.t_pmi_bigrams,
-        # --- webtext curation (BPE counting, PII scrub, repetition, decontamination) ---
-        "t_bpe_count": C.t_bpe_count,
-        "t_pii_redact": C.t_pii_redact,
-        "t_repetition": C.t_repetition,
-        "t_distinct_hll": C.t_distinct_hll,
-        "t_cms_topk": C.t_cms_topk,
-        "t_unigram_logprob": C.t_unigram_logprob,
-        "t_bigram_logprob": C.t_bigram_logprob,
-        "p_quality_filter": C.p_quality_filter,
-        "p_lang_filter": C.p_lang_filter,
-        "p_curation_pipeline": C.p_curation_pipeline,
-        "d_decontaminate": C.d_decontaminate,
-        "d_boilerplate": C.d_boilerplate,
-        "d_line_dedup": C.d_line_dedup,
-        "p_perplexity_buckets": C.p_perplexity_buckets,
-        # --- training-data sampling / curation ---
-        "p_source_cap": SP.q_source_cap,
-        "p_stratified_sample": SP.q_stratified_sample,
-        "p_lang_quantiles": SP.q_lang_quantiles,
-        "p_pack_sequences": SP.p_pack_sequences,
-        "p_lang_balance": SP.p_lang_balance,
-        "p_importance_weights": SP.p_importance_weights,
-        "t_zipf_fit": T.t_zipf_fit,
-        "t_char_entropy": T.t_char_entropy,
-        "t_readability": T.t_readability,
-        "p_temperature_mix": SP.p_temperature_mix,
-        "d_substring_pairs": D.substring_dup_pairs,
-        "d_bloom_decontaminate": C.d_bloom_decontaminate,
-        # --- dedup suite ---
-        "d_apply_exact": D.dedup_apply_exact,
-        "d_apply_fuzzy": D.dedup_apply_fuzzy,
-        "d_minhash_pairs": D.minhash_dup_pairs,
-        "d_simhash_pairs": D.simhash_dup_pairs,
-        "d_ngram_jaccard_pairs": D.ngram_jaccard_dup_pairs,
-        "d_embedding_pairs": D.embedding_dup_pairs,
-        "d_embedding_pairs_lsh": D.embedding_dup_pairs_lsh,
-        "d_apply_semantic": D.dedup_apply_semantic,
-        # --- similarity search ---
-        "s_knn_bruteforce": S.knn_bruteforce,
-        "s_knn_lsh": S.knn_lsh,
-        "s_knn_ivf": S.knn_ivf,
-        "s_label_centroids": S.s_label_centroids,
-        "s_knn_filtered": S.knn_filtered,
-        "s_bm25_topk": S.s_bm25_topk,
-        "s_knn_pq": S.knn_pq,
-        "s_hard_negatives": S.s_hard_negatives,
-        "s_kmeans": S.s_kmeans,
-        # --- multimodal plumbing ---
-        "m_media_features": M.m_media_features,
-        "m_media_resize": M.m_media_resize,
-        "m_frame_sample": M.m_frame_sample,
-        "m_media_dedup": M.m_media_dedup,
-        # --- entity resolution (flagship; corpus generated, not in DuckDB views) ---
-        "p_url_snapshot_dedup": _url_dedup_query,
         "er_extract": _er_extract_query,
         "er_clusters": _er_query,
+    
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "t_cms_topk": C.T_CMS_TOPK_SQL,
+        "t_bigram_logprob": C.T_BIGRAM_LOGPROB_SQL,
+        "d_line_dedup": C.D_LINE_DEDUP_SQL,
+        "p_perplexity_buckets": C.P_PERPLEXITY_BUCKETS_SQL,
+        "p_lang_quantiles": SP.Q_LANG_QUANTILES_SQL,
+        "p_pack_sequences": SP.P_PACK_SEQUENCES_SQL,
+        "p_lang_balance": SP.P_LANG_BALANCE_SQL,
+        "p_importance_weights": SP.P_IMPORTANCE_WEIGHTS_SQL,
+        "t_zipf_fit": T.T_ZIPF_FIT_SQL,
+        "t_char_entropy": T.T_CHAR_ENTROPY_SQL,
+        "t_readability": T.T_READABILITY_SQL,
+        "p_temperature_mix": SP.P_TEMPERATURE_MIX_SQL,
+        "d_substring_pairs": D.D_SUBSTRING_SQL,
+        "d_bloom_decontaminate": C.D_BLOOM_DECONTAMINATE_SQL,
+        "d_apply_fuzzy": D.D_APPLY_FUZZY_SQL,
+        "d_embedding_pairs_lsh": D.D_EMBEDDING_LSH_SQL,
+        "d_apply_semantic": D.D_APPLY_SEMANTIC_SQL,
+        "s_knn_ivf": S.KNN_IVF_SQL,
+        "s_label_centroids": S.S_LABEL_CENTROIDS_SQL,
+        "s_knn_filtered": S.KNN_FILTERED_SQL,
+        "s_bm25_topk": S.S_BM25_SQL,
+        "s_knn_pq": S.KNN_PQ_SQL,
+        "s_hard_negatives": S.S_HARD_NEGATIVES_SQL,
+        "s_kmeans": S.S_KMEANS_SQL,
+        "m_media_resize": M.M_RESIZE_SQL,
+        "m_frame_sample": M.M_FRAME_SAMPLE_SQL,
+        "m_media_dedup": M.M_MEDIA_DEDUP_SQL,
+        "d_minhash_pairs": D.D_MINHASH_SQL,
+        "d_simhash_pairs": D.D_SIMHASH_SQL,
+        "d_ngram_jaccard_pairs": D.NGRAM_JACCARD_SQL,
+        "s_knn_lsh": S.KNN_LSH_SQL,
+        "q_json_props": R.Q_JSON_PROPS_SQL,
+        "g_pagerank": G.G_PAGERANK_SQL,
+        "d_apply_exact": D.DEDUP_APPLY_EXACT_SQL,
+        "d_embedding_pairs": D.EMBEDDING_DUP_SQL,
+        "s_knn_bruteforce": S.KNN_BRUTEFORCE_SQL,
+        "m_media_features": M.M_MEDIA_SQL,
+        "t_bpe_count": C.T_BPE_COUNT_SQL,
+        "t_pii_redact": C.T_PII_REDACT_SQL,
+        "t_repetition": C.T_REPETITION_SQL,
+        "t_distinct_hll": C.T_DISTINCT_HLL_SQL,
+        "t_unigram_logprob": C.T_UNIGRAM_LOGPROB_SQL,
+        "p_quality_filter": C.P_QUALITY_FILTER_SQL,
+        "p_lang_filter": C.P_LANG_FILTER_SQL,
+        "p_curation_pipeline": C.P_CURATION_PIPELINE_SQL,
+        "d_decontaminate": C.D_DECONTAMINATE_SQL,
+        "d_boilerplate": C.D_BOILERPLATE_SQL,
+        "p_source_cap": SP.Q_SOURCE_CAP_SQL,
+        "p_stratified_sample": SP.Q_STRATIFIED_SAMPLE_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,
@@ -216,7 +262,6 @@ def oracle_sql() -> dict[str, str]:
         "q_sessions": R.Q_SESSIONS_SQL,
         "q_funnel": R.Q_FUNNEL_SQL,
         "q_retention": R.Q_RETENTION_SQL,
-        "q_json_props": R.Q_JSON_PROPS_SQL,
         "q_running_total": R.Q_RUNNING_SQL,
         "q_rolling_mean": R.Q_ROLLING_MEAN_SQL,
         "q_window_join": R.Q_WINDOW_JOIN_SQL,
@@ -231,7 +276,6 @@ def oracle_sql() -> dict[str, str]:
         "q_user_gaps": R.Q_USER_GAPS_SQL,
         "q_anti_join": R.Q_ANTI_JOIN_SQL,
         "q_value_histogram": R.Q_VALUE_HISTOGRAM_SQL,
-        "g_pagerank": G.G_PAGERANK_SQL,
         "g_components": G.G_COMPONENTS_SQL,
         "t_normalize": T.T_NORMALIZE_SQL,
         "t_string_hash": T.T_STRING_HASH_SQL,
@@ -248,53 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "t_token_topk": T.T_TOKEN_TOPK_SQL,
         "t_source_terms": T.T_SOURCE_TERMS_SQL,
         "t_pmi_bigrams": T.T_PMI_BIGRAMS_SQL,
-        "t_bpe_count": C.T_BPE_COUNT_SQL,
-        "t_pii_redact": C.T_PII_REDACT_SQL,
-        "t_repetition": C.T_REPETITION_SQL,
-        "t_distinct_hll": C.T_DISTINCT_HLL_SQL,
-        "t_cms_topk": C.T_CMS_TOPK_SQL,
-        "t_unigram_logprob": C.T_UNIGRAM_LOGPROB_SQL,
-        "t_bigram_logprob": C.T_BIGRAM_LOGPROB_SQL,
-        "p_quality_filter": C.P_QUALITY_FILTER_SQL,
-        "p_lang_filter": C.P_LANG_FILTER_SQL,
-        "p_curation_pipeline": C.P_CURATION_PIPELINE_SQL,
-        "d_decontaminate": C.D_DECONTAMINATE_SQL,
-        "d_boilerplate": C.D_BOILERPLATE_SQL,
-        "d_line_dedup": C.D_LINE_DEDUP_SQL,
-        "p_perplexity_buckets": C.P_PERPLEXITY_BUCKETS_SQL,
-        "p_source_cap": SP.Q_SOURCE_CAP_SQL,
-        "p_stratified_sample": SP.Q_STRATIFIED_SAMPLE_SQL,
-        "p_lang_quantiles": SP.Q_LANG_QUANTILES_SQL,
-        "p_pack_sequences": SP.P_PACK_SEQUENCES_SQL,
-        "p_lang_balance": SP.P_LANG_BALANCE_SQL,
-        "p_importance_weights": SP.P_IMPORTANCE_WEIGHTS_SQL,
-        "t_zipf_fit": T.T_ZIPF_FIT_SQL,
-        "t_char_entropy": T.T_CHAR_ENTROPY_SQL,
-        "t_readability": T.T_READABILITY_SQL,
-        "p_temperature_mix": SP.P_TEMPERATURE_MIX_SQL,
-        "d_substring_pairs": D.D_SUBSTRING_SQL,
-        "d_bloom_decontaminate": C.D_BLOOM_DECONTAMINATE_SQL,
-        "d_apply_exact": D.DEDUP_APPLY_EXACT_SQL,
-        "d_apply_fuzzy": D.D_APPLY_FUZZY_SQL,
-        "d_minhash_pairs": D.D_MINHASH_SQL,
-        "d_simhash_pairs": D.D_SIMHASH_SQL,
-        "d_ngram_jaccard_pairs": D.NGRAM_JACCARD_SQL,
-        "d_embedding_pairs": D.EMBEDDING_DUP_SQL,
-        "d_embedding_pairs_lsh": D.D_EMBEDDING_LSH_SQL,
-        "d_apply_semantic": D.D_APPLY_SEMANTIC_SQL,
-        "s_knn_bruteforce": S.KNN_BRUTEFORCE_SQL,
-        "s_knn_lsh": S.KNN_LSH_SQL,
-        "s_knn_ivf": S.KNN_IVF_SQL,
-        "s_label_centroids": S.S_LABEL_CENTROIDS_SQL,
-        "s_knn_filtered": S.KNN_FILTERED_SQL,
-        "s_bm25_topk": S.S_BM25_SQL,
-        "s_knn_pq": S.KNN_PQ_SQL,
-        "s_hard_negatives": S.S_HARD_NEGATIVES_SQL,
-        "s_kmeans": S.S_KMEANS_SQL,
-        "m_media_features": M.M_MEDIA_SQL,
-        "m_media_resize": M.M_RESIZE_SQL,
-        "m_frame_sample": M.M_FRAME_SAMPLE_SQL,
-        "m_media_dedup": M.M_MEDIA_DEDUP_SQL,
         # er_extract / er_clusters: corpus is generated (not a DuckDB view) —
         # rows-only; quality is gated by pytest (pairwise F1 >= 0.99).
+    
     }

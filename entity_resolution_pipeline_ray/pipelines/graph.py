@@ -360,8 +360,8 @@ def _pagerank_sql(iters: int = 5) -> str:
         its.append(
             f"""r{i} AS (
   SELECT n0.node,
-         ({SCALE} * {DAMP_DEN - DAMP_NUM} // {DAMP_DEN}) // p.n
-           + COALESCE(SUM(r.r * {DAMP_NUM} // {DAMP_DEN} // d.outdeg), 0) AS r
+         CAST(({SCALE} * {DAMP_DEN - DAMP_NUM} // {DAMP_DEN}) // p.n
+           + COALESCE(SUM(r.r * {DAMP_NUM} // {DAMP_DEN} // d.outdeg), 0) AS BIGINT) AS r
   FROM nodes n0
   CROSS JOIN params p
   LEFT JOIN edges e ON e.dst = n0.node
