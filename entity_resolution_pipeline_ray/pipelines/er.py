@@ -124,7 +124,15 @@ def run_er_pipeline(
     else:
         pair_partitions = cfg.execution.join_num_partitions
     _tick("blocks")
-    pairs = candidate_pairs(blocks, cfg.blocking, num_partitions=pair_partitions)
+    # scale mode goes straight to the distributed census (no driver-side
+    # partial merge); the materialized mode keeps auto (driver merge with the
+    # bail-out to distributed past DRIVER_CENSUS_MAX_ROWS partial rows)
+    pairs = candidate_pairs(
+        blocks,
+        cfg.blocking,
+        num_partitions=pair_partitions,
+        census="auto" if materialize_intermediate else "distributed",
+    )
     if materialize_intermediate:
         # barrier between the pair shuffle and the scorer actor pool: chaining
         # a hash-shuffle's aggregator actors into an actor-pool map in one

@@ -52,6 +52,28 @@ def _pq(sf_dir: str, name: str, columns=None):
     return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _per_key_pandas(ds, key_col: str, per_group, empty: pa.Table):
+    """Per-group pandas transform via ``rayops.map_sorted_groups``: ONE range
+    sort makes each key's rows contiguous, then each sorted block runs
+    ``per_group`` over the complete groups it owns — no hash shuffle, and no
+    hash-aggregate finalizer (which runs at ~10-15k groups/s in this Ray
+    version; at 10^8 users that finalizer alone is hours).  ``empty`` pins the
+    output schema; every task's output is cast to it so block schemas agree.
+    Partitioning assumption (unchanged from the groupby().map_groups plan it
+    replaces): one key's rows fit in one task — salt hot keys at web scale."""
+    from ..rayops import map_sorted_groups
+
+    def fn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        parts = [per_group(g) for _, g in df.groupby(key_col, sort=False)]
+        if not parts:
+            return empty
+        out = pd.concat(parts, ignore_index=True)
+        return pa.Table.from_pandas(out, schema=empty.schema, preserve_index=False)
+
+    return map_sorted_groups(ds, key_col, fn, empty)
+
+
 # --------------------------------------------------------------------- aggregates
 
 
@@ -496,14 +518,15 @@ SELECT 'train' AS split, CAST(floor(count(*) * 0.7) AS BIGINT) AS n FROM documen
 
 
 # --------------------------------------------------------------------- custom operators
-# (operators the Dataset API lacks — composed from groupby/map_groups + sort,
-# per the "custom operators" guidance; partitioning assumption: one user's
-# events fit in one group)
+# (operators the Dataset API lacks — composed from one range sort +
+# boundary-aware complete-group tasks (_per_key_pandas/map_sorted_groups), per
+# the "custom operators" guidance; partitioning assumption: one user's events
+# fit in one group)
 
 
 def q_asof_join(sf_dir: str):
     """As-of join: for each 'click' event, the most recent 'purchase' by the
-    same user strictly before it.  Implemented as per-user ``map_groups`` with
+    same user strictly before it.  Implemented as a per-user sorted-group transform with
     ``pd.merge_asof`` over ts-sorted frames (the ray_guide as-of pattern);
     shuffle key: user_id.  Oracle: DuckDB ASOF JOIN."""
     ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
@@ -527,7 +550,11 @@ def q_asof_join(sf_dir: str):
         merged["purchase_value"] = merged["purchase_value"].round(6)
         return merged[["event_id", "user_id", "purchase_value"]]
 
-    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    empty = pa.table(
+        {"event_id": pa.array([], type=pa.int64()), "user_id": pa.array([], type=pa.int64()),
+         "purchase_value": pa.array([], type=pa.float64())}
+    )
+    return _per_key_pandas(ev, "user_id", per_user, empty)
 
 
 Q_ASOF_SQL = """
@@ -590,7 +617,11 @@ def q_sessions(sf_dir: str, gap_minutes: int = 30):
         out["n_events"] = out["n_events"].astype("int64")
         return out[["user_id", "session_start", "n_events", "total_value"]].reset_index(drop=True)
 
-    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    empty = pa.table(
+        {"user_id": pa.array([], type=pa.int64()), "session_start": pa.array([], type=pa.timestamp("us")),
+         "n_events": pa.array([], type=pa.int64()), "total_value": pa.array([], type=pa.float64())}
+    )
+    return _per_key_pandas(ev, "user_id", per_user, empty)
 
 
 Q_SESSIONS_SQL = """
@@ -632,7 +663,12 @@ def q_user_gaps(sf_dir: str):
             }
         )
 
-    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    empty = pa.table(
+        {"user_id": pa.array([], type=pa.int64()), "n_events": pa.array([], type=pa.int64()),
+         "n_gaps": pa.array([], type=pa.int64()), "total_gap_us": pa.array([], type=pa.int64()),
+         "max_gap_us": pa.array([], type=pa.int64())}
+    )
+    return _per_key_pandas(ev, "user_id", per_user, empty)
 
 
 Q_USER_GAPS_SQL = """
@@ -664,7 +700,11 @@ def q_running_total(sf_dir: str):
         g["running_value"] = g["value"].cumsum().round(6)
         return g[["event_id", "user_id", "running_value"]]
 
-    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    empty = pa.table(
+        {"event_id": pa.array([], type=pa.int64()), "user_id": pa.array([], type=pa.int64()),
+         "running_value": pa.array([], type=pa.float64())}
+    )
+    return _per_key_pandas(ev, "user_id", per_user, empty)
 
 
 Q_RUNNING_SQL = """
@@ -677,7 +717,7 @@ FROM events
 def q_window_join(sf_dir: str, window_seconds: int = 3600):
     """Windowed range join (feature generation): for each 'click' event, the
     number of same-user events in the preceding hour ``[ts - 1h, ts)``.  A
-    range join Ray Data lacks — composed as per-user ``map_groups`` with two
+    range join Ray Data lacks — composed as a per-user sorted-group transform with two
     vectorized ``searchsorted`` sweeps over the ts-sorted group (O(n log n) per
     user, never the O(n²) pair blowup of a naive range join).  Shuffle key:
     user_id; partitioning assumption (as for q_asof_join/q_sessions): one
@@ -700,7 +740,11 @@ def q_window_join(sf_dir: str, window_seconds: int = 3600):
             }
         )
 
-    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    empty = pa.table(
+        {"event_id": pa.array([], type=pa.int64()), "user_id": pa.array([], type=pa.int64()),
+         "n_prior": pa.array([], type=pa.int64())}
+    )
+    return _per_key_pandas(ev, "user_id", per_user, empty)
 
 
 Q_WINDOW_JOIN_SQL = """
@@ -1268,7 +1312,11 @@ def q_value_histogram(sf_dir: str, buckets: int = 20):
     size, the register-sketch shape).  Bucket math is the identical IEEE
     double expression in both engines, so assignments hash-match.  Emits only
     non-empty buckets: (bucket, n, lo_edge)."""
-    ds = _pq(sf_dir, "events", ["value"])
+    # null values get no bucket (oracle: WHERE value IS NOT NULL); unguarded,
+    # astype(float64) turns null into NaN whose floor() is an arbitrary bucket
+    ds = _pq(sf_dir, "events", ["value"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t["value"])), batch_format="pyarrow"
+    )
     agg = ds.aggregate(Min("value"), Max("value"))
     if agg is None or agg.get("min(value)") is None:  # 0-row table
         return pa.table(
@@ -1312,10 +1360,11 @@ def q_value_histogram(sf_dir: str, buckets: int = 20):
 
 
 Q_VALUE_HISTOGRAM_SQL = """
-WITH m AS (SELECT min(value) AS lo, (max(value) - min(value)) / 20.0 AS w FROM events),
+WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),
+m AS (SELECT min(value) AS lo, (max(value) - min(value)) / 20.0 AS w FROM e),
 b AS (SELECT CASE WHEN m.w = 0 THEN 0
              ELSE least(CAST(floor((value - m.lo) / m.w) AS BIGINT), 19) END AS bucket
-      FROM events, m)
+      FROM e, m)
 SELECT bucket, count(*) AS n,
        round((SELECT lo FROM m) + bucket * (SELECT w FROM m), 6) AS lo_edge
 FROM b GROUP BY bucket
@@ -1334,7 +1383,11 @@ def q_rolling_mean(sf_dir: str, window: int = 4):
         g["rolling_value"] = g["value"].rolling(window, min_periods=1).mean().round(6)
         return g[["event_id", "user_id", "rolling_value"]]
 
-    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    empty = pa.table(
+        {"event_id": pa.array([], type=pa.int64()), "user_id": pa.array([], type=pa.int64()),
+         "rolling_value": pa.array([], type=pa.float64())}
+    )
+    return _per_key_pandas(ev, "user_id", per_user, empty)
 
 
 Q_ROLLING_MEAN_SQL = """
@@ -1382,7 +1435,10 @@ def q_funnel(sf_dir: str):
             stage += 1
         return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "funnel_stage": np.int64(stage)})
 
-    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    empty = pa.table(
+        {"user_id": pa.array([], type=pa.int64()), "funnel_stage": pa.array([], type=pa.int64())}
+    )
+    return _per_key_pandas(ev, "user_id", per_user, empty)
 
 
 Q_FUNNEL_SQL = f"""
@@ -1425,6 +1481,10 @@ def q_retention(sf_dir: str, broadcast_threshold_rows: int = 2_000_000):
         ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
         m = ts.astype(np.int64)  # days since epoch (DuckDB: date - DATE '1970-01-01')
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(m) and (
+            int(m.min()) < 0 or int(m.max()) >= (1 << 20) or int(uid.max()) >= (1 << 43) or int(uid.min()) < 0
+        ):
+            raise ValueError("ts day or user_id exceeds the 20/43-bit packing bound; widen the pack")
         return pa.table({"pk": pa.array(uid * (1 << 20) + m, type=pa.int64())})
 
     am = first_per_key(ev.map_batches(pairs, batch_format="pyarrow"), "pk").map_batches(

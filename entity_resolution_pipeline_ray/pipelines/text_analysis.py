@@ -751,7 +751,10 @@ def _source_token_partials(t: pa.Table) -> pa.Table:
                 "n": pa.array([], type=pa.int64()),
             }
         )
-    src = t["source"].to_numpy(zero_copy_only=False)
+    # null sources must not reach pd.factorize (it codes None as -1, which
+    # would floor the pair key into the wrong source); '' matches the
+    # oracle's coalesce(source, '')
+    src = pc.fill_null(t["source"], "").to_numpy(zero_copy_only=False)
     src_per_tok = np.repeat(src, np.diff(offs))
     enc = pc.dictionary_encode(flat)
     if isinstance(enc, pa.ChunkedArray):
@@ -884,7 +887,8 @@ def t_source_terms(sf_dir: str, k: int = 10, driver_merge_threshold: int = 2_000
 
 T_SOURCE_TERMS_SQL = """
 WITH toks AS (
-  SELECT source, unnest(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+')) AS tok
+  SELECT coalesce(source, '') AS source,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+')) AS tok
   FROM documents),
 ct AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
 tot_s AS (SELECT source, count(*) AS ns FROM toks GROUP BY source),
@@ -936,7 +940,10 @@ def _gram_count_partials(t: pa.Table) -> pa.Table:
         # positions where the pair crosses a doc boundary: left index == offs-1
         mask = np.ones(len(grams), dtype=bool)
         ends = offs[1:-1] - 1  # last token of every doc but the final one
-        mask[ends[ends >= 0]] = False
+        # trailing empty/null-text docs make offs[k] == len(flat), i.e.
+        # ends == len(grams) — out of bounds (no pair starts there anyway)
+        ends = ends[(ends >= 0) & (ends < len(grams))]
+        mask[ends] = False
         grams = grams.filter(pa.array(mask))
     else:
         grams = pa.array([], type=pa.string())

@@ -72,17 +72,13 @@ def emit_block_keys(doc_features_ds, minhash_cfg: MinHashConfig, blocking_cfg: B
     return doc_features_ds.map_batches(emit, batch_format="pyarrow", batch_size=2048)
 
 
-def hot_block_strides(blocks_ds, max_block_size: int) -> dict[int, int]:
-    """block_key → subsample stride, for blocks over the size cap only.
+# Above this many combiner-reduced partial rows the driver-side census merge
+# is abandoned for the distributed sorted-groups plan (20M slim rows ≈ 320 MB
+# and a ~2 s pandas groupby — the last size at which driver state is cheap).
+DRIVER_CENSUS_MAX_ROWS = 20_000_000
 
-    One vectorized ``groupby(block_key).count`` shuffle; the result is tiny
-    (only over-cap keys) and gets broadcast.  stride = ceil(n / cap), and the
-    row-local keep rule ``doc_id % stride == 0`` keeps ≈ n/stride docs — a
-    deterministic, shuffle-free pair-budget cap (doc ids are already uniform
-    hashes, so the modulus is an unbiased sample).
-    """
-    import pandas as _pd
 
+def _census_partials(blocks_ds):
     def partial_counts(b: pa.Table) -> pa.Table:
         # combiner: per-batch key counts, vectorized (cluster co-location makes
         # keys repeat within a batch, shrinking what leaves the workers)
@@ -91,17 +87,79 @@ def hot_block_strides(blocks_ds, max_block_size: int) -> dict[int, int]:
             {"block_key": pa.array(keys, type=pa.int64()), "c": pa.array(counts.astype(np.int64), type=pa.int64())}
         )
 
-    # Final merge runs on the driver with a vectorized pandas groupby: the
-    # number of HOT keys is bounded by total_rows / max_block_size, and the
-    # partials stream is combiner-reduced.  (Ray's hash-shuffle aggregate
-    # finalizes ~10k groups/s in this version — a 30s stall for a census that
-    # pandas does in <1s.  At >=10^9 distinct keys swap this driver merge for
-    # groupby(block_key, num_partitions=...).sum() — same semantics, and the
-    # heavy-hitter set it feeds stays small either way.)
-    partials = blocks_ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=65536)
-    frames = [
-        b.to_pandas() for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-    ]
+    return blocks_ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=65536)
+
+
+def _hot_from_distributed(blocks_ds, max_block_size: int) -> dict[int, int]:
+    """Distributed census: range-sort the combiner partials by block_key, sum
+    each complete group inside its sorted block (boundary-aware, no hash
+    shuffle), and keep ONLY over-cap keys — the driver sees just the hot set,
+    bounded by total_rows / max_block_size regardless of corpus size."""
+    from ..rayops import map_sorted_groups
+
+    def group_sums(t: pa.Table) -> pa.Table:
+        k = t["block_key"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        sums = np.add.reduceat(c, starts)
+        hot = sums > max_block_size
+        return pa.table(
+            {
+                "block_key": pa.array(k[starts][hot], type=pa.int64()),
+                "c": pa.array(sums[hot].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    empty = pa.table({"block_key": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())})
+    hot = map_sorted_groups(_census_partials(blocks_ds), "block_key", group_sums, empty).to_pandas()
+    if len(hot) == 0:
+        return {}
+    return {
+        int(k): int(-(-int(s) // max_block_size))
+        for k, s in zip(hot["block_key"].to_numpy(), hot["c"].to_numpy())
+    }
+
+
+def hot_block_strides(blocks_ds, max_block_size: int, *, census: str = "auto") -> dict[int, int]:
+    """block_key → subsample stride, for blocks over the size cap only.
+
+    stride = ceil(n / cap), and the row-local keep rule
+    ``doc_id % stride == 0`` keeps ≈ n/stride docs — a deterministic,
+    shuffle-free pair-budget cap (doc ids are already uniform hashes, so the
+    modulus is an unbiased sample).
+
+    Two size-gated plans over the same combiner partials (``census``):
+
+    - ``"driver"``: stream the combiner-reduced partials to a driver pandas
+      groupby.  Distinct-key partials are small at benchmark scale, and Ray's
+      hash-shuffle aggregate finalizes ~10k groups/s in this version — a 30 s
+      stall for a census pandas does in <1 s.
+    - ``"distributed"``: range-sort + boundary-aware per-group sum
+      (``rayops.map_sorted_groups``) with the over-cap filter applied inside
+      the tasks, so driver state is only the hot-key set (bounded by
+      total_rows / max_block_size) — the 100-TB plan.
+    - ``"auto"`` (default): stream toward the driver plan but bail to the
+      distributed plan the moment accumulated partial rows exceed
+      ``DRIVER_CENSUS_MAX_ROWS`` — corpus-proportional driver state is never
+      held.  (The abandoned partial pass re-executes lazily; at the scale
+      where the bail-out fires, one extra pass over slim (key, count) rows is
+      noise next to the census shuffle itself.)
+    """
+    import pandas as _pd
+
+    if census == "distributed":
+        return _hot_from_distributed(blocks_ds, max_block_size)
+    if census not in ("auto", "driver"):
+        raise ValueError(f"census must be auto|driver|distributed, got {census!r}")
+
+    partials = _census_partials(blocks_ds)
+    frames = []
+    total = 0
+    for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        frames.append(b.to_pandas())
+        total += b.num_rows
+        if census == "auto" and total > DRIVER_CENSUS_MAX_ROWS:
+            return _hot_from_distributed(blocks_ds, max_block_size)
     if not frames:
         return {}
     sizes = _pd.concat(frames).groupby("block_key", sort=False)["c"].sum()
@@ -109,7 +167,9 @@ def hot_block_strides(blocks_ds, max_block_size: int) -> dict[int, int]:
     return {int(k): int(-(-int(s) // max_block_size)) for k, s in hot.items()}
 
 
-def candidate_pairs(blocks_ds, blocking_cfg: BlockingConfig, num_partitions: int = 32, pair_fn=None):
+def candidate_pairs(
+    blocks_ds, blocking_cfg: BlockingConfig, num_partitions: int = 32, pair_fn=None, census: str = "auto"
+):
     """blocks → distinct pairs(left_id, right_id), fully vectorized.  With
     ``pair_fn``, each enumeration task maps its pairs through it FIRST (fused
     verification), so the cross-band dedup sort moves only the surviving rows.
@@ -125,7 +185,7 @@ def candidate_pairs(blocks_ds, blocking_cfg: BlockingConfig, num_partitions: int
     cost in this Ray version; the sort path moves them once.
     Shuffle keys: block_key, then (left_id, right_id).
     """
-    strides = hot_block_strides(blocks_ds, blocking_cfg.max_block_size)
+    strides = hot_block_strides(blocks_ds, blocking_cfg.max_block_size, census=census)
     # broadcast sorted parallel arrays → the trim is a vectorized searchsorted
     # gather + modulus on the hot subset (no Python per row even when skewed)
     hot_keys = np.sort(np.fromiter(strides.keys(), dtype=np.int64, count=len(strides)))

@@ -56,6 +56,45 @@ def test_hot_block_cap():
     assert ((pairs["left_id"] == 5) & (pairs["right_id"] == 9)).any()
 
 
+def test_census_plans_pinned_equal():
+    """Dual-plan discipline: the distributed sorted-groups census and the
+    driver pandas census must produce identical stride maps AND identical
+    candidate pair sets (the 100-TB plan is the same computation)."""
+    rng = np.random.default_rng(7)
+    n = 5000
+    # power-law-ish key skew: a few hot keys + a long tail, multi-block input
+    keys = np.concatenate(
+        [
+            np.full(900, 11, dtype=np.int64),
+            np.full(300, 22, dtype=np.int64),
+            rng.integers(1000, 3000, size=n, dtype=np.int64),
+        ]
+    )
+    ids = rng.permutation(len(keys)).astype(np.int64) * 13 + 1
+    tbl = pa.table({"block_key": pa.array(keys), "doc_id": pa.array(ids)})
+    ds = rd.from_arrow(tbl).repartition(8)
+
+    s_driver = hot_block_strides(ds, 100, census="driver")
+    s_dist = hot_block_strides(ds, 100, census="distributed")
+    assert s_driver == s_dist and 11 in s_driver and 22 in s_driver
+
+    cfg = BlockingConfig(max_block_size=100)
+    p_driver = candidate_pairs(ds, cfg, num_partitions=2, census="driver").to_pandas()
+    p_dist = candidate_pairs(ds, cfg, num_partitions=2, census="distributed").to_pandas()
+    a = {(int(l), int(r)) for l, r in zip(p_driver["left_id"], p_driver["right_id"])}
+    b = {(int(l), int(r)) for l, r in zip(p_dist["left_id"], p_dist["right_id"])}
+    assert a == b and len(a) > 0
+
+
+def test_census_empty_input_both_plans():
+    empty = pa.table(
+        {"block_key": pa.array([], type=pa.int64()), "doc_id": pa.array([], type=pa.int64())}
+    )
+    ds = rd.from_arrow(empty)
+    assert hot_block_strides(ds, 10, census="driver") == {}
+    assert hot_block_strides(ds, 10, census="distributed") == {}
+
+
 def test_empty_text_docs_emit_no_band_keys():
     docs = rd.from_items(
         [

@@ -193,3 +193,90 @@ def test_pmi_no_bigram_reaches_min_support(ray_session, tmp_path):
     for thresh in (2_000_000, 0):
         out = t_pmi_bigrams(str(tmp_path), driver_merge_threshold=thresh)
         assert len(out) == 0, thresh
+
+
+def test_gram_partials_trailing_empty_docs():
+    """A batch whose LAST doc(s) tokenize to zero tokens must not IndexError
+    in the bigram boundary mask (ends == len(grams) for trailing empties)."""
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import _gram_count_partials
+
+    t = pa.table({"text": pa.array(["one two three", "four five", "", None], type=pa.string())})
+    out = _gram_count_partials(t)
+    bi = out.to_pandas()
+    grams = set(bi[bi["is_bigram"]]["key"])
+    # no cross-doc bigram ("three four"), real adjacents present
+    assert "three four" not in grams
+    assert {"one two", "two three", "four five"} <= grams
+    # empty doc in the middle likewise masks the crossing pair
+    t2 = pa.table({"text": pa.array(["a b", None, "c d", ""], type=pa.string())})
+    g2 = _gram_count_partials(t2).to_pandas()
+    g2 = set(g2[g2["is_bigram"]]["key"])
+    assert g2 == {"a b", "c d"}
+
+
+def test_source_token_partials_null_source():
+    """Null source must group under '' (matching the oracle's coalesce), not
+    get silently attributed to another source via factorize's -1 code."""
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import _source_token_partials
+
+    t = pa.table(
+        {
+            "source": pa.array(["web", None, "web"], type=pa.string()),
+            "text": pa.array(["alpha beta", "gamma", "alpha"], type=pa.string()),
+        }
+    )
+    df = _source_token_partials(t).to_pandas()
+    by = {(r.source, r.token): r.n for r in df.itertuples()}
+    assert by[("", "gamma")] == 1
+    assert by[("web", "alpha")] == 2
+    assert ("web", "gamma") not in by
+
+
+def test_retention_pack_bounds_raise(ray_session, tmp_path):
+    """Out-of-range day offsets (pre-1970 ts) must raise, not silently corrupt
+    the packed dedup key (same discipline as graph._pack_edges)."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1], type=pa.int64()),
+                "ts": pa.array([np.datetime64("1965-01-01", "us")], type=pa.timestamp("us")),
+                "user_id": pa.array([7], type=pa.int64()),
+                "event_type": pa.array(["view"], type=pa.string()),
+                "value": pa.array([1.0], type=pa.float64()),
+                "props": pa.array(["{}"], type=pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    from entity_resolution_pipeline_ray.pipelines.relational import q_retention
+
+    with pytest.raises(Exception, match="packing bound"):
+        q_retention(str(tmp_path)).to_pandas()
+
+
+def test_value_histogram_ignores_null_values(ray_session, tmp_path):
+    """Null values get NO bucket (oracle: WHERE value IS NOT NULL) instead of
+    an arbitrary one from floor(NaN)."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "ts": pa.array([np.datetime64("2024-01-01", "us")] * 4, type=pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 2, 2], type=pa.int64()),
+                "event_type": pa.array(["view"] * 4, type=pa.string()),
+                "value": pa.array([0.0, None, 10.0, None], type=pa.float64()),
+                "props": pa.array(["{}"] * 4, type=pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    from entity_resolution_pipeline_ray.pipelines.relational import q_value_histogram
+
+    out = q_value_histogram(str(tmp_path)).to_pandas()
+    total = int(out["n"].sum())
+    assert total == 2  # the two non-null values only
