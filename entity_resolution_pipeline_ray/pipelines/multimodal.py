@@ -30,18 +30,59 @@ MEDIA_SCHEMA = pa.schema(
 
 
 class RealMediaDecoder:
-    """The production decode stage — requires PIL/ffmpeg, absent here.
+    """The production image-decode stage, feature-gated on Pillow.
 
-    STUB: raises NotImplementedError.  At scale this is an actor pool
-    (``map_batches(RealMediaDecoder, concurrency=(1, N), batch_size=small)``)
-    because decoders hold codec state and batches of wide binary rows must be
-    small (batch bytes, not batch rows, bound worker memory).
+    With Pillow installed, decodes each payload, grayscales and mean-pools it
+    to a 4×4 grid — a 16-dim feature matching FakeMediaDecoder's output
+    layout (media_id, n_bytes, content_id, feature[16]).  Without Pillow
+    (this container) construction raises NotImplementedError and the
+    deterministic FakeMediaDecoder stands in for tests.  At scale this runs
+    as an actor pool (``NEEDS_WARM_STATE``) because decoders hold codec state
+    and batches of wide binary rows must be small (batch BYTES, not rows,
+    bound worker memory).
     """
 
+    NEEDS_WARM_STATE = True
+
     def __init__(self):
-        raise NotImplementedError(
-            "media decode libraries (PIL/ffmpeg) are not available in this environment; "
-            "use FakeMediaDecoder for plumbing tests"
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as ex:
+            raise NotImplementedError(
+                "media decode libraries (Pillow/ffmpeg) are not available in this "
+                "environment; use FakeMediaDecoder for plumbing tests"
+            ) from ex
+        from PIL import Image
+
+        self._Image = Image  # codec state warmed once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        sizes = np.zeros(n, dtype=np.int64)
+        content_ids = []
+        feats = np.zeros((n, 16), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            b = p or b""
+            sizes[i] = len(b)
+            content_ids.append(hashlib.blake2b(b, digest_size=8).hexdigest())
+            if b:
+                try:
+                    img = self._Image.open(io.BytesIO(b)).convert("L").resize((4, 4))
+                    feats[i] = np.asarray(img, dtype=np.float32).ravel() / 255.0
+                except Exception:
+                    pass  # undecodable payload → zero feature, real n_bytes/id
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_bytes": pa.array(sizes, type=pa.int64()),
+                "content_id": pa.array(content_ids, type=pa.string()),
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.ravel(), type=pa.float32()), 16
+                ),
+            }
         )
 
 
@@ -79,20 +120,50 @@ class FakeMediaDecoder:
         )
 
 
-def decode_media(media_ds, *, concurrency: int = 4, batch_size: int = 64, decoder_cls=FakeMediaDecoder):
-    """Actor-pool decode stage over a binary media column.  Small batch_size on
-    purpose: rows are wide (whole files); a batch × pool must fit worker heaps."""
-    from ..rayops import actor_num_cpus
+# per-worker-process decoder instances for the task-based (stateless) plan:
+# construction happens once per worker process, not once per batch
+_DECODER_CACHE: dict = {}
 
-    return media_ds.map_batches(
-        decoder_cls, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, concurrency),
-        num_cpus=actor_num_cpus(),
-        # decode is stateless-per-batch: on actor loss, Ray Data reschedules the
-        # batch on a fresh pool actor; Ray's own actor restart would fail anyway
-        # once the fused ctor args leave the object store (ray#53727) and logs
-        # an error-level line about it on every run
-        max_restarts=0,
-    )
+
+def decode_media(
+    media_ds, *, concurrency: int = 4, batch_size: int = 64, decoder_cls=FakeMediaDecoder, warm_state=None
+):
+    """Decode stage over a binary media column.  Small batch_size on purpose:
+    rows are wide (whole files); a batch × pool must fit worker heaps.
+
+    Two plans on the decoder's state profile (``warm_state``, default from the
+    class's ``NEEDS_WARM_STATE``):
+
+    - warm-state decoders (real codecs) run as an actor POOL — setup in
+      ``__init__`` once per actor, work per batch;
+    - stateless decoders (the deterministic fakes, md5 demos) run as plain
+      TASKS with a per-worker-process cached instance: same once-per-process
+      construction, none of the pool's spin-up cost (measured ~2 s per query
+      invocation at bench scale vs 0.55 s as tasks — the round-2→3 drift of
+      m_media_features was exactly this overhead on a noisier host).
+    """
+    if warm_state is None:
+        warm_state = getattr(decoder_cls, "NEEDS_WARM_STATE", False)
+    if warm_state:
+        from ..rayops import actor_num_cpus
+
+        return media_ds.map_batches(
+            decoder_cls, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, concurrency),
+            num_cpus=actor_num_cpus(),
+            # decode is stateless-per-batch: on actor loss, Ray Data reschedules
+            # the batch on a fresh pool actor; Ray's own actor restart would fail
+            # anyway once the fused ctor args leave the object store (ray#53727)
+            # and logs an error-level line about it on every run
+            max_restarts=0,
+        )
+
+    def decode_batch(batch: pa.Table) -> pa.Table:
+        dec = _DECODER_CACHE.get(decoder_cls)
+        if dec is None:
+            dec = _DECODER_CACHE[decoder_cls] = decoder_cls()
+        return dec(batch)
+
+    return media_ds.map_batches(decode_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
 def m_media_features(sf_dir: str):
@@ -100,28 +171,19 @@ def m_media_features(sf_dir: str):
     bytes as an opaque payload, run the actor-pool decode stage, emit
     (media_id, n_bytes, md5 hex) — byte-level ops DuckDB can mirror."""
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def to_media(t: pa.Table) -> pa.Table:
-        payloads = [x.encode("utf-8") if x else b"" for x in t["text"].to_pylist()]
-        return pa.table(
-            {
-                "media_id": t["doc_id"],
-                "payload": pa.array(payloads, type=pa.binary()),
-                "mime": pa.array(["text/plain"] * len(t), type=pa.string()),
-            }
-        )
-
-    media = docs.map_batches(to_media, batch_format="pyarrow")
+    media = docs.map_batches(_to_media, batch_format="pyarrow")
 
     class Md5Decoder(FakeMediaDecoder):
         def __call__(self, batch: pa.Table) -> pa.Table:
             import hashlib as _h
 
+            import pyarrow.compute as pc
+
             payloads = batch["payload"].to_pylist()
             return pa.table(
                 {
                     "media_id": batch["media_id"],
-                    "n_bytes": pa.array([len(p or b"") for p in payloads], type=pa.int64()),
+                    "n_bytes": pc.cast(pc.coalesce(pc.binary_length(batch["payload"]), 0), pa.int64()),
                     "payload_md5": pa.array([_h.md5(p or b"").hexdigest() for p in payloads], type=pa.string()),
                 }
             )
@@ -136,11 +198,14 @@ FROM documents
 
 
 def _to_media(t: pa.Table) -> pa.Table:
-    payloads = [x.encode("utf-8") if x else b"" for x in t["text"].to_pylist()]
+    import pyarrow.compute as pc
+
+    # string → binary is a zero-copy Arrow cast; no per-row encode loop
+    payload = pc.cast(pc.fill_null(t["text"], ""), pa.binary())
     return pa.table(
         {
             "media_id": t["doc_id"],
-            "payload": pa.array(payloads, type=pa.binary()),
+            "payload": payload,
             "mime": pa.array(["text/plain"] * len(t), type=pa.string()),
         }
     )

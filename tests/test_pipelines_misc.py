@@ -137,8 +137,28 @@ def test_media_decode_stub():
         decode_media,
     )
 
-    with pytest.raises(NotImplementedError):
-        RealMediaDecoder()
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        # feature-gated real path: constructs and matches the fake's layout
+        dec = RealMediaDecoder()
+        out_real = dec(
+            pa.table(
+                {
+                    "media_id": pa.array([1], type=pa.int64()),
+                    "payload": pa.array([b"notanimage"], type=pa.binary()),
+                }
+            )
+        )
+        assert out_real.column_names == ["media_id", "n_bytes", "content_id", "feature"]
+    else:
+        with pytest.raises(NotImplementedError):
+            RealMediaDecoder()
+    assert RealMediaDecoder.NEEDS_WARM_STATE  # real codecs take the actor-pool plan
 
     media = rd.from_arrow(
         pa.table(
