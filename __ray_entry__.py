@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_boilerplate": C.d_boilerplate,
         "p_source_cap": SP.q_source_cap,
         "p_stratified_sample": SP.q_stratified_sample,
+        # --- round-4 additions (behind the rotation window, per the rule above) ---
+        "q_lead_lag": R.q_lead_lag,
+        "t_dupline_ratio": C.t_dupline_ratio,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -244,6 +247,8 @@ def oracle_sql() -> dict[str, str]:
         "d_boilerplate": C.D_BOILERPLATE_SQL,
         "p_source_cap": SP.Q_SOURCE_CAP_SQL,
         "p_stratified_sample": SP.Q_STRATIFIED_SAMPLE_SQL,
+        "q_lead_lag": R.Q_LEAD_LAG_SQL,
+        "t_dupline_ratio": C.T_DUPLINE_RATIO_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

@@ -202,6 +202,54 @@ FROM toks t LEFT JOIN a USING (doc_id)
 """
 
 
+def t_dupline_ratio(sf_dir: str):
+    """Per-doc duplicate-LINE ratio (the CCNet paragraph-level quality signal,
+    complementing t_repetition's token-level one): split text on newlines,
+    ratio = 1 - distinct/total.  Fully vectorized: one Arrow split kernel,
+    dictionary-encode the flat lines, per-doc distinct via a packed
+    (doc, code) unique + bincount — no Python per row.  Splitting '' yields
+    one empty line in BOTH engines, so n_lines >= 1 always."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(pc.fill_null(t["text"], ""), pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.list_flatten(lines)
+        counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_i = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = max(len(enc.dictionary), 1)
+        uniq = np.unique(doc_i * n_dict + codes)
+        n_distinct = np.bincount(uniq // n_dict, minlength=len(t)).astype(np.int64)
+        ratio = np.where(counts > 0, 1.0 - n_distinct * 1.0 / np.maximum(counts, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_lines": pa.array(counts, type=pa.int64()),
+                "n_distinct_lines": pa.array(n_distinct, type=pa.int64()),
+                "dup_line_ratio": pa.array(np.round(ratio, 6), type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+T_DUPLINE_RATIO_SQL = """
+WITH l AS (
+  SELECT doc_id, unnest(str_split(coalesce(text, ''), chr(10))) AS line
+  FROM documents),
+a AS (SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS n_distinct_lines
+      FROM l GROUP BY doc_id)
+SELECT doc_id, n_lines, n_distinct_lines,
+       round(1.0 - n_distinct_lines * 1.0 / n_lines, 6) AS dup_line_ratio
+FROM a
+"""
+
+
 # ------------------------------------------------------------ decontamination
 # Benchmark n-gram decontamination: flag corpus docs sharing any token 5-gram
 # with the "benchmark" split (docs with doc_id % 20 == 0 stand in for an eval

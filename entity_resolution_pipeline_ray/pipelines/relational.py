@@ -686,6 +686,37 @@ FROM g GROUP BY user_id
 """
 
 
+def q_lead_lag(sf_dir: str):
+    """LAG/LEAD window shape: per event, the previous and next value of the
+    same user ordered by (ts, event_id) — the navigation-function pair of the
+    per-user family (same range-sort plan as q_running_total).  Run edges get
+    the sentinel -1.0 (COALESCE'd identically in the oracle: a NaN-vs-NULL
+    hash mismatch is impossible by construction).  Output
+    (event_id, user_id, prev_value, next_value)."""
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").copy()
+        g["prev_value"] = g["value"].shift(1).fillna(-1.0).round(6)
+        g["next_value"] = g["value"].shift(-1).fillna(-1.0).round(6)
+        return g[["event_id", "user_id", "prev_value", "next_value"]]
+
+    empty = pa.table(
+        {"event_id": pa.array([], type=pa.int64()), "user_id": pa.array([], type=pa.int64()),
+         "prev_value": pa.array([], type=pa.float64()), "next_value": pa.array([], type=pa.float64())}
+    )
+    return _per_key_pandas(ev, "user_id", per_user, empty)
+
+
+Q_LEAD_LAG_SQL = """
+SELECT event_id, user_id,
+       round(coalesce(lag(value)  OVER w, -1.0), 6) AS prev_value,
+       round(coalesce(lead(value) OVER w, -1.0), 6) AS next_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_running_total(sf_dir: str):
     """Windowed running aggregate per key (ray_guide per-group cumulative
     pattern): cumulative value per user ordered by ts — per-event output.

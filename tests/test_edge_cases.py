@@ -280,3 +280,27 @@ def test_value_histogram_ignores_null_values(ray_session, tmp_path):
     out = q_value_histogram(str(tmp_path)).to_pandas()
     total = int(out["n"].sum())
     assert total == 2  # the two non-null values only
+
+
+def test_dupline_ratio_counts(ray_session, tmp_path):
+    """Duplicate-line ratio: repeated lines counted once in distinct; empty
+    text yields one empty line (matching DuckDB str_split semantics)."""
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["a\nb\na\na", "x", ""], type=pa.string()),
+            "lang": pa.array(["en"] * 3, type=pa.string()),
+            "source": pa.array(["s"] * 3, type=pa.string()),
+            "n_chars": pa.array([7, 1, 0], type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.curation import t_dupline_ratio
+
+    out = t_dupline_ratio(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_lines"] == 4 and out.loc[1, "n_distinct_lines"] == 2
+    assert abs(out.loc[1, "dup_line_ratio"] - 0.5) < 1e-9
+    assert out.loc[2, "n_lines"] == 1 and out.loc[2, "dup_line_ratio"] == 0.0
+    assert out.loc[3, "n_lines"] == 1  # '' splits to one empty line
