@@ -186,29 +186,31 @@ def candidate_pairs(
     Shuffle keys: block_key, then (left_id, right_id).
     """
     strides = hot_block_strides(blocks_ds, blocking_cfg.max_block_size, census=census)
-    # broadcast sorted parallel arrays → the trim is a vectorized searchsorted
-    # gather + modulus on the hot subset (no Python per row even when skewed)
-    hot_keys = np.sort(np.fromiter(strides.keys(), dtype=np.int64, count=len(strides)))
-    hot_strides = np.fromiter(
-        (strides[int(k)] for k in hot_keys), dtype=np.int64, count=len(strides)
-    )
-    strides_ref = ray.put((hot_keys, hot_strides))
+    if strides:
+        # broadcast sorted parallel arrays → the trim is a vectorized
+        # searchsorted gather + modulus on the hot subset (no Python per row
+        # even when skewed)
+        hot_keys = np.sort(np.fromiter(strides.keys(), dtype=np.int64, count=len(strides)))
+        hot_strides = np.fromiter(
+            (strides[int(k)] for k in hot_keys), dtype=np.int64, count=len(strides)
+        )
+        strides_ref = ray.put((hot_keys, hot_strides))
 
-    def trim(batch: pa.Table) -> pa.Table:
-        hk, hs = ray.get(strides_ref)
-        if len(hk) == 0:
-            return batch
-        keys = batch["block_key"].to_numpy(zero_copy_only=False)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(hk, keys), 0, len(hk) - 1)
-        is_hot = hk[pos] == keys
-        if not is_hot.any():
-            return batch
-        stride = np.where(is_hot, hs[pos], 1)
-        keep = (ids % stride) == 0
-        return batch.filter(pa.array(keep | ~is_hot))
+        def trim(batch: pa.Table) -> pa.Table:
+            hk, hs = ray.get(strides_ref)
+            keys = batch["block_key"].to_numpy(zero_copy_only=False)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(hk, keys), 0, len(hk) - 1)
+            is_hot = hk[pos] == keys
+            if not is_hot.any():
+                return batch
+            stride = np.where(is_hot, hs[pos], 1)
+            keep = (ids % stride) == 0
+            return batch.filter(pa.array(keep | ~is_hot))
 
-    trimmed = blocks_ds.map_batches(trim, batch_format="pyarrow", batch_size=8192)
+        trimmed = blocks_ds.map_batches(trim, batch_format="pyarrow", batch_size=8192)
+    else:
+        trimmed = blocks_ds  # no over-cap blocks: skip the trim stage outright
     raw_pairs = sorted_group_pairs(trimmed, pair_fn=pair_fn)
     return distinct_pairs(raw_pairs)
 
