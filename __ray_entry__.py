@@ -141,6 +141,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 additions (behind the rotation window, per the rule above) ---
         "q_lead_lag": R.q_lead_lag,
         "t_dupline_ratio": C.t_dupline_ratio,
+        "d_apply_fuzzy_keep_best": D.dedup_apply_fuzzy_keep_best,
+        "p_source_token_cap": SP.p_source_token_cap,
+        "q_hopping_window": R.q_hopping_window,
+        "q_rollup": R.q_rollup,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -249,6 +253,10 @@ def oracle_sql() -> dict[str, str]:
         "p_stratified_sample": SP.Q_STRATIFIED_SAMPLE_SQL,
         "q_lead_lag": R.Q_LEAD_LAG_SQL,
         "t_dupline_ratio": C.T_DUPLINE_RATIO_SQL,
+        "d_apply_fuzzy_keep_best": D.D_APPLY_FUZZY_KEEP_BEST_SQL,
+        "p_source_token_cap": SP.P_SOURCE_TOKEN_CAP_SQL,
+        "q_hopping_window": R.Q_HOPPING_WINDOW_SQL,
+        "q_rollup": R.Q_ROLLUP_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

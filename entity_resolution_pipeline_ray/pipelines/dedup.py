@@ -973,3 +973,77 @@ FROM dg a JOIN dg b ON a.k = b.k AND a.doc_id < b.doc_id
 
 
 D_SUBSTRING_SQL = d_substring_sql(SUBSTR_WIN)
+
+
+def dedup_apply_fuzzy_keep_best(sf_dir: str, threshold: float = 0.6):
+    """Fuzzy dedup apply with the KEEP-BEST policy webtext curation actually
+    wants: the representative of each near-dup cluster is its highest-quality
+    member (longest n_chars, doc_id tiebreak), not the min id — dropping a
+    long canonical page in favour of a truncated mirror is a real quality
+    loss at corpus scale.  Plan: the d_apply_fuzzy component assignment, then
+    one corpus join to attach n_chars, one head_k_per_key range sort
+    (n_chars DESC, doc_id ASC, k=1) for the per-cluster winner, and one
+    cluster_id join to broadcast the winner back — every step distributed,
+    nothing corpus- or cluster-proportional on the driver."""
+    from ..config import ClusteringConfig
+    from ..rayops import head_k_per_key
+    from ..stages.clustering import propagate_labels
+
+    pairs = minhash_dup_pairs(sf_dir, threshold=threshold)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t["left_id"], "dst": t["right_id"]}), batch_format="pyarrow"
+    )
+    docs = _docs(sf_dir, columns=("doc_id", "n_chars")).materialize()
+    nparts = adaptive_partitions(docs.count())
+    clusters = propagate_labels(edges, docs.select_columns(["doc_id"]), ClusteringConfig())
+    withq = safe_join(clusters, docs, num_partitions=nparts, on=("doc_id",), right_on=("doc_id",))
+    winners = head_k_per_key(
+        withq, "cluster_id", ["n_chars", "doc_id"], 1, descending=[True, False]
+    ).map_batches(
+        lambda t: pa.table({"cluster_id": t["cluster_id"], "rep_doc_id": t["doc_id"]}),
+        batch_format="pyarrow",
+    )
+    out = safe_join(
+        clusters, winners, num_partitions=nparts, on=("cluster_id",), right_on=("cluster_id",)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rep_doc_id": t["rep_doc_id"],
+                "keep": pc.equal(t["doc_id"], t["rep_doc_id"]),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# Keep-best over the same recursive-CTE closure as D_APPLY_FUZZY_SQL: the
+# cluster of u is {u} ∪ reach(u); its rep maximizes (n_chars, -doc_id).
+D_APPLY_FUZZY_KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT left_id, right_id FROM ({D_MINHASH_SQL}) mh
+),
+edges AS (
+  SELECT left_id AS u, right_id AS v FROM pairs
+  UNION
+  SELECT right_id, left_id FROM pairs),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+members AS (
+  SELECT u, v FROM reach
+  UNION
+  SELECT DISTINCT u, u FROM edges),
+ranked AS (
+  SELECT m.u AS doc_id, m.v AS rep,
+         row_number() OVER (PARTITION BY m.u ORDER BY d.n_chars DESC, m.v ASC) AS rn
+  FROM members m JOIN documents d ON d.doc_id = m.v),
+rep AS (SELECT doc_id, rep FROM ranked WHERE rn = 1)
+SELECT d.doc_id,
+       coalesce(r.rep, d.doc_id) AS rep_doc_id,
+       coalesce(r.rep, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN rep r USING (doc_id)
+"""

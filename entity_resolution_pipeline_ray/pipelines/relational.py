@@ -1597,3 +1597,100 @@ coh AS (SELECT user_id, min(m) AS m0 FROM am GROUP BY user_id)
 SELECT coh.m0 AS cohort_m, CAST(am.m - coh.m0 AS BIGINT) AS k, count(*) AS n_users
 FROM am JOIN coh USING (user_id) GROUP BY coh.m0, k
 """
+
+
+def q_hopping_window(sf_dir: str):
+    """Hopping (sliding) window aggregate: 15-minute windows advancing every
+    5 minutes, so each event lands in exactly 3 windows.  The streaming-window
+    shape q_events_hourly's tumbling plan can't express: a vectorized ×3
+    explode inside map_batches (repeat/tile on the epoch-second array, Arrow
+    take for the key column) assigns the windows, then the same
+    low-cardinality (type, window) hash aggregate.  Output
+    (event_type, win_start epoch-sec, n_events, total_value)."""
+    ev = _pq(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        sec = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        base = (sec // 300) * 300
+        n = len(sec)
+        win = np.repeat(base, 3) - np.tile(np.array([0, 300, 600], dtype=np.int64), n)
+        idx = np.repeat(np.arange(n, dtype=np.int64), 3)
+        # exact integer micro-units (q1's fixed-point discipline): a float sum
+        # is accumulation-order-dependent, an int64 sum is not; per-element
+        # rounding is half-away-from-zero to match DuckDB round()
+        v = t["value"].to_numpy(zero_copy_only=False) * 1e6
+        vi = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pc.take(t["event_type"], pa.array(idx)),
+                "win_start": pa.array(win, type=pa.int64()),
+                "value_u": pa.array(np.repeat(vi, 3), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "win_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_u", alias_name="total_u"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        total = t["total_u"].to_numpy(zero_copy_only=False).astype(np.float64) / 1e6
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "win_start": t["win_start"],
+                "n_events": t["n_events"],
+                "total_value": pa.array(total, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+Q_HOPPING_WINDOW_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS value_u,
+         (CAST(epoch_us(ts) AS BIGINT) // 1000000 // 300) * 300 - 300 * j.j AS win_start
+  FROM events, (SELECT unnest([0, 1, 2]) AS j) j)
+SELECT event_type, win_start, count(*) AS n_events,
+       CAST(sum(value_u) AS BIGINT) / 1000000.0 AS total_value
+FROM x GROUP BY 1, 2
+"""
+
+
+def q_rollup(sf_dir: str):
+    """GROUPING SETS / ROLLUP over (source, lang): doc count + char sum at
+    leaf, per-source, and grand-total levels, with '<all>' markers.  Plan:
+    ONE distributed leaf aggregate (the key space is #sources × #langs —
+    tiny), then the parent levels derive from the leaf on the driver; the
+    corpus is scanned exactly once and no second shuffle happens."""
+    docs = _pq(sf_dir, "documents", ["source", "lang", "n_chars"])
+    leaf = (
+        docs.groupby(["source", "lang"])
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    by_src = leaf.groupby("source", as_index=False)[["n_docs", "sum_chars"]].sum()
+    by_src["lang"] = "<all>"
+    total = pd.DataFrame(
+        {
+            "source": ["<all>"],
+            "lang": ["<all>"],
+            "n_docs": [leaf["n_docs"].sum()],
+            "sum_chars": [leaf["sum_chars"].sum()],
+        }
+    )
+    out = pd.concat([leaf, by_src, total], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out[["source", "lang", "n_docs", "sum_chars"]]
+
+
+Q_ROLLUP_SQL = """
+SELECT CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE source END AS source,
+       CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+"""

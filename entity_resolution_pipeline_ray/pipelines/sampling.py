@@ -380,3 +380,40 @@ SELECT d.doc_id, d.source,
        (md5_number_upper(CAST(d.doc_id AS VARCHAR)) % {TEMP_MIX_SCALE}) < t.thr AS keep
 FROM documents d JOIN thr t USING (source)
 """
+
+
+# --------------------------------------------------------- per-source budget
+# Token-budget mixing: keep docs (in deterministic doc_id order) while the
+# source's cumulative size stays under a fixed budget — the "N tokens from
+# this source" knob of training-mix recipes (n_chars is the container's
+# deterministic token proxy).  One range sort via the segmented prefix-sum
+# primitive; a doc is kept iff the chars BEFORE it are under budget, so the
+# doc that crosses the line is included (truncation semantics).
+
+SOURCE_CHAR_BUDGET = 150_000
+
+
+def p_source_token_cap(sf_dir: str):
+    """Docs kept by the per-source char budget, via
+    rayops.keyed_exclusive_prefix_sum (one (source, doc_id) range sort,
+    O(#blocks) driver scalars)."""
+    from ..rayops import keyed_exclusive_prefix_sum
+
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    pre = keyed_exclusive_prefix_sum(ds, "source", "doc_id", "n_chars", "chars_before")
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pa.compute.less(t["chars_before"], SOURCE_CHAR_BUDGET)
+        return t.filter(keep).select(["doc_id", "source", "chars_before"])
+
+    return pre.map_batches(f, batch_format="pyarrow")
+
+
+P_SOURCE_TOKEN_CAP_SQL = f"""
+SELECT doc_id, source, chars_before FROM (
+  SELECT doc_id, source,
+         coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chars_before
+  FROM documents)
+WHERE chars_before < {SOURCE_CHAR_BUDGET}
+"""

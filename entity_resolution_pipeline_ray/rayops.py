@@ -648,3 +648,77 @@ def exclusive_prefix_sum(ds, order_col, val_col: str, out_col: str):
     return rd.from_arrow_refs(
         [_block_excl_prefix.remote(r, val_col, out_col, int(o)) for r, o in zip(refs, offsets)]
     )
+
+
+@ray.remote
+def _block_keyed_sums(t, key_col: str, val_col: str):
+    """(first_key, first_key_sum, last_key, last_key_sum) of a sorted block —
+    the only state the segmented scan needs, because after a (key, order)
+    range sort a key's rows are contiguous: interior keys never span blocks."""
+    if t.num_rows == 0:
+        return (None, 0, None, 0)
+    import numpy as np
+
+    k = t[key_col].to_numpy(zero_copy_only=False)
+    v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    first_mask = k == k[0]
+    last_mask = k == k[-1]
+    return (k[0], int(v[first_mask].sum()), k[-1], int(v[last_mask].sum()))
+
+
+@ray.remote
+def _block_keyed_excl_prefix(t, key_col: str, val_col: str, out_col: str, carry: int):
+    """Per-key exclusive cumsum within a sorted block + ``carry`` (the sum of
+    this block's FIRST key in earlier blocks) added to its first-key rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    if t.num_rows == 0:
+        return t.append_column(out_col, pa.array([], type=pa.int64()))
+    k = t[key_col].to_numpy(zero_copy_only=False)
+    v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.zeros(len(k), dtype=bool)
+    starts[0] = True
+    starts[1:] = k[1:] != k[:-1]
+    cum = np.cumsum(v) - v  # exclusive running total, unsegmented
+    run_start = np.flatnonzero(starts)
+    run_id = np.cumsum(starts) - 1
+    seg = cum - cum[run_start[run_id]]  # subtract each run's base → segmented
+    seg[run_id == 0] += carry
+    return t.append_column(out_col, pa.array(seg, type=pa.int64()))
+
+
+def keyed_exclusive_prefix_sum(ds, key_col: str, order_col, val_col: str, out_col: str):
+    """Segmented running total — ``sum(val) OVER (PARTITION BY key ORDER BY
+    order ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`` — as one range sort on
+    (key, order) plus the boundary-carry trick of head_k_per_key: each block
+    only needs the accumulated sum of its FIRST key from earlier blocks (all
+    its other keys start inside it), so driver state is O(#blocks) scalars at
+    any corpus size.  ``(key, order)`` must be unique for determinism."""
+    import pyarrow as pa
+
+    orders = [order_col] if isinstance(order_col, str) else list(order_col)
+    sorted_ds = ds.sort([key_col] + orders).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        schema = sorted_ds.schema()
+        cols = {f.name: pa.array([], type=f.type) for f in (schema.base_schema if schema else [])}
+        cols[out_col] = pa.array([], type=pa.int64())
+        return rd.from_arrow(pa.table(cols))
+    sums = ray.get([_block_keyed_sums.remote(r, key_col, val_col) for r in refs])
+    carries, carry_key, carry_n = [], None, 0
+    for first_key, first_sum, last_key, last_sum in sums:
+        off = carry_n if (first_key is not None and first_key == carry_key) else 0
+        carries.append(off)
+        if first_key is None:
+            continue  # empty block: keep carry flowing
+        if first_key == last_key:
+            carry_key, carry_n = last_key, off + last_sum
+        else:
+            carry_key, carry_n = last_key, last_sum
+    return rd.from_arrow_refs(
+        [
+            _block_keyed_excl_prefix.remote(r, key_col, val_col, out_col, int(c))
+            for r, c in zip(refs, carries)
+        ]
+    )

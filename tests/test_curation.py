@@ -646,3 +646,42 @@ def test_pmi_bigrams_are_true_collocations(ray_session):
     x, y = top["bigram"].split(" ", 1)
     ref = np.log(bi[top["bigram"]] / nb) - np.log(uni[x] / nu) - np.log(uni[y] / nu)
     assert abs(top["pmi"] - round(ref, 6)) < 1e-9
+
+
+def test_dedup_apply_fuzzy_keep_best_longest_wins(ray_session, tmp_path):
+    # same component {1, 2, 3} as the min-id test, but doc 3 is made longest:
+    # keep-best elects 3 as rep; min-id policy would elect 1
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(("CHANGED" if i == 30 else f"tok{i}") for i in range(60)) + "  trailing pad"
+    other = " ".join(f"zzz{i}" for i in range(60))
+    rows = {1: base, 2: base, 3: near, 10: other}
+    t = pa.table(
+        {"doc_id": list(rows), "text": list(rows.values()),
+         "lang": ["en"] * 4, "source": ["s"] * 4, "n_chars": [len(v) for v in rows.values()]}
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.dedup import dedup_apply_fuzzy_keep_best
+
+    got = dedup_apply_fuzzy_keep_best(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[[1, 2, 3], "rep_doc_id"].tolist() == [3, 3, 3]
+    assert got.loc[10, "rep_doc_id"] == 10  # singleton is its own rep
+    assert got["keep"].tolist() == [False, False, True, True]
+
+
+def test_dedup_apply_fuzzy_keep_best_tie_breaks_min_id(ray_session, tmp_path):
+    # docs 1 == 2 verbatim (equal n_chars): the tie breaks to the lower doc_id
+    base = " ".join(f"tok{i}" for i in range(60))
+    t = pa.table(
+        {"doc_id": [1, 2], "text": [base, base],
+         "lang": ["en"] * 2, "source": ["s"] * 2, "n_chars": [len(base)] * 2}
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.dedup import dedup_apply_fuzzy_keep_best
+
+    got = dedup_apply_fuzzy_keep_best(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    assert got["rep_doc_id"].tolist() == [1, 1]
+    assert got["keep"].tolist() == [True, False]

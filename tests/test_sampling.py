@@ -239,3 +239,49 @@ def test_kth_by_sort_matches_numpy(ray_session, num_blocks):
     assert got == [s[k] for k in ks]
     with pytest.raises(IndexError):
         kth_by_sort(ds, "v", [501])
+
+
+# ------------------------------------------- segmented (keyed) prefix sum
+
+
+@pytest.mark.parametrize("num_blocks", [1, 3, 16])
+def test_keyed_exclusive_prefix_sum_matches_pandas(ray_session, num_blocks):
+    from entity_resolution_pipeline_ray.rayops import keyed_exclusive_prefix_sum
+
+    rng = np.random.default_rng(7)
+    n = 500
+    keys = rng.integers(0, 4, size=n).astype(np.int64)  # few keys → span blocks
+    ids = rng.permutation(n).astype(np.int64)
+    vals = rng.integers(0, 50, size=n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": keys, "i": ids, "v": vals})).repartition(num_blocks)
+    got = (
+        keyed_exclusive_prefix_sum(ds, "k", "i", "v", "prev")
+        .to_pandas()
+        .sort_values(["k", "i"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame({"k": keys, "i": ids, "v": vals})
+        .sort_values(["k", "i"])
+        .reset_index(drop=True)
+    )
+    exp["prev"] = exp.groupby("k")["v"].cumsum() - exp["v"]
+    assert np.array_equal(got["prev"].to_numpy(), exp["prev"].to_numpy())
+    assert np.array_equal(got["v"].to_numpy(), exp["v"].to_numpy())
+
+
+def test_keyed_exclusive_prefix_sum_empty(ray_session):
+    from entity_resolution_pipeline_ray.rayops import keyed_exclusive_prefix_sum
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([], type=pa.int64()),
+                "i": pa.array([], type=pa.int64()),
+                "v": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    out = keyed_exclusive_prefix_sum(ds, "k", "i", "v", "prev")
+    assert out.count() == 0
+    assert "prev" in out.schema().names
