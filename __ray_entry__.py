@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_source_token_cap": SP.p_source_token_cap,
         "q_hopping_window": R.q_hopping_window,
         "q_rollup": R.q_rollup,
+        "s_range_search": S.range_search,
+        "g_common_neighbors": G.g_common_neighbors,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -257,6 +259,8 @@ def oracle_sql() -> dict[str, str]:
         "p_source_token_cap": SP.P_SOURCE_TOKEN_CAP_SQL,
         "q_hopping_window": R.Q_HOPPING_WINDOW_SQL,
         "q_rollup": R.Q_ROLLUP_SQL,
+        "s_range_search": S.S_RANGE_SEARCH_SQL,
+        "g_common_neighbors": G.G_COMMON_NEIGHBORS_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

@@ -394,3 +394,76 @@ rep AS (SELECT u AS node, least(u, min(v)) AS comp FROM reach GROUP BY u)
 SELECT n.node, coalesce(rep.comp, n.node) AS component
 FROM nodes n LEFT JOIN rep ON rep.node = n.node
 """
+
+
+COMMON_NEIGHBORS_TOPK = 25
+
+
+def g_common_neighbors(sf_dir: str, k: int = COMMON_NEIGHBORS_TOPK):
+    """Top-k supplier pairs by shared customers — the common-neighbors /
+    co-citation primitive of link prediction, and the bipartite projection a
+    web pipeline runs on (page, host) or (doc, entity) edge lists.  Plan:
+    decode the distinct purchase edges back to (cust, supp), enumerate
+    within-customer supplier pairs with the blocking stage's sorted-group
+    kernel (one range shuffle; per-customer degree bounds the quadratic
+    locally), count per packed pair via groupby (Ray pre-aggregates partials
+    before the exchange), then per-block partial top-k + a tiny driver merge
+    — the knn_bruteforce reduce shape, never a global sort.  Output
+    (supp_a, supp_b, n_common), rank order (n desc, a, b)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.blocking import sorted_group_pairs
+
+    edges = purchase_edges(sf_dir)
+
+    def decode(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "block_key": pa.array(t["src"].to_numpy(zero_copy_only=False) >> 1, type=pa.int64()),
+                "doc_id": pa.array(t["dst"].to_numpy(zero_copy_only=False) >> 1, type=pa.int64()),
+            }
+        )
+
+    pairs = sorted_group_pairs(edges.map_batches(decode, batch_format="pyarrow"), unique=False)
+
+    def pack(t: pa.Table) -> pa.Table:
+        a = t["left_id"].to_numpy(zero_copy_only=False)
+        b = t["right_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"pair": pa.array(_pack_edges(a, b), type=pa.int64())})
+
+    counts = pairs.map_batches(pack, batch_format="pyarrow").groupby("pair").aggregate(
+        Count(alias_name="n_common")
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        n = t["n_common"].to_numpy(zero_copy_only=False)
+        p = t["pair"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, -n))[:k]
+        return pa.table(
+            {"pair": pa.array(p[order], type=pa.int64()), "n_common": pa.array(n[order], type=pa.int64())}
+        )
+
+    part = block_topk  # same (n desc, pair asc) order as the driver merge
+    merged = counts.map_batches(part, batch_format="pyarrow").to_pandas()
+    merged = merged.sort_values(["n_common", "pair"], ascending=[False, True]).head(k)
+    pr = merged["pair"].to_numpy()
+    return pa.table(
+        {
+            "supp_a": pa.array(pr >> EKEY_SHIFT, type=pa.int64()),
+            "supp_b": pa.array(pr & ((1 << EKEY_SHIFT) - 1), type=pa.int64()),
+            "n_common": pa.array(merged["n_common"].to_numpy(), type=pa.int64()),
+        }
+    )
+
+
+G_COMMON_NEIGHBORS_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+p AS (
+  SELECT a.s AS supp_a, b.s AS supp_b
+  FROM e a JOIN e b ON a.c = b.c AND a.s < b.s)
+SELECT supp_a, supp_b, count(*) AS n_common
+FROM p GROUP BY 1, 2
+ORDER BY n_common DESC, supp_a, supp_b LIMIT {COMMON_NEIGHBORS_TOPK}
+"""

@@ -928,3 +928,41 @@ WHERE rank <= {k}
 
 
 KNN_PQ_SQL = _knn_pq_sql()
+
+
+def range_search(sf_dir: str, threshold: float = 0.25, n_queries: int = 4):
+    """Range similarity search: ALL corpus vectors within cosine >= threshold
+    of each fixed query — the radius-query counterpart of knn_bruteforce
+    (retrieval recall sweeps, near-dup audits at a fixed similarity bar).
+    Fully streaming: broadcast query matrix, one batch matmul + threshold
+    mask per block, result flows out as a Dataset with NO driver merge at all
+    (unlike top-k there is no global rank to reconcile).  Self-matches are
+    excluded.  Output (query_id, vec_id)."""
+    qids, qmat = _fixed_queries(sf_dir, n_queries)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qref = ray.put((qids, qn))
+
+    def f(t: pa.Table) -> pa.Table:
+        ids_q, qm = ray.get(qref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = list_float_matrix(t["embedding"])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = qm @ m.T  # (n_q, batch)
+        qi, vi = np.nonzero(sims >= threshold)
+        keep = ids[vi] != ids_q[qi]
+        return pa.table(
+            {
+                "query_id": pa.array(ids_q[qi][keep], type=pa.int64()),
+                "vec_id": pa.array(ids[vi][keep], type=pa.int64()),
+            }
+        )
+
+    return _embeddings(sf_dir).map_batches(f, batch_format="pyarrow", batch_size=2048)
+
+
+S_RANGE_SEARCH_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 4)
+SELECT q.query_id, e.vec_id
+FROM q, embeddings e
+WHERE e.vec_id <> q.query_id AND list_cosine_similarity(q.qe, e.embedding) >= 0.25
+"""

@@ -240,7 +240,7 @@ _EMPTY_I64 = np.empty(0, dtype=np.int64)
 
 
 @ray.remote
-def _enum_group_pairs(t: pa.Table, drop_head: int, ext_take: list, pair_fn, *ext_tables):
+def _enum_group_pairs(t: pa.Table, drop_head: int, ext_take: list, pair_fn, unique, *ext_tables):
     """Enumerate within-group pairs for every group STARTING in this block.
 
     ``drop_head`` leading rows belong to a group begun in an earlier block (its
@@ -248,7 +248,9 @@ def _enum_group_pairs(t: pa.Table, drop_head: int, ext_take: list, pair_fn, *ext
     rows of this block's last group from subsequent blocks.  Input is sorted by
     (block_key, doc_id), so within a group doc_ids ascend — emitted pairs are
     already left < right.  The index computation is fully vectorized (no
-    Python per group); in-task np.unique is the cross-band dedup combiner.
+    Python per group); with ``unique`` the in-task np.unique is the cross-band
+    dedup combiner (blocking wants the pair SET; co-occurrence counting wants
+    the multiset and passes unique=False).
     """
     parts = [t.slice(drop_head)]
     parts += [e.slice(0, n) for e, n in zip(ext_tables, ext_take)]
@@ -268,12 +270,16 @@ def _enum_group_pairs(t: pa.Table, drop_head: int, ext_take: list, pair_fn, *ext
     cum = np.concatenate(([0], np.cumsum(cnt)[:-1]))
     seq = np.arange(total) - np.repeat(cum, cnt) + 1
     right_pos = left_pos + seq
+    if not unique:
+        l, r = ids[left_pos], ids[right_pos]
+        keep = l < r  # defensive: duplicate (key, doc) rows would self-pair
+        return _id_pairs_table(l[keep], r[keep], pair_fn)
     m = np.unique(np.column_stack([ids[left_pos], ids[right_pos]]), axis=0)
     m = m[m[:, 0] < m[:, 1]]  # defensive: duplicate (key, doc) rows would pair with themselves
     return _id_pairs_table(m[:, 0], m[:, 1], pair_fn)
 
 
-def sorted_group_pairs(blocks_ds, pair_fn=None):
+def sorted_group_pairs(blocks_ds, pair_fn=None, *, unique: bool = True):
     """All within-group (left < right) pairs of a (block_key, doc_id) table via
     range sort + per-block vectorized enumeration.  ``pair_fn(left, right) →
     pa.Table`` (optional) maps/filters the enumerated pairs inside each task —
@@ -312,7 +318,7 @@ def sorted_group_pairs(blocks_ds, pair_fn=None):
             if jh < jn:  # group ends inside block j
                 break
             j += 1  # block j is entirely this key — keep chaining
-        out.append(_enum_group_pairs.remote(r, drop_head, ext_take, pair_fn, *ext_tabs))
+        out.append(_enum_group_pairs.remote(r, drop_head, ext_take, pair_fn, unique, *ext_tabs))
     if not out:
         return blocks_ds.map_batches(
             lambda t: _id_pairs_table(_EMPTY_I64, _EMPTY_I64, pair_fn),

@@ -234,3 +234,25 @@ def test_map_sorted_groups_matches_pandas_groupby(ray_session):
     # Dataset's to_pandas() drops columns, a known Ray quirk)
     e = map_sorted_groups(rd.from_arrow(tbl.slice(0, 0)), "k", summarize, empty)
     assert e.schema().names == ["k", "s", "n"] and e.count() == 0
+
+
+def test_sorted_group_pairs_multiset_mode(ray_session):
+    """unique=False keeps one pair row per co-occurrence (the co-occurrence
+    counting contract); unique=True collapses to the pair set."""
+    import ray.data as rd
+
+    from entity_resolution_pipeline_ray.stages.blocking import sorted_group_pairs
+
+    # two groups both containing docs (1, 2): the pair (1,2) occurs twice
+    t = pa.table(
+        {"block_key": pa.array([10, 10, 20, 20, 20], type=pa.int64()),
+         "doc_id": pa.array([1, 2, 1, 2, 3], type=pa.int64())}
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    multi = sorted_group_pairs(ds, unique=False).to_pandas()
+    assert len(multi) == 1 + 3  # C(2,2 choose)=1 + C(3,2)=3
+    assert ((multi["left_id"] == 1) & (multi["right_id"] == 2)).sum() == 2
+    # unique=True is the IN-TASK combiner (global dedup is distinct_pairs'
+    # job downstream): the pair set is right, cross-task dups may remain
+    uniq = sorted_group_pairs(ds).to_pandas()
+    assert set(zip(uniq["left_id"], uniq["right_id"])) == {(1, 2), (1, 3), (2, 3)}
