@@ -147,6 +147,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup": R.q_rollup,
         "s_range_search": S.range_search,
         "g_common_neighbors": G.g_common_neighbors,
+        "m_phash_pairs": M.m_phash_pairs,
+        "d_cluster_size_hist": D.dedup_cluster_size_hist,
+        "p_split_assign": SP.p_split_assign,
+        "d_contamination_by_source": C.d_contamination_by_source,
+        "q_lang_mad": SP.q_lang_mad,
+        "s_lsh_recall": S.s_lsh_recall,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -261,6 +267,12 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup": R.Q_ROLLUP_SQL,
         "s_range_search": S.S_RANGE_SEARCH_SQL,
         "g_common_neighbors": G.G_COMMON_NEIGHBORS_SQL,
+        "m_phash_pairs": M.M_PHASH_PAIRS_SQL,
+        "d_cluster_size_hist": D.D_CLUSTER_SIZE_HIST_SQL,
+        "p_split_assign": SP.P_SPLIT_ASSIGN_SQL,
+        "d_contamination_by_source": C.D_CONTAMINATION_BY_SOURCE_SQL,
+        "q_lang_mad": SP.Q_LANG_MAD_SQL,
+        "s_lsh_recall": S.S_LSH_RECALL_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

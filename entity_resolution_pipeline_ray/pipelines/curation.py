@@ -1297,3 +1297,65 @@ JOIN r1 c1 ON c1.b = CAST((md5_number_upper(e.tok) >> 16) & {CMS_W - 1} AS BIGIN
 JOIN r2 c2 ON c2.b = CAST((md5_number_upper(e.tok) >> 32) & {CMS_W - 1} AS BIGINT)
 JOIN r3 c3 ON c3.b = CAST((md5_number_upper(e.tok) >> 48) & {CMS_W - 1} AS BIGINT)
 """
+
+
+def d_contamination_by_source(sf_dir: str):
+    """Per-source contamination report — the audit a curation run publishes
+    next to the decontamination pass: for each source, how many corpus docs
+    share an eval n-gram (count + rate in exact 1e-6 units, so no float-sum
+    ambiguity).  Composes d_decontaminate's flag stream with a slim source
+    lookup; the aggregate is a tiny per-source groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..rayops import adaptive_partitions, safe_join
+
+    flags = d_decontaminate(sf_dir)
+    src = _docs(sf_dir, ["doc_id", "source"])
+    joined = safe_join(
+        flags,
+        src,
+        num_partitions=adaptive_partitions(src.count()),
+        on=("doc_id",),
+        right_on=("doc_id",),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "flagged": pc.cast(t["contaminated"], pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(prep, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("flagged", alias_name="n_flagged"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy(zero_copy_only=False)
+        f = t["n_flagged"].to_numpy(zero_copy_only=False)
+        # exact micro-units: (f * 1e6) // n is integer arithmetic end to end
+        rate = (f * 1_000_000) // np.maximum(n, 1)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": t["n_docs"],
+                "n_flagged": pa.array(f, type=pa.int64()),
+                "rate_ppm": pa.array(rate, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+D_CONTAMINATION_BY_SOURCE_SQL = f"""
+WITH flags AS ({D_DECONTAMINATE_SQL})
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN f.contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN f.contaminated THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS rate_ppm
+FROM flags f JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""

@@ -1047,3 +1047,26 @@ SELECT d.doc_id,
        coalesce(r.rep, d.doc_id) = d.doc_id AS keep
 FROM documents d LEFT JOIN rep r USING (doc_id)
 """
+
+
+def dedup_cluster_size_hist(sf_dir: str, threshold: float = 0.6):
+    """Duplicate-cluster size histogram — the curation report that tells you
+    HOW duplicated the corpus is (how much a dedup pass will remove and
+    whether boilerplate mega-clusters exist).  Plan: the d_apply_fuzzy
+    component assignment, a per-cluster count (groupby with Ray's partial
+    pre-aggregation; cluster ids are row-cardinality but the count stream
+    shrinks to one row per cluster), then a tiny second groupby over sizes.
+    Output (cluster_size, n_clusters)."""
+    from ray.data.aggregate import Count
+
+    assign = dedup_apply_fuzzy(sf_dir, threshold=threshold)
+    sizes = assign.groupby("rep_doc_id").aggregate(Count(alias_name="cluster_size"))
+    hist = sizes.groupby("cluster_size").aggregate(Count(alias_name="n_clusters"))
+    return hist
+
+
+D_CLUSTER_SIZE_HIST_SQL = f"""
+WITH assign AS ({D_APPLY_FUZZY_SQL}),
+sizes AS (SELECT rep_doc_id, count(*) AS cluster_size FROM assign GROUP BY rep_doc_id)
+SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size
+"""

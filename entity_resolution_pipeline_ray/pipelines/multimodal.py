@@ -328,3 +328,147 @@ WITH f AS (
 SELECT media_id, n_bytes, payload_md5 FROM f
 WHERE media_id IN (SELECT min(media_id) FROM f GROUP BY payload_md5)
 """
+
+
+# -------------------------------------------------- perceptual-hash near-dup
+# Banded-Hamming near-dup over a 60-bit per-item media fingerprint.  With a
+# REAL decoder the fingerprint is a perceptual hash (pHash/aHash) and pairs
+# at small Hamming distance are visually-near-duplicate items; the container
+# has no codecs, so the deterministic stand-in fingerprints the payload
+# HEADER (first 32 bytes) — items sharing a header are "visually" identical,
+# the cheap analog of thumbnail-hash dedup — with md5_number_upper parity so
+# the whole pair set is SQL-oracled.  The BLOCKING IS EXACT: 4 disjoint 15-bit
+# bands over 60 bits means <= 3 flipped bits always leave one band intact
+# (pigeonhole), so band-collision candidates + fused Hamming verify lose
+# nothing vs the oracle's brute-force scan.
+
+PHASH_BITS_MASK = (1 << 60) - 1
+PHASH_MAX_HAMMING = 3
+PHASH_HEADER_BYTES = 32
+
+
+def m_phash_pairs(sf_dir: str, max_hamming: int = PHASH_MAX_HAMMING):
+    """(left_id, right_id, hamming) media pairs with fingerprint Hamming
+    distance <= max_hamming.  Plan: actor/task decode stage emits the 60-bit
+    fingerprint, 4 x 15-bit band keys block candidates (one range shuffle via
+    the blocking kernel), Hamming verification is FUSED into the enumeration
+    tasks (broadcast fingerprint map below the threshold, pair join above)."""
+    import ray as _ray
+
+    from ..config import BlockingConfig
+    from ..functions.hashing import hamming64
+    from ..pipelines.dedup import (
+        BROADCAST_THRESHOLD_ROWS,
+        _broadcast_payload,
+        _payload_gather,
+    )
+    from ..rayops import adaptive_partitions, attach_pair_sides
+    from ..stages.blocking import candidate_pairs
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = docs.map_batches(_to_media, batch_format="pyarrow")
+
+    class PhashDecoder(FakeMediaDecoder):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import hashlib as _h
+
+            payloads = batch["payload"].to_pylist()
+            ph = np.fromiter(
+                (
+                    int.from_bytes(
+                        _h.md5((p or b"")[:PHASH_HEADER_BYTES]).digest()[:8], "little"
+                    )
+                    & PHASH_BITS_MASK
+                    for p in payloads
+                ),
+                dtype=np.int64,
+                count=len(payloads),
+            )
+            return pa.table({"media_id": batch["media_id"], "phash": pa.array(ph, type=pa.int64())})
+
+    hashed = decode_media(media, decoder_cls=PhashDecoder, batch_size=256).materialize()
+    n = hashed.count()
+    nparts = adaptive_partitions(n)
+
+    def emit_keys(t: pa.Table) -> pa.Table:
+        h = t["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t["media_id"].to_numpy(zero_copy_only=False)
+        keys, kids = [], []
+        for band in range(4):
+            part = ((h >> np.uint64(15 * band)) & np.uint64(0x7FFF)).astype(np.int64) | (band << 16)
+            keys.append(part)
+            kids.append(ids)
+        return pa.table(
+            {
+                "block_key": pa.array(np.concatenate(keys), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(kids), type=pa.int64()),
+            }
+        )
+
+    blocks = hashed.map_batches(emit_keys, batch_format="pyarrow")
+
+    def emit(li, ri, hl, hr) -> pa.Table:
+        d = hamming64(np.asarray(hl, dtype=np.uint64), np.asarray(hr, dtype=np.uint64))
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "left_id": pa.array(np.asarray(li, dtype=np.int64)[keep], type=pa.int64()),
+                "right_id": pa.array(np.asarray(ri, dtype=np.int64)[keep], type=pa.int64()),
+                "hamming": pa.array(d[keep].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "left_id": pa.array([], type=pa.int64()),
+            "right_id": pa.array([], type=pa.int64()),
+            "hamming": pa.array([], type=pa.int64()),
+        }
+    )
+    if n <= BROADCAST_THRESHOLD_ROWS:
+        pref = _ray.put(_broadcast_payload(hashed, "media_id", ("phash",)))
+
+        def verify_pairs(li, ri) -> pa.Table:
+            pm = _ray.get(pref)
+            if len(li) == 0 or pm is None:
+                return empty
+            return emit(li, ri, _payload_gather(pm, li, "phash"), _payload_gather(pm, ri, "phash"))
+
+        out = candidate_pairs(
+            blocks, BlockingConfig(max_block_size=500), num_partitions=nparts, pair_fn=verify_pairs
+        )
+    else:
+        pairs = candidate_pairs(blocks, BlockingConfig(max_block_size=500), num_partitions=nparts)
+        enriched = attach_pair_sides(
+            pairs, hashed, id_col="media_id", cols=("phash",), num_partitions=nparts
+        )
+
+        def verify_j(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return empty
+            return emit(
+                t["left_id"].to_numpy(zero_copy_only=False),
+                t["right_id"].to_numpy(zero_copy_only=False),
+                t["l_phash"].to_numpy(zero_copy_only=False),
+                t["r_phash"].to_numpy(zero_copy_only=False),
+            )
+
+        out = enriched.map_batches(verify_j, batch_format="pyarrow")
+
+    # a zero-pair corpus yields a dataset with no blocks, whose to_pandas()
+    # has NO columns (Ray drops empty input blocks); the pair set is tiny by
+    # construction, so count + a plain Arrow empty keeps the schema stable
+    out = out.materialize()
+    return empty if out.count() == 0 else out
+
+
+M_PHASH_PAIRS_SQL = f"""
+WITH f AS (
+  SELECT doc_id AS media_id,
+         CAST(md5_number_upper(substr(coalesce(text, ''), 1, {PHASH_HEADER_BYTES})) & {PHASH_BITS_MASK} AS BIGINT) AS phash
+  FROM documents)
+SELECT a.media_id AS left_id, b.media_id AS right_id,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM f a JOIN f b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+"""

@@ -417,3 +417,94 @@ SELECT doc_id, source, chars_before FROM (
   FROM documents)
 WHERE chars_before < {SOURCE_CHAR_BUDGET}
 """
+
+
+# ----------------------------------------------------------- split assignment
+# Deterministic train/dev/test assignment by content-independent id hash —
+# the split must be a pure function of the doc id so it is stable across
+# runs, partitionings and corpus growth (a doc never migrates between
+# splits when new docs arrive).  Same md5 == md5_number_upper parity as
+# q_stratified_sample, so the exact assignment is SQL-oracled.
+
+SPLIT_TRAIN_PCT, SPLIT_DEV_PCT = 80, 10
+
+
+def p_split_assign(sf_dir: str):
+    """(doc_id, split) with train/dev/test at 80/10/10 by md5(doc_id) % 100."""
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        b = np.array([md5_u64(str(int(i))) % 100 for i in ids], dtype=np.int64)
+        split = np.where(
+            b < SPLIT_TRAIN_PCT, "train", np.where(b < SPLIT_TRAIN_PCT + SPLIT_DEV_PCT, "dev", "test")
+        )
+        return pa.table({"doc_id": t["doc_id"], "split": pa.array(split.astype(object), type=pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+P_SPLIT_ASSIGN_SQL = f"""
+SELECT doc_id,
+       CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < {SPLIT_TRAIN_PCT + SPLIT_DEV_PCT} THEN 'dev'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_lang_mad(sf_dir: str):
+    """Per-lang median absolute deviation of n_chars — the robust spread
+    statistic quality dashboards want next to quantiles (outlier docs don't
+    drag it like a stddev).  Same bounded-domain histogram plan as
+    q_lang_quantiles: ONE distributed (lang, n_chars) count table, then the
+    median AND the deviation median both derive from that tiny histogram on
+    the driver (|deviations| of a histogram is itself a histogram — no second
+    corpus pass, DuckDB needs two).  quantile_disc semantics throughout."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["lang", "n_chars"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+
+    def qdisc(vals: np.ndarray, cnts: np.ndarray, q: float) -> int:
+        n = int(cnts.sum())
+        idx = max(int(np.ceil(n * q)) - 1, 0)
+        return int(vals[np.searchsorted(np.cumsum(cnts), idx + 1)])
+
+    rows = []
+    for lang, g in counts.sort_values(["lang", "n_chars"]).groupby("lang", sort=True):
+        vals = g["n_chars"].to_numpy(dtype=np.int64)
+        cnts = g["c"].to_numpy(dtype=np.int64)
+        med = qdisc(vals, cnts, 0.5)
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        # merge equal deviations (two values can map to the same |v - med|)
+        dvals, dcnts = [], []
+        for d, c in zip(dev[order], cnts[order]):
+            if dvals and dvals[-1] == d:
+                dcnts[-1] += c
+            else:
+                dvals.append(int(d))
+                dcnts.append(int(c))
+        mad = qdisc(np.array(dvals, dtype=np.int64), np.array(dcnts, dtype=np.int64), 0.5)
+        rows.append({"lang": lang, "median_chars": med, "mad_chars": mad})
+    return pd.DataFrame(rows)
+
+
+Q_LANG_MAD_SQL = """
+WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med FROM documents GROUP BY lang)
+SELECT d.lang, m.med AS median_chars,
+       quantile_disc(abs(d.n_chars - m.med), 0.5) AS mad_chars
+FROM documents d JOIN m USING (lang)
+GROUP BY d.lang, m.med
+"""

@@ -966,3 +966,34 @@ SELECT q.query_id, e.vec_id
 FROM q, embeddings e
 WHERE e.vec_id <> q.query_id AND list_cosine_similarity(q.qe, e.embedding) >= 0.25
 """
+
+
+def s_lsh_recall(sf_dir: str, k: int = 10, n_queries: int = 4):
+    """Recall@k audit of the LSH index against the exact scan — the quality
+    gate every ANN deployment publishes next to its latency numbers (and the
+    reference's evaluation-report analog for retrieval: compare an
+    approximate plan to ground truth, per query).  Both sides are the
+    repo's own deterministic pipelines (knn_lsh / knn_bruteforce), so the
+    audit itself is exactly SQL-oracled.  The comparison is driver-side on
+    purpose: both inputs are top-k sets (n_queries x k rows) regardless of
+    corpus size.  Output (query_id, n_hits, recall_bp) with recall in exact
+    basis points (n_hits * 10000 // k — integer, no float-sum ambiguity)."""
+    bf = knn_bruteforce(sf_dir, k=k, n_queries=n_queries).to_pandas()
+    ap = knn_lsh(sf_dir, k=k, n_queries=n_queries).to_pandas()
+    hit = bf.merge(ap[["query_id", "vec_id"]], on=["query_id", "vec_id"], how="inner")
+    n_hits = hit.groupby("query_id").size()
+    out = bf[["query_id"]].drop_duplicates().sort_values("query_id").reset_index(drop=True)
+    out["n_hits"] = out["query_id"].map(n_hits).fillna(0).astype(np.int64)
+    out["recall_bp"] = out["n_hits"] * 10_000 // k
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+S_LSH_RECALL_SQL = f"""
+WITH bf AS ({KNN_BRUTEFORCE_SQL}),
+lsh AS ({KNN_LSH_SQL})
+SELECT bf.query_id,
+       CAST(count(lsh.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(lsh.vec_id) * 10000 // 10 AS BIGINT) AS recall_bp
+FROM bf LEFT JOIN lsh ON bf.query_id = lsh.query_id AND bf.vec_id = lsh.vec_id
+GROUP BY bf.query_id
+"""

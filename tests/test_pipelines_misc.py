@@ -411,3 +411,122 @@ def test_kmeans_assignment_consistent_with_centroid_geometry():
     ref = np.argmin(d2, axis=1)
     got = out.sort_values("vec_id")["cid"].to_numpy()
     assert (got == ref).all()
+
+
+def _write_doc_table(tmp_path, rows: dict, source=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    source = source or ["s"] * len(rows)
+    t = pa.table(
+        {"doc_id": list(rows), "text": list(rows.values()), "lang": ["en"] * len(rows),
+         "source": source, "n_chars": [len(v) for v in rows.values()]}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+
+def test_phash_pairs_header_dups_at_distance_zero(ray_session, tmp_path):
+    """The stand-in fingerprint hashes the 32-byte payload header: exact dups
+    AND docs sharing a header pair at Hamming 0; everything else is
+    > PHASH_MAX_HAMMING apart (md5 bits are ~30/60 for unrelated headers).
+    An empty pair set must still present the 3-column schema."""
+    shared_header = "X" * 32  # exactly PHASH_HEADER_BYTES
+    rows = {1: "alpha beta gamma", 2: "alpha beta gamma", 3: shared_header + " tail one",
+            4: "another unrelated document body", 5: "alpha beta gamma",
+            6: shared_header + " a different tail"}
+    _write_doc_table(tmp_path, rows)
+    from entity_resolution_pipeline_ray.pipelines.multimodal import m_phash_pairs
+
+    got = m_phash_pairs(str(tmp_path)).to_pandas().sort_values(["left_id", "right_id"])
+    assert list(map(tuple, got[["left_id", "right_id"]].to_numpy())) == [
+        (1, 2), (1, 5), (2, 5), (3, 6)]
+    assert (got["hamming"] == 0).all()
+
+    # schema-stable empty: all-distinct headers -> 0 rows, 3 columns
+    _write_doc_table(tmp_path, {1: "first unique document text", 2: "second unique body"})
+    empty = m_phash_pairs(str(tmp_path)).to_pandas()
+    assert len(empty) == 0
+    assert sorted(empty.columns) == ["hamming", "left_id", "right_id"]
+
+
+def test_cluster_size_hist_counts(ray_session, tmp_path):
+    # component {1,2,3} + singleton {10} -> one size-3 cluster, one size-1
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(("CHANGED" if i == 30 else f"tok{i}") for i in range(60))
+    other = " ".join(f"zzz{i}" for i in range(60))
+    _write_doc_table(tmp_path, {1: base, 2: base, 3: near, 10: other})
+    from entity_resolution_pipeline_ray.pipelines.dedup import dedup_cluster_size_hist
+
+    got = dedup_cluster_size_hist(str(tmp_path)).to_pandas().set_index("cluster_size")
+    assert got.loc[3, "n_clusters"] == 1
+    assert got.loc[1, "n_clusters"] == 1
+
+
+def test_split_assign_deterministic_and_total(ray_session, tmp_path):
+    from entity_resolution_pipeline_ray.functions.hashing import md5_u64
+    from entity_resolution_pipeline_ray.pipelines.sampling import p_split_assign
+
+    rows = {i: f"doc {i}" for i in range(200)}
+    _write_doc_table(tmp_path, rows)
+    got = p_split_assign(str(tmp_path)).to_pandas().set_index("doc_id")["split"]
+    assert len(got) == 200
+    for i in range(200):
+        b = md5_u64(str(i)) % 100
+        exp = "train" if b < 80 else ("dev" if b < 90 else "test")
+        assert got.loc[i] == exp
+    # the three splits are all non-empty at n=200
+    assert set(got.unique()) == {"train", "dev", "test"}
+
+
+def test_contamination_by_source_rates(ray_session, tmp_path):
+    """doc_id % 20 == 0 is the benchmark split; a corpus doc sharing a 5-gram
+    with it is flagged and counted under its source."""
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    clean = "completely unrelated words strung together for filler content here"
+    rows = {0: bench_text,                       # benchmark doc (excluded from corpus)
+            1: "prefix words " + bench_text,     # contaminated (shares 5-grams)
+            2: clean, 3: clean + " extra"}
+    _write_doc_table(tmp_path, rows, source=["s0", "s0", "s1", "s1"])
+    from entity_resolution_pipeline_ray.pipelines.curation import d_contamination_by_source
+
+    got = d_contamination_by_source(str(tmp_path)).to_pandas().set_index("source")
+    assert got.loc["s0", "n_docs"] == 1 and got.loc["s0", "n_flagged"] == 1
+    assert got.loc["s0", "rate_ppm"] == 1_000_000
+    assert got.loc["s1", "n_docs"] == 2 and got.loc["s1", "n_flagged"] == 0
+    assert got.loc["s1", "rate_ppm"] == 0
+
+
+def test_rollup_levels_consistent(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {"doc_id": [1, 2, 3, 4], "text": ["a", "bb", "ccc", "dddd"],
+         "lang": ["en", "de", "en", "en"], "source": ["s0", "s0", "s1", "s1"],
+         "n_chars": [1, 2, 3, 4]}
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_rollup
+
+    got = q_rollup(str(tmp_path)).set_index(["source", "lang"])
+    assert got.loc[("s0", "en"), "n_docs"] == 1
+    assert got.loc[("s0", "<all>"), "sum_chars"] == 3
+    assert got.loc[("s1", "<all>"), "n_docs"] == 2
+    assert got.loc[("<all>", "<all>"), "sum_chars"] == 10
+    assert got.loc[("<all>", "<all>"), "n_docs"] == 4
+
+
+def test_lsh_recall_audits_against_bruteforce(ray_session):
+    """recall_bp is exactly |lsh topk ∩ bf topk| / k per query, in [0, 10000]."""
+    sf = "/root/testdata/sf0.001"
+    from entity_resolution_pipeline_ray.pipelines.similarity_search import (
+        knn_bruteforce, knn_lsh, s_lsh_recall)
+
+    got = s_lsh_recall(sf).to_pandas().set_index("query_id")
+    bf = knn_bruteforce(sf).to_pandas()
+    ap = knn_lsh(sf).to_pandas()
+    for qid, g in bf.groupby("query_id"):
+        hits = len(set(g["vec_id"]) & set(ap[ap["query_id"] == qid]["vec_id"]))
+        assert got.loc[qid, "n_hits"] == hits
+        assert got.loc[qid, "recall_bp"] == hits * 10_000 // 10
+    assert got["recall_bp"].between(0, 10_000).all()
