@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_contamination_by_source": C.d_contamination_by_source,
         "q_lang_mad": SP.q_lang_mad,
         "s_lsh_recall": S.s_lsh_recall,
+        "t_tfidf_topk": T.t_tfidf_topk,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "d_contamination_by_source": C.D_CONTAMINATION_BY_SOURCE_SQL,
         "q_lang_mad": SP.Q_LANG_MAD_SQL,
         "s_lsh_recall": S.S_LSH_RECALL_SQL,
+        "t_tfidf_topk": T.T_TFIDF_TOPK_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

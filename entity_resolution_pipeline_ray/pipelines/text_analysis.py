@@ -1076,3 +1076,117 @@ SELECT bigram, n_pair, round(pmi_raw, 6) AS pmi, CAST(rank AS BIGINT) AS rank FR
   SELECT *, row_number() OVER (ORDER BY pmi_raw DESC, bigram) AS rank FROM scored)
 WHERE rank <= {25}
 """
+
+
+# --------------------------------------------------- tf-idf keyword extraction
+# Top-k terms per document by tf-idf — the classic keyword-extraction /
+# document-tagging operator (reference analog: the feature-importance report's
+# "which strings matter" question, applied per document).  Scale plan: explode
+# to a (doc_id, tok, tf) stream (corpus-sized but streaming), derive the
+# document-frequency table from it with a distributed groupby (vocab-sized,
+# stays distributed — NO vocabulary broadcast), join tf⋈df on the token key
+# (one hash shuffle), then per-doc top-k via map_sorted_groups (one range
+# sort, complete doc groups per task — no driver materialization).
+# The idf is fixed-point (floor(ln(n/df) * 1e6) as int64), so the score
+# tf * idf_fp and the rank order are exact integers on both engines; only the
+# single ln() call touches floats, rounded at 1e-6 where engine ulp noise
+# cannot flip an order.
+
+TFIDF_TOP_K = 3
+TFIDF_FP = 1_000_000
+
+
+def t_tfidf_topk(sf_dir: str, k: int = TFIDF_TOP_K):
+    """Top-k (doc_id, tok, rank, score_fp) per document by fixed-point tf-idf;
+    rank 1..k by (score desc, tok asc)."""
+    from ray.data.aggregate import Count
+
+    from ..rayops import adaptive_partitions, map_sorted_groups, safe_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, offsets = token_lists_arrow(t["text"])
+        dl = np.diff(offsets)
+        if len(flat) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()), "tok": pa.array([], type=pa.string()),
+                 "tf": pa.array([], type=pa.int64())}
+            )
+        doc_idx = np.repeat(np.arange(len(dl), dtype=np.int64), dl)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = len(enc.dictionary)
+        packed = doc_idx * n_dict + codes
+        uniq, counts = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[uniq // n_dict], type=pa.int64()),
+                "tok": pc.take(enc.dictionary, pa.array(uniq % n_dict, type=pa.int64())),
+                "tf": pa.array(counts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    tf = docs.map_batches(tf_partial, batch_format="pyarrow")
+    # df = number of docs containing tok: each (doc, tok) row counts once
+    df = tf.groupby("tok").aggregate(Count(alias_name="df"))
+    joined = safe_join(
+        tf, df, num_partitions=adaptive_partitions(n_docs), on=("tok",), right_on=("tok",)
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tf_v = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_v = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf_fp = np.floor(np.log(n_docs / df_v) * TFIDF_FP).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "tok": t["tok"],
+                "score_fp": pa.array(tf_v * idf_fp, type=pa.int64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()), "tok": pa.array([], type=pa.string()),
+         "rank": pa.array([], type=pa.int64()), "score_fp": pa.array([], type=pa.int64())}
+    )
+
+    def topk_rank(t: pa.Table) -> pa.Table:
+        # complete doc groups, any intra-group order: rank (score desc, tok asc)
+        df_ = t.to_pandas().sort_values(
+            ["doc_id", "score_fp", "tok"], ascending=[True, False, True]
+        )
+        df_["rank"] = df_.groupby("doc_id", sort=False).cumcount() + 1
+        df_ = df_[df_["rank"] <= k]
+        return pa.Table.from_pandas(
+            df_[["doc_id", "tok", "rank", "score_fp"]], preserve_index=False
+        )
+
+    # per-doc top-k stays distributed: one range sort, complete groups per task
+    # (n_docs * k output rows never touch the driver)
+    return map_sorted_groups(scored, "doc_id", topk_rank, empty)
+
+
+T_TFIDF_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * CAST(floor(ln(CAST(n.n AS DOUBLE) / df.df) * {TFIDF_FP}) AS BIGINT) AS score_fp
+  FROM tf JOIN df USING (tok), n)
+SELECT doc_id, tok, CAST(rank AS BIGINT) AS rank, score_fp FROM (
+  SELECT doc_id, tok, score_fp,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, tok) AS rank
+  FROM scored)
+WHERE rank <= {TFIDF_TOP_K}
+"""

@@ -530,3 +530,25 @@ def test_lsh_recall_audits_against_bruteforce(ray_session):
         assert got.loc[qid, "n_hits"] == hits
         assert got.loc[qid, "recall_bp"] == hits * 10_000 // 10
     assert got["recall_bp"].between(0, 10_000).all()
+
+
+def test_tfidf_topk_hand_check(ray_session, tmp_path):
+    """Fixed-point tf-idf ranks rarer terms above common ones; tf scales."""
+    import numpy as np
+
+    rows = {1: "apple banana apple", 2: "banana cherry", 3: "apple cherry cherry date"}
+    _write_doc_table(tmp_path, rows)
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import TFIDF_FP, t_tfidf_topk
+
+    got = t_tfidf_topk(str(tmp_path)).to_pandas()
+    n = 3
+    dfreq = {"apple": 2, "banana": 2, "cherry": 2, "date": 1}
+    tf = {1: {"apple": 2, "banana": 1}, 2: {"banana": 1, "cherry": 1},
+          3: {"apple": 1, "cherry": 2, "date": 1}}
+    for doc, terms in tf.items():
+        scores = sorted(
+            ((t_ * int(np.floor(np.log(n / dfreq[tok]) * TFIDF_FP)), tok) for tok, t_ in terms.items()),
+            key=lambda x: (-x[0], x[1]))
+        sub = got[got["doc_id"] == doc].sort_values("rank")
+        assert list(sub["tok"]) == [tok for _, tok in scores[:3]]
+        assert list(sub["score_fp"]) == [s for s, _ in scores[:3]]
