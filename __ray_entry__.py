@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_mad": SP.q_lang_mad,
         "s_lsh_recall": S.s_lsh_recall,
         "t_tfidf_topk": T.t_tfidf_topk,
+        "q_rollup_events": R.q_rollup_events,
+        "q_ntile": R.q_ntile,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -275,6 +277,8 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_mad": SP.Q_LANG_MAD_SQL,
         "s_lsh_recall": S.S_LSH_RECALL_SQL,
         "t_tfidf_topk": T.T_TFIDF_TOPK_SQL,
+        "q_rollup_events": R.Q_ROLLUP_EVENTS_SQL,
+        "q_ntile": R.Q_NTILE_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

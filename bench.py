@@ -64,6 +64,24 @@ def _consume(out) -> int:
     return out.count()
 
 
+def host_speed_sentinel() -> float:
+    """Absolute single-core speed of THIS window, in seconds (lower = faster):
+    md5 over 32 MiB, a fixed pure-CPU workload with no BLAS/thread variance.
+    The 2→8-worker contention probe only measures the parallel-scaling RATIO —
+    a frequency-throttled or stolen-CPU host can scale cleanly while every
+    absolute wall-time inflates ~1.3×; this sentinel makes that visible, so
+    cross-window comparisons of recorded bench numbers can be normalized."""
+    import hashlib
+
+    blob = bytes(range(256)) * (32 * 1024 * 1024 // 256)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hashlib.md5(blob).hexdigest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _corpus_dir(spec) -> str:
     body = f"{spec.body_words[0]}-{spec.body_words[1]}"
     return f"/tmp/er_bench_corpus/p{spec.num_pages}_s{spec.num_shards}_b{body}_seed{spec.seed}"
@@ -205,6 +223,7 @@ def run_full() -> dict:
         "er_samples_sec": [round(x, 2) for x in er_samples],
         "er_warmup_sec_untimed": er_warmup_sec,
         "query_samples_sec": {n: [round(x, 2) for x in xs] for n, xs in q_samples.items()},
+        "host_speed_sentinel_sec": host_speed_sentinel(),
     }
 
 
@@ -272,6 +291,7 @@ def run_scaling() -> dict:
         "efficiency_vs_hardware_ceiling": round(eff / hw, 3) if hw else None,
         "scaling_efficiency_least_interference": round(eff_min, 3),
         "efficiency_vs_ceiling_least_interference": round(eff_min / hw_best, 3) if hw_best else None,
+        "host_speed_sentinel_sec": host_speed_sentinel(),
         "note": (
             "single-box sandbox: this VM itself delivers only ~3.2x real speedup from 2 to 8 "
             "workers (pure-python multiprocessing baseline = the hardware ceiling reported "

@@ -1161,7 +1161,7 @@ GROUP BY n_name
 """
 
 
-def q_rollup(sf_dir: str):
+def q_rollup_events(sf_dir: str):
     """Multi-level ROLLUP aggregate: event counts and value sums at
     (event_type, hour), (event_type) and grand-total levels.  The coarser
     levels re-aggregate the FINEST level's partial sums — the distributed
@@ -1210,7 +1210,7 @@ def q_rollup(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-Q_ROLLUP_SQL = """
+Q_ROLLUP_EVENTS_SQL = """
 SELECT coalesce(event_type, '(all)') AS event_type,
        coalesce(hour, TIMESTAMP '1970-01-01') AS hour,
        n_events, total_value
@@ -1693,4 +1693,55 @@ SELECT CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE source END AS source,
        count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY ROLLUP(source, lang)
+"""
+
+
+NTILE_BUCKETS = 4
+
+
+def q_ntile(sf_dir: str, k: int = NTILE_BUCKETS):
+    """NTILE(k) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) — the
+    equal-frequency bucketing window (quartile tags for length-balanced
+    sampling).  Plan: the per-lang 0-based rank is a segmented exclusive
+    prefix COUNT (rayops.keyed_exclusive_prefix_sum — one range sort,
+    O(#blocks) driver carries), per-lang totals are a tiny aggregate, and
+    the bucket index is pure integer arithmetic per row, so the whole
+    assignment is exact at any scale.  Output (doc_id, lang, n_chars, tile)."""
+    from ..rayops import keyed_exclusive_prefix_sum
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(np.ones(len(t), dtype=np.int64)))
+
+    ranked = keyed_exclusive_prefix_sum(
+        docs.map_batches(ones, batch_format="pyarrow"), "lang", ["n_chars", "doc_id"], "one", "rank0"
+    )
+    # per-lang row counts: lang is low-cardinality by nature — tiny aggregate
+    totals = {r["lang"]: r["count()"] for r in docs.groupby("lang").count().take_all()}
+    tref = ray.put(totals)
+
+    def tile(t: pa.Table) -> pa.Table:
+        tot = ray.get(tref)
+        n = np.array([tot[x] for x in t["lang"].to_pylist()], dtype=np.int64)
+        r = t["rank0"].to_numpy(zero_copy_only=False)
+        q, rem = n // k, n % k
+        big = rem * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+        b = np.where(r < big, r // np.maximum(q + 1, 1), rem + (r - big) // np.maximum(q, 1)) + 1
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_chars": t["n_chars"],
+                "tile": pa.array(b.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(tile, batch_format="pyarrow")
+
+
+Q_NTILE_SQL = f"""
+SELECT doc_id, lang, n_chars,
+       CAST(ntile({NTILE_BUCKETS}) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+FROM documents
 """

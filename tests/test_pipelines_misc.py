@@ -2,6 +2,7 @@
 pipelines over the driver testdata at sf0.001."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -552,3 +553,26 @@ def test_tfidf_topk_hand_check(ray_session, tmp_path):
         sub = got[got["doc_id"] == doc].sort_values("rank")
         assert list(sub["tok"]) == [tok for _, tok in scores[:3]]
         assert list(sub["score_fp"]) == [s for s, _ in scores[:3]]
+
+
+def test_ntile_uneven_bucket_sizes(ray_session, tmp_path):
+    """n=7, k=4 -> bucket sizes 2,2,2,1 in (n_chars, doc_id) order (DuckDB
+    ntile semantics: first n%k buckets get the extra row)."""
+    rows = {i: "x" * (10 + i) for i in range(1, 8)}
+    _write_doc_table(tmp_path, rows)
+    from entity_resolution_pipeline_ray.pipelines.relational import q_ntile
+
+    got = q_ntile(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert list(got["tile"]) == [1, 1, 2, 2, 3, 3, 4]
+
+
+def test_rollup_events_levels_consistent(ray_session):
+    from entity_resolution_pipeline_ray.pipelines.relational import q_rollup_events
+
+    got = q_rollup_events("/root/testdata/sf0.001").to_pandas()
+    leaf = got[(got["event_type"] != "(all)") & (got["hour"] != pd.Timestamp("1970-01-01"))]
+    per_type = got[(got["event_type"] != "(all)") & (got["hour"] == pd.Timestamp("1970-01-01"))]
+    total = got[got["event_type"] == "(all)"]
+    assert len(total) == 1
+    assert leaf["n_events"].sum() == total["n_events"].iloc[0]
+    assert per_type["n_events"].sum() == total["n_events"].iloc[0]
