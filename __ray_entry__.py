@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_tfidf_topk": T.t_tfidf_topk,
         "q_rollup_events": R.q_rollup_events,
         "q_ntile": R.q_ntile,
+        "g_triangles": G.g_triangles,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -279,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         "t_tfidf_topk": T.T_TFIDF_TOPK_SQL,
         "q_rollup_events": R.Q_ROLLUP_EVENTS_SQL,
         "q_ntile": R.Q_NTILE_SQL,
+        "g_triangles": G.G_TRIANGLES_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

@@ -467,3 +467,167 @@ SELECT supp_a, supp_b, count(*) AS n_common
 FROM p GROUP BY 1, 2
 ORDER BY n_common DESC, supp_a, supp_b LIMIT {COMMON_NEIGHBORS_TOPK}
 """
+
+
+# ------------------------------------------------------------ triangle count
+# Triangles of the user co-activity graph (users sharing an active minute) —
+# the clustering-coefficient / community-density primitive of graph curation
+# (a web pipeline runs it on the host graph to find link farms: abnormal
+# triangle density is the classic spam signal).  Algorithm: the "forward" /
+# degree-oriented wedge count (Schank & Wagner 2005) — orient every edge from
+# the lower (degree, id) endpoint to the higher, emit wedges only from each
+# node's out-neighborhood (out-degree is O(sqrt(m))-bounded under this
+# orientation, so no celebrity node explodes the wedge stream), and count
+# wedges whose closing edge exists via one packed-key equi-join.  The count
+# is orientation-invariant, so the DuckDB oracle uses the plain id-ordered
+# 3-way self-join.
+
+
+def triangles_on_edges(edges):
+    """Count triangles of an undirected simple graph given as a Dataset of
+    distinct (u, v) int64 edges with u < v.  Fully distributed: a node-keyed
+    degree aggregate, two hash joins to attach endpoint degrees, a sorted-
+    group wedge enumeration, and a packed-key semi-join; driver state is the
+    final scalar."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from ..rayops import adaptive_partitions, map_sorted_groups, safe_join
+
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pa.table({"n_triangles": pa.array([0], type=pa.int64())})
+    nparts = adaptive_partitions(n_edges)
+
+    def explode(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([u, v]), type=pa.int64())})
+
+    deg = edges.map_batches(explode, batch_format="pyarrow").groupby("node").aggregate(
+        Count(alias_name="deg")
+    )
+
+    ed_u = safe_join(
+        edges,
+        deg.map_batches(lambda t: t.rename_columns(["u", "deg_u"]), batch_format="pyarrow"),
+        num_partitions=nparts,
+        on=("u",),
+        right_on=("u",),
+    )
+    ed = safe_join(
+        ed_u,
+        deg.map_batches(lambda t: t.rename_columns(["v", "deg_v"]), batch_format="pyarrow"),
+        num_partitions=nparts,
+        on=("v",),
+        right_on=("v",),
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        du = t["deg_u"].to_numpy(zero_copy_only=False)
+        dv = t["deg_v"].to_numpy(zero_copy_only=False)
+        # src = lower (deg, id) endpoint; (u, du) vs (v, dv) with u < v always
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        ddst = np.where(u_first, dv, du)
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+                "ddst": pa.array(ddst, type=pa.int64()),
+                "ekey": pa.array(_pack_edges(src, dst), type=pa.int64()),
+            }
+        )
+
+    directed = ed.map_batches(orient, batch_format="pyarrow").materialize()
+
+    empty_wedges = pa.table({"ekey": pa.array([], type=pa.int64())})
+
+    def wedges(t: pa.Table) -> pa.Table:
+        # complete src groups: ordered out-neighbor pairs (v ≺ w by (deg, id))
+        # — the closing edge, if present, is oriented exactly v → w
+        df = t.to_pandas().sort_values(["src", "ddst", "dst"])
+        out = []
+        for _, g in df.groupby("src", sort=False):
+            d = g["dst"].to_numpy(dtype=np.int64)
+            if len(d) < 2:
+                continue
+            i, j = np.triu_indices(len(d), k=1)
+            out.append(_pack_edges(d[i], d[j]))
+        if not out:
+            return empty_wedges
+        return pa.table({"ekey": pa.array(np.concatenate(out), type=pa.int64())})
+
+    wedge_ds = map_sorted_groups(directed, "src", wedges, empty_wedges)
+    closed = safe_join(
+        wedge_ds,
+        directed.select_columns(["ekey"]),
+        num_partitions=nparts,
+        on=("ekey",),
+        right_on=("ekey",),
+    )
+    return pa.table({"n_triangles": pa.array([closed.count()], type=pa.int64())})
+
+
+def coactivity_edges(sf_dir: str):
+    """Distinct (u, v) user pairs active in the same MINUTE (u < v): events →
+    (minute, user) keys, within-minute pair enumeration through the blocking
+    stage's sorted-group kernel (dedups users per minute locally), then one
+    global pair distinct (first_per_key on the packed key)."""
+    from ..rayops import first_per_key
+    from ..stages.blocking import sorted_group_pairs
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.cast(pc.floor_temporal(t["ts"], unit="minute"), pa.int64())
+        return pa.table({"block_key": m, "doc_id": t["user_id"]})
+
+    pairs = sorted_group_pairs(ev.map_batches(keys, batch_format="pyarrow"), unique=True)
+
+    def pack(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pair": pa.array(
+                    _pack_edges(
+                        t["left_id"].to_numpy(zero_copy_only=False),
+                        t["right_id"].to_numpy(zero_copy_only=False),
+                    ),
+                    type=pa.int64(),
+                )
+            }
+        )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = t["pair"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(p >> EKEY_SHIFT, type=pa.int64()),
+                "v": pa.array(p & ((1 << EKEY_SHIFT) - 1), type=pa.int64()),
+            }
+        )
+
+    return first_per_key(
+        pairs.map_batches(pack, batch_format="pyarrow"), "pair"
+    ).map_batches(unpack, batch_format="pyarrow")
+
+
+def g_triangles(sf_dir: str):
+    """Triangle count of the same-minute user co-activity graph."""
+    return triangles_on_edges(coactivity_edges(sf_dir))
+
+
+G_TRIANGLES_SQL = """
+WITH uh AS (SELECT DISTINCT user_id AS u, date_trunc('minute', ts) AS m FROM events),
+e AS (SELECT DISTINCT a.u AS x, b.u AS y FROM uh a JOIN uh b ON a.m = b.m AND a.u < b.u)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
+"""

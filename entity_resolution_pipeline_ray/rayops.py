@@ -152,11 +152,6 @@ def first_per_key(ds, key_col: str, order_col: str | None = None, invert: bool =
 
 
 @ray.remote
-def _block_num_rows(t):
-    return t.num_rows
-
-
-@ray.remote
 def _block_value_at(t, col: str, i: int):
     return t[col][i].as_py()
 

@@ -94,3 +94,23 @@ def test_user_gaps_matches_pandas_reference():
         )
     ref = _canon(pd.DataFrame(rows))
     assert mine.astype("int64").equals(ref.astype("int64"))
+
+
+def test_triangles_on_hand_graphs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_pipeline_ray.pipelines.graph import triangles_on_edges
+
+    def count(pairs):
+        t = pa.table({"u": pa.array([a for a, _ in pairs], type=pa.int64()),
+                      "v": pa.array([b for _, b in pairs], type=pa.int64())})
+        return triangles_on_edges(rd.from_arrow(t))["n_triangles"][0].as_py()
+
+    # K4 has C(4,3)=4 triangles; a path has none; a pendant edge adds none
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert count(k4) == 4
+    assert count([(1, 2), (2, 3), (3, 4)]) == 0
+    assert count(k4 + [(4, 9)]) == 4
+    # two triangles sharing an edge
+    assert count([(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)]) == 2
