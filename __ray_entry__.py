@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup_events": R.q_rollup_events,
         "q_ntile": R.q_ntile,
         "g_triangles": G.g_triangles,
+        "q_corr": R.q_corr,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -281,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup_events": R.Q_ROLLUP_EVENTS_SQL,
         "q_ntile": R.Q_NTILE_SQL,
         "g_triangles": G.G_TRIANGLES_SQL,
+        "q_corr": R.Q_CORR_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

@@ -1745,3 +1745,59 @@ SELECT doc_id, lang, n_chars,
        CAST(ntile({NTILE_BUCKETS}) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS tile
 FROM documents
 """
+
+
+def q_corr(sf_dir: str):
+    """Pearson correlation of line quantity vs (whole-dollar) extended price,
+    in exact fixed-point ppm — the distributed-statistics pattern: the five
+    moment sums (n, Σq, Σp, Σq², Σp², Σqp) are EXACT int64 per-block partials
+    (bounds asserted) merged on the driver in arbitrary-precision Python ints,
+    so no float accumulation order exists anywhere; the only float ops are
+    one sqrt and one divide over those exact scalars, which IEEE-754 rounds
+    identically in both engines, floored at 1e-6.  Output (n, r_ppm)."""
+    li = _pq(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        if len(q) and (int(q.max()) >= 1 << 20 or int(p.max()) >= 1 << 31):
+            raise ValueError("moment inputs exceed the int64 partial-sum bound; rescale")
+        return pa.table(
+            {
+                "n": pa.array([len(q)], type=pa.int64()),
+                "sq": pa.array([int(q.sum())], type=pa.int64()),
+                "sp": pa.array([int(p.sum())], type=pa.int64()),
+                "sqq": pa.array([int((q * q).sum())], type=pa.int64()),
+                "spp": pa.array([int((p * p).sum())], type=pa.int64()),
+                "sqp": pa.array([int((q * p).sum())], type=pa.int64()),
+            }
+        )
+
+    import math
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # driver merge in python ints: the cross terms (n·Σp²) overflow int64 at
+    # large sf, so arbitrary precision from here on — exactly DuckDB's HUGEINT
+    n, sq, sp, sqq, spp, sqp = (int(parts[c].sum()) for c in ("n", "sq", "sp", "sqq", "spp", "sqp"))
+    num = n * sqp - sq * sp
+    den = math.sqrt(float((n * sqq - sq * sq) * (n * spp - sp * sp)))
+    r_ppm = math.floor(float(num) / den * 1_000_000) if den > 0 else 0
+    return pa.table(
+        {"n": pa.array([n], type=pa.int64()), "r_ppm": pa.array([r_ppm], type=pa.int64())}
+    )
+
+
+Q_CORR_SQL = """
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sq,
+         sum(CAST(floor(l_extendedprice) AS BIGINT)) AS sp,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sqq,
+         sum(CAST(floor(l_extendedprice) AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS spp,
+         sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS sqp
+  FROM lineitem)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(floor(CAST(n*sqp - sq*sp AS DOUBLE)
+                  / sqrt(CAST((n*sqq - sq*sq) * (n*spp - sp*sp) AS DOUBLE)) * 1000000) AS BIGINT) AS r_ppm
+FROM m
+"""

@@ -576,3 +576,22 @@ def test_rollup_events_levels_consistent(ray_session):
     assert len(total) == 1
     assert leaf["n_events"].sum() == total["n_events"].iloc[0]
     assert per_type["n_events"].sum() == total["n_events"].iloc[0]
+
+
+def test_corr_perfect_and_anti(ray_session, tmp_path):
+    """Planted perfectly-correlated / anti-correlated lineitems hit ±1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_resolution_pipeline_ray.pipelines.relational import q_corr
+
+    def write(qty, price):
+        pq.write_table(
+            pa.table({"l_quantity": pa.array(qty, type=pa.float64()),
+                      "l_extendedprice": pa.array(price, type=pa.float64())}),
+            tmp_path / "lineitem.parquet")
+
+    write([1, 2, 3, 4], [10.0, 20.0, 30.0, 40.0])
+    assert q_corr(str(tmp_path))["r_ppm"][0].as_py() == 1_000_000
+    write([1, 2, 3, 4], [40.0, 30.0, 20.0, 10.0])
+    assert q_corr(str(tmp_path))["r_ppm"][0].as_py() == -1_000_000
