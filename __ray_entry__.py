@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ntile": R.q_ntile,
         "g_triangles": G.g_triangles,
         "q_corr": R.q_corr,
+        "d_minhash_accuracy": D.d_minhash_accuracy,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ntile": R.Q_NTILE_SQL,
         "g_triangles": G.G_TRIANGLES_SQL,
         "q_corr": R.Q_CORR_SQL,
+        "d_minhash_accuracy": D.D_MINHASH_ACCURACY_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

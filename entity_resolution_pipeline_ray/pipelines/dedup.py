@@ -1070,3 +1070,113 @@ WITH assign AS ({D_APPLY_FUZZY_SQL}),
 sizes AS (SELECT rep_doc_id, count(*) AS cluster_size FROM assign GROUP BY rep_doc_id)
 SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size
 """
+
+
+def d_minhash_accuracy(sf_dir: str, threshold: float = 0.6):
+    """Sketch-quality audit: for every verified MinHash pair, the signature
+    ESTIMATE next to the EXACT shingle-set Jaccard — the calibration report a
+    dedup deployment publishes to justify its threshold (estimate bias at the
+    decision boundary is what silently over/under-deletes).  Composes the
+    memoized pair set with the distributed shingle-hash table (broadcast
+    payload below the row threshold, pair join above — the ngram verify
+    machinery).  Integer outputs: est_x128 = agreeing permutations (the
+    estimate's exact numerator), true_ppm = inter*1e6 // union, and
+    abs_err_ppm — no float-sum ambiguity anywhere."""
+    pairs = minhash_dup_pairs(sf_dir, threshold)
+    cfg = MinHashConfig()
+    shingles = _shingle_hash_table(_docs(sf_dir), cfg.shingle_size).materialize()
+    n_docs = shingles.count()
+    nparts = adaptive_partitions(n_docs)
+
+    def emit(li, ri, est, lrows, rrows) -> pa.Table:
+        n = len(li)
+        true_ppm = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            a, b = lrows[i], rrows[i]
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            true_ppm[i] = (inter * 1_000_000) // union if union else 1_000_000
+        est_x128 = np.round(np.asarray(est, dtype=np.float64) * cfg.num_perm).astype(np.int64)
+        est_ppm = est_x128 * 1_000_000 // cfg.num_perm
+        return pa.table(
+            {
+                "left_id": pa.array(np.asarray(li, dtype=np.int64), type=pa.int64()),
+                "right_id": pa.array(np.asarray(ri, dtype=np.int64), type=pa.int64()),
+                "est_x128": pa.array(est_x128, type=pa.int64()),
+                "true_ppm": pa.array(true_ppm, type=pa.int64()),
+                "abs_err_ppm": pa.array(np.abs(est_ppm - true_ppm), type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {c: pa.array([], type=pa.int64())
+         for c in ("left_id", "right_id", "est_x128", "true_ppm", "abs_err_ppm")}
+    )
+    if n_docs <= BROADCAST_THRESHOLD_ROWS:
+        pref = ray.put(_broadcast_payload(shingles, "doc_id", ("sh",)))
+
+        def audit_b(t: pa.Table) -> pa.Table:
+            pm = ray.get(pref)
+            if len(t) == 0 or pm is None:
+                return empty
+            li = t["left_id"].to_numpy(zero_copy_only=False)
+            ri = t["right_id"].to_numpy(zero_copy_only=False)
+            lrows = [np.frombuffer(b, dtype=np.uint64) for b in _payload_gather(pm, li, "sh")]
+            rrows = [np.frombuffer(b, dtype=np.uint64) for b in _payload_gather(pm, ri, "sh")]
+            return emit(li, ri, t["est_jaccard"].to_numpy(zero_copy_only=False), lrows, rrows)
+
+        out = pairs.map_batches(audit_b, batch_format="pyarrow")
+    else:
+        enriched = attach_pair_sides(
+            pairs, shingles, id_col="doc_id", cols=("sh",), num_partitions=nparts
+        )
+
+        def audit_j(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return empty
+            return emit(
+                t["left_id"].to_numpy(zero_copy_only=False),
+                t["right_id"].to_numpy(zero_copy_only=False),
+                t["est_jaccard"].to_numpy(zero_copy_only=False),
+                unpack_ragged(t["l_sh"], np.uint64),
+                unpack_ragged(t["r_sh"], np.uint64),
+            )
+
+        out = enriched.map_batches(audit_j, batch_format="pyarrow")
+    out = out.materialize()
+    return empty if out.count() == 0 else out
+
+
+D_MINHASH_ACCURACY_SQL = f"""
+WITH p AS ({D_MINHASH_SQL}),
+t AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, list_distinct(CASE
+    WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+    WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(1, len(toks) - 1),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+  END) AS sh FROM t),
+sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+i AS (
+  SELECT p.left_id, p.right_id, count(*) AS inter
+  FROM p JOIN e a ON a.doc_id = p.left_id
+         JOIN e b ON b.doc_id = p.right_id AND b.g = a.g
+  GROUP BY 1, 2)
+SELECT p.left_id, p.right_id,
+       CAST(round(p.est_jaccard * 128) AS BIGINT) AS est_x128,
+       CAST(CASE WHEN sa.n + sb.n - coalesce(i.inter, 0) = 0 THEN 1000000
+                 ELSE coalesce(i.inter, 0) * 1000000 // (sa.n + sb.n - coalesce(i.inter, 0))
+            END AS BIGINT) AS true_ppm,
+       CAST(abs(CAST(round(p.est_jaccard * 128) AS BIGINT) * 1000000 // 128
+                - CASE WHEN sa.n + sb.n - coalesce(i.inter, 0) = 0 THEN 1000000
+                       ELSE coalesce(i.inter, 0) * 1000000 // (sa.n + sb.n - coalesce(i.inter, 0))
+                  END) AS BIGINT) AS abs_err_ppm
+FROM p
+JOIN sizes sa ON sa.doc_id = p.left_id
+JOIN sizes sb ON sb.doc_id = p.right_id
+LEFT JOIN i ON i.left_id = p.left_id AND i.right_id = p.right_id
+"""

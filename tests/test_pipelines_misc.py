@@ -595,3 +595,16 @@ def test_corr_perfect_and_anti(ray_session, tmp_path):
     assert q_corr(str(tmp_path))["r_ppm"][0].as_py() == 1_000_000
     write([1, 2, 3, 4], [40.0, 30.0, 20.0, 10.0])
     assert q_corr(str(tmp_path))["r_ppm"][0].as_py() == -1_000_000
+
+
+def test_minhash_accuracy_bounds(ray_session):
+    """Every audited pair: estimate numerator in [0,128], true jaccard in
+    [0,1e6], and the estimate is within sketch-noise distance of truth
+    (128 perms -> s.e. <= ~0.045; allow 4 sigma)."""
+    from entity_resolution_pipeline_ray.pipelines.dedup import d_minhash_accuracy
+
+    got = d_minhash_accuracy("/root/testdata/sf0.001").to_pandas()
+    assert len(got) > 0
+    assert got["est_x128"].between(0, 128).all()
+    assert got["true_ppm"].between(0, 1_000_000).all()
+    assert (got["abs_err_ppm"] <= 180_000).all()
