@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_triangles": G.g_triangles,
         "q_corr": R.q_corr,
         "d_minhash_accuracy": D.d_minhash_accuracy,
+        "q_pivot_dow": R.q_pivot_dow,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -186,7 +187,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping": R.q_hopping,
         "q_top_events_per_user": R.q_top_events_per_user,
         "q_customer_order_counts": R.q_customer_order_counts,
-        "q_rollup": R.q_rollup,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q_value_mad": R.q_value_mad,
         "q_user_gaps": R.q_user_gaps,
@@ -285,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
         "g_triangles": G.G_TRIANGLES_SQL,
         "q_corr": R.Q_CORR_SQL,
         "d_minhash_accuracy": D.D_MINHASH_ACCURACY_SQL,
+        "q_pivot_dow": R.Q_PIVOT_DOW_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,
@@ -311,7 +312,6 @@ def oracle_sql() -> dict[str, str]:
         "q_hopping": R.Q_HOPPING_SQL,
         "q_top_events_per_user": R.Q_TOP_EVENTS_SQL,
         "q_customer_order_counts": R.Q_CUSTOMER_ORDER_COUNTS_SQL,
-        "q_rollup": R.Q_ROLLUP_SQL,
         "q5_local_supplier_volume": R.Q5_SQL,
         "q_value_mad": R.Q_VALUE_MAD_SQL,
         "q_user_gaps": R.Q_USER_GAPS_SQL,

@@ -1801,3 +1801,47 @@ SELECT CAST(n AS BIGINT) AS n,
                   / sqrt(CAST((n*sqq - sq*sq) * (n*spp - sp*sp) AS DOUBLE)) * 1000000) AS BIGINT) AS r_ppm
 FROM m
 """
+
+
+def q_pivot_dow(sf_dir: str):
+    """PIVOT: events as an (event_type × weekday) count matrix — the
+    wide-format report shape (dashboards, spreadsheet exports).  Plan: ONE
+    distributed (event_type, dow) aggregate — the key space is
+    #types × 7, tiny — then the driver reshapes the aggregate table to wide;
+    the corpus is scanned once and nothing row-cardinality leaves the
+    cluster.  Output (event_type, dow0..dow6) with zero-filled gaps."""
+    ev = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def project(t: pa.Table) -> pa.Table:
+        # DuckDB dayofweek: 0 = Sunday; Arrow day_of_week: 0 = Monday
+        dow = pc.day_of_week(t["ts"], count_from_zero=True, week_start=7)
+        return pa.table({"event_type": t["event_type"], "dow": pc.cast(dow, pa.int64())})
+
+    agg = (
+        ev.map_batches(project, batch_format="pyarrow")
+        .groupby(["event_type", "dow"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    wide = (
+        agg.pivot_table(index="event_type", columns="dow", values="n", fill_value=0, aggfunc="sum")
+        .reindex(columns=range(7), fill_value=0)
+        .reset_index()
+    )
+    wide.columns = ["event_type"] + [f"dow{i}" for i in range(7)]
+    for c in wide.columns[1:]:
+        wide[c] = wide[c].astype(np.int64)
+    return pa.Table.from_pandas(wide.sort_values("event_type"), preserve_index=False)
+
+
+Q_PIVOT_DOW_SQL = """
+SELECT event_type,
+       CAST(count(*) FILTER (dayofweek(ts) = 0) AS BIGINT) AS dow0,
+       CAST(count(*) FILTER (dayofweek(ts) = 1) AS BIGINT) AS dow1,
+       CAST(count(*) FILTER (dayofweek(ts) = 2) AS BIGINT) AS dow2,
+       CAST(count(*) FILTER (dayofweek(ts) = 3) AS BIGINT) AS dow3,
+       CAST(count(*) FILTER (dayofweek(ts) = 4) AS BIGINT) AS dow4,
+       CAST(count(*) FILTER (dayofweek(ts) = 5) AS BIGINT) AS dow5,
+       CAST(count(*) FILTER (dayofweek(ts) = 6) AS BIGINT) AS dow6
+FROM events GROUP BY event_type
+"""
