@@ -1778,7 +1778,11 @@ def q_corr(sf_dir: str):
     parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
     # driver merge in python ints: the cross terms (n·Σp²) overflow int64 at
     # large sf, so arbitrary precision from here on — exactly DuckDB's HUGEINT
-    n, sq, sp, sqq, spp, sqp = (int(parts[c].sum()) for c in ("n", "sq", "sp", "sqq", "spp", "sqp"))
+    # (an all-empty dataset's to_pandas() has NO columns — treat as all-zero)
+    n, sq, sp, sqq, spp, sqp = (
+        (int(parts[c].sum()) if c in parts.columns else 0)
+        for c in ("n", "sq", "sp", "sqq", "spp", "sqp")
+    )
     num = n * sqp - sq * sp
     den = math.sqrt(float((n * sqq - sq * sq) * (n * spp - sp * sp)))
     r_ppm = math.floor(float(num) / den * 1_000_000) if den > 0 else 0
@@ -1823,6 +1827,11 @@ def q_pivot_dow(sf_dir: str):
         .aggregate(Count(alias_name="n"))
         .to_pandas()
     )
+    cols = ["event_type"] + [f"dow{i}" for i in range(7)]
+    if agg.empty:  # all-empty to_pandas() loses its columns
+        return pa.table(
+            {c: pa.array([], type=pa.string() if c == "event_type" else pa.int64()) for c in cols}
+        )
     wide = (
         agg.pivot_table(index="event_type", columns="dow", values="n", fill_value=0, aggfunc="sum")
         .reindex(columns=range(7), fill_value=0)

@@ -481,6 +481,10 @@ def q_lang_mad(sf_dir: str):
         idx = max(int(np.ceil(n * q)) - 1, 0)
         return int(vals[np.searchsorted(np.cumsum(cnts), idx + 1)])
 
+    if counts.empty:  # all-empty to_pandas() loses its columns
+        return pd.DataFrame({"lang": pd.Series(dtype=object),
+                             "median_chars": pd.Series(dtype=np.int64),
+                             "mad_chars": pd.Series(dtype=np.int64)})
     rows = []
     for lang, g in counts.sort_values(["lang", "n_chars"]).groupby("lang", sort=True):
         vals = g["n_chars"].to_numpy(dtype=np.int64)

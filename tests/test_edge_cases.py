@@ -304,3 +304,61 @@ def test_dupline_ratio_counts(ray_session, tmp_path):
     assert abs(out.loc[1, "dup_line_ratio"] - 0.5) < 1e-9
     assert out.loc[2, "n_lines"] == 1 and out.loc[2, "dup_line_ratio"] == 0.0
     assert out.loc[3, "n_lines"] == 1  # '' splits to one empty line
+
+
+def test_round4_session_operators_on_empty_tables(ray_session, tmp_path):
+    """This session's operators pass 0-row inputs through cleanly."""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "value": pa.array([], type=pa.float64()),
+                "props": pa.array([], type=pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_quantity": pa.array([], type=pa.float64()),
+                "l_extendedprice": pa.array([], type=pa.float64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    sf = str(tmp_path)
+    from entity_resolution_pipeline_ray.pipelines.graph import g_triangles
+    from entity_resolution_pipeline_ray.pipelines.multimodal import m_phash_pairs
+    from entity_resolution_pipeline_ray.pipelines.relational import (
+        q_corr,
+        q_ntile,
+        q_pivot_dow,
+    )
+    from entity_resolution_pipeline_ray.pipelines.sampling import p_split_assign, q_lang_mad
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import t_tfidf_topk
+
+    assert t_tfidf_topk(sf).count() == 0
+    assert q_ntile(sf).count() == 0
+    assert g_triangles(sf)["n_triangles"][0].as_py() == 0
+    corr = q_corr(sf)
+    assert corr["n"][0].as_py() == 0 and corr["r_ppm"][0].as_py() == 0
+    assert len(q_pivot_dow(sf)) == 0
+    assert m_phash_pairs(sf).num_rows == 0
+    assert p_split_assign(sf).count() == 0
+    assert len(q_lang_mad(sf)) == 0
