@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corr": R.q_corr,
         "d_minhash_accuracy": D.d_minhash_accuracy,
         "q_pivot_dow": R.q_pivot_dow,
+        "t_lsh_bucket_stats": D.t_lsh_bucket_stats,
+        "q_dau_wau": R.q_dau_wau,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -286,6 +288,8 @@ def oracle_sql() -> dict[str, str]:
         "q_corr": R.Q_CORR_SQL,
         "d_minhash_accuracy": D.D_MINHASH_ACCURACY_SQL,
         "q_pivot_dow": R.Q_PIVOT_DOW_SQL,
+        "t_lsh_bucket_stats": D.T_LSH_BUCKET_STATS_SQL,
+        "q_dau_wau": R.Q_DAU_WAU_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

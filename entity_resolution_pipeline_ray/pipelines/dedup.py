@@ -461,20 +461,15 @@ WHERE (na + nb - inter) > 0 AND inter * 1.0 / (na + nb - inter) >= 0.5
 """
 
 
-def _minhash_sql(threshold: float = 0.6, cfg: MinHashConfig | None = None) -> str:
-    """Exact SQL replica of ``minhash_dup_pairs``: same md5 shingle hashes
-    (``md5_number_upper``), the same 128 permutation constants inlined as
-    literals (HUGEINT product, mod 2^64), the same band-collision candidate
-    rule (some band of ``r`` consecutive slots fully agrees), and the same
-    exact-dyadic ``est_jaccard`` = agree/num_perm.  FNV band-key collisions are
-    the only divergence channel (~2^-64 per pair — never at oracle scale)."""
-    c = cfg or MinHashConfig()
+def _minhash_sig_ctes(c: MinHashConfig) -> str:
+    """The shared CTE prefix computing per-doc MinHash signatures in SQL:
+    toks → shingles → md5 hashes → the inlined permutation constants →
+    per-slot minima → ``sig(doc_id, s)``.  Used by the pair oracle AND the
+    bucket-statistics oracle so the signature arithmetic is written once."""
     mh = MinHasher(c.num_perm, c.seed)
-    r = c.num_perm // c.num_bands
     perm_rows = ",\n    ".join(
         f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)" for i, (a, b) in enumerate(zip(mh.a, mh.b))
     )
-    band_eq = " AND ".join(f"a.s[{r}*j+{o + 1}] = b.s[{r}*j+{o + 1}]" for o in range(r))
     return f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk
@@ -496,7 +491,21 @@ mins AS (
          -- for the 3.2M-row mins stage at sf0.01)
          min(CAST((a * CAST(h AS HUGEINT) + b) & 18446744073709551615 AS UBIGINT)) AS mv
   FROM hv, perms GROUP BY doc_id, i),
-sig AS (SELECT doc_id, list(mv ORDER BY i) AS s FROM mins GROUP BY doc_id),
+sig AS (SELECT doc_id, list(mv ORDER BY i) AS s FROM mins GROUP BY doc_id)"""
+
+
+def _minhash_sql(threshold: float = 0.6, cfg: MinHashConfig | None = None) -> str:
+    """Exact SQL replica of ``minhash_dup_pairs``: same md5 shingle hashes
+    (``md5_number_upper``), the same 128 permutation constants inlined as
+    literals (HUGEINT product, mod 2^64), the same band-collision candidate
+    rule (some band of ``r`` consecutive slots fully agrees), and the same
+    exact-dyadic ``est_jaccard`` = agree/num_perm.  FNV band-key collisions are
+    the only divergence channel (~2^-64 per pair — never at oracle scale)."""
+    c = cfg or MinHashConfig()
+    r = c.num_perm // c.num_bands
+    band_eq = " AND ".join(f"a.s[{r}*j+{o + 1}] = b.s[{r}*j+{o + 1}]" for o in range(r))
+    return f"""
+{_minhash_sig_ctes(c)},
 cand AS (
   SELECT a.doc_id AS left_id, b.doc_id AS right_id,
          len(list_filter(range(0, {c.num_perm}), i -> a.s[i+1] = b.s[i+1])) AS agree
@@ -1180,3 +1189,51 @@ JOIN sizes sa ON sa.doc_id = p.left_id
 JOIN sizes sb ON sb.doc_id = p.right_id
 LEFT JOIN i ON i.left_id = p.left_id AND i.right_id = p.right_id
 """
+
+
+def t_lsh_bucket_stats(sf_dir: str, minhash_cfg: MinHashConfig | None = None):
+    """LSH bucket-size histogram — the skew telemetry a dedup deployment
+    watches before every run: the bucket-size distribution decides the pair
+    budget (pairs per bucket are quadratic) and flags boilerplate mega-
+    buckets before they melt a shuffle.  Plan: the SAME band keys the pair
+    pipeline blocks on, ONE distributed groupby count over the (banded)
+    key stream, then a tiny histogram groupby over the sizes.  Output
+    (bucket_size, n_buckets).  The engine's FNV band key and the oracle's
+    literal slot-tuple group identically except for ~2^-64 FNV collisions."""
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import band_keys
+
+    cfg = minhash_cfg or MinHashConfig()
+    sketches = _doc_sketches(_docs(sf_dir), cfg)
+
+    def emit_keys(t: pa.Table) -> pa.Table:
+        sigs = _fsl_mat(t["minhash_sig"], cfg.num_perm)
+        keys = (band_keys(sigs, cfg.num_bands) >> np.uint64(1)).astype(np.int64)
+        nonempty = ~(sigs == np.uint64(0xFFFFFFFFFFFFFFFF)).all(axis=1)
+        return pa.table({"block_key": pa.array(keys[nonempty].ravel(), type=pa.int64())})
+
+    sizes = (
+        sketches.map_batches(emit_keys, batch_format="pyarrow")
+        .groupby("block_key")
+        .aggregate(Count(alias_name="bucket_size"))
+    )
+    return sizes.groupby("bucket_size").aggregate(Count(alias_name="n_buckets"))
+
+
+def _lsh_bucket_stats_sql(cfg: MinHashConfig | None = None) -> str:
+    c = cfg or MinHashConfig()
+    r = c.num_perm // c.num_bands
+    slot_tuple = ", ".join(f"CAST(s[{r}*j+{o + 1}] AS VARCHAR)" for o in range(r))
+    return f"""
+{_minhash_sig_ctes(c)},
+keys AS (
+  SELECT doc_id, j, concat_ws(',', CAST(j AS VARCHAR), {slot_tuple}) AS bk
+  FROM sig, range(0, {c.num_bands}) t(j)),
+sizes AS (SELECT bk, count(*) AS bucket_size FROM keys GROUP BY bk)
+SELECT CAST(bucket_size AS BIGINT) AS bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+FROM sizes GROUP BY bucket_size
+"""
+
+
+T_LSH_BUCKET_STATS_SQL = _lsh_bucket_stats_sql()

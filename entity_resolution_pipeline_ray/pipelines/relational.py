@@ -1854,3 +1854,63 @@ SELECT event_type,
        CAST(count(*) FILTER (dayofweek(ts) = 6) AS BIGINT) AS dow6
 FROM events GROUP BY event_type
 """
+
+
+def q_dau_wau(sf_dir: str):
+    """DAU and trailing-7-day WAU per calendar day — the engagement telemetry
+    of event pipelines, and a genuinely windowed DISTINCT (DuckDB cannot
+    express count(DISTINCT) OVER; the oracle joins the day spine against
+    user-days instead).  Plan: ONE distributed dedup to (user, day) — the
+    corpus-sized step — then the day-spine join runs over the tiny
+    user-day table (|users| × |days| worst case, dimension-sized), a
+    7-day trailing window per spine day.  Output (day_us, dau, wau)."""
+    from ..rayops import first_per_key
+
+    DAY_US = 86_400_000_000
+    ev = _pq(sf_dir, "events", ["ts", "user_id"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
+        day = d.to_numpy(zero_copy_only=False) // DAY_US
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        if len(uid) and (int(uid.max()) >= 1 << 43 or int(uid.min()) < 0 or int(day.max()) >= 1 << 20 or int(day.min()) < 0):
+            raise ValueError("user_id/day exceeds the 43/20-bit packing bound; widen the pack")
+        return pa.table({"pk": pa.array(uid * (1 << 20) + day, type=pa.int64())})
+
+    ud = first_per_key(ev.map_batches(keys, batch_format="pyarrow"), "pk").map_batches(
+        lambda t: pa.table(
+            {"day": pa.array(t["pk"].to_numpy(zero_copy_only=False) & ((1 << 20) - 1), type=pa.int64()),
+             "user_id": pa.array(t["pk"].to_numpy(zero_copy_only=False) >> 20, type=pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    # user-day table is dimension-sized (|users| x |days|); the trailing
+    # window is a python-int loop over the day spine on the driver
+    if ud.empty:
+        return pa.table({"day_us": pa.array([], type=pa.int64()),
+                         "dau": pa.array([], type=pa.int64()),
+                         "wau": pa.array([], type=pa.int64())})
+    days = np.sort(ud["day"].unique())
+    dau = ud.groupby("day")["user_id"].nunique()
+    out_day, out_dau, out_wau = [], [], []
+    for d in days:
+        out_day.append(int(d) * DAY_US)
+        out_dau.append(int(dau.loc[d]))
+        win = ud[(ud["day"] >= d - 6) & (ud["day"] <= d)]
+        out_wau.append(int(win["user_id"].nunique()))
+    return pa.table(
+        {"day_us": pa.array(out_day, type=pa.int64()),
+         "dau": pa.array(out_dau, type=pa.int64()),
+         "wau": pa.array(out_wau, type=pa.int64())}
+    )
+
+
+Q_DAU_WAU_SQL = """
+WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id FROM events),
+spine AS (SELECT DISTINCT day FROM ud)
+SELECT CAST(epoch_us(s.day) AS BIGINT) AS day_us,
+       CAST(count(DISTINCT u.user_id) FILTER (u.day = s.day) AS BIGINT) AS dau,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM spine s JOIN ud u ON u.day <= s.day AND u.day >= s.day - INTERVAL 6 DAY
+GROUP BY s.day
+"""

@@ -608,3 +608,42 @@ def test_minhash_accuracy_bounds(ray_session):
     assert got["est_x128"].between(0, 128).all()
     assert got["true_ppm"].between(0, 1_000_000).all()
     assert (got["abs_err_ppm"] <= 180_000).all()
+
+
+def test_lsh_bucket_stats_totals(ray_session, tmp_path):
+    """Histogram mass equals docs x bands: every non-empty doc emits exactly
+    num_bands (=32) keys, so sum(bucket_size * n_buckets) == 4 * 32."""
+    rows = {1: "alpha beta gamma delta", 2: "alpha beta gamma delta",
+            3: "totally different words here", 4: "another unrelated body of text"}
+    _write_doc_table(tmp_path, rows)
+    from entity_resolution_pipeline_ray.config import MinHashConfig
+    from entity_resolution_pipeline_ray.pipelines.dedup import t_lsh_bucket_stats
+
+    nb = MinHashConfig().num_bands
+    got = t_lsh_bucket_stats(str(tmp_path)).to_pandas()
+    assert (got["bucket_size"] * got["n_buckets"]).sum() == 4 * nb
+    # the two identical docs share all nb buckets -> at least nb size-2 buckets
+    assert got.set_index("bucket_size").loc[2, "n_buckets"] >= nb
+
+
+def test_dau_wau_hand_events(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(
+        ["2024-01-01 05:00", "2024-01-01 06:00", "2024-01-02 05:00", "2024-01-09 05:00"])
+    pq.write_table(
+        pa.table({"event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "ts": pa.array(ts, type=pa.timestamp("us")),
+                  "user_id": pa.array([10, 20, 10, 30], type=pa.int64()),
+                  "event_type": ["view"] * 4, "value": [0.0] * 4, "props": ["{}"] * 4}),
+        tmp_path / "events.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_dau_wau
+
+    got = q_dau_wau(str(tmp_path)).to_pandas()
+    got["day"] = pd.to_datetime(got["day_us"], unit="us").dt.date.astype(str)
+    g = got.set_index("day")
+    assert g.loc["2024-01-01", "dau"] == 2 and g.loc["2024-01-01", "wau"] == 2
+    assert g.loc["2024-01-02", "dau"] == 1 and g.loc["2024-01-02", "wau"] == 2
+    # Jan 9's trailing week (Jan 3-9) contains only user 30
+    assert g.loc["2024-01-09", "dau"] == 1 and g.loc["2024-01-09", "wau"] == 1
