@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot_dow": R.q_pivot_dow,
         "t_lsh_bucket_stats": D.t_lsh_bucket_stats,
         "q_dau_wau": R.q_dau_wau,
+        "q_band_join": R.q_band_join,
+        "p_weighted_sample": SP.p_weighted_sample,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -290,6 +292,8 @@ def oracle_sql() -> dict[str, str]:
         "q_pivot_dow": R.Q_PIVOT_DOW_SQL,
         "t_lsh_bucket_stats": D.T_LSH_BUCKET_STATS_SQL,
         "q_dau_wau": R.Q_DAU_WAU_SQL,
+        "q_band_join": R.Q_BAND_JOIN_SQL,
+        "p_weighted_sample": SP.P_WEIGHTED_SAMPLE_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

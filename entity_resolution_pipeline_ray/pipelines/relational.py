@@ -1914,3 +1914,78 @@ SELECT CAST(epoch_us(s.day) AS BIGINT) AS day_us,
 FROM spine s JOIN ud u ON u.day <= s.day AND u.day >= s.day - INTERVAL 6 DAY
 GROUP BY s.day
 """
+
+
+def q_band_join(sf_dir: str, eps_cents: int = 10_000):
+    """Numeric band (range) self-join WITHOUT pair materialization: for each
+    order, the number of OTHER orders priced within ±$100.  The range join
+    Ray Data lacks, on the scalable halo-bucket plan: bucket prices by the
+    band width, emit each row to its own bucket (core) plus both neighbor
+    buckets (halo), then ONE range shuffle (``map_sorted_groups`` on bucket)
+    and two vectorized ``searchsorted`` sweeps per block — counts come off a
+    sorted array, never an O(n·window) pair blowup.  Partitioning assumption:
+    one price bucket's rows fit in one group; widen ``eps_cents``-relative
+    bucket granularity (or sub-salt mega-buckets) if a single price point is
+    corpus-hot.  Exact integer cents throughout.  Output (o_orderkey,
+    n_close)."""
+    from ..rayops import map_sorted_groups
+
+    ods = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    eps = int(eps_cents)
+
+    def explode(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = cents // eps
+        bucket = np.concatenate([b, b - 1, b + 1])
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, type=pa.int64()),
+                "cents": pa.array(np.tile(cents, 3), type=pa.int64()),
+                "o_orderkey": pa.array(np.tile(ok, 3), type=pa.int64()),
+                "core": pa.array(
+                    np.concatenate([np.ones(len(ok), np.int8), np.zeros(2 * len(ok), np.int8)])
+                ),
+            }
+        )
+
+    def count_band(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        core = t["core"].to_numpy(zero_copy_only=False).astype(bool)
+        # pk is monotone in (bucket, cents): rows of bucket g carry cents in
+        # [(g-1)*eps, (g+2)*eps), so local = cents - (g-1)*eps ∈ [0, 3*eps)
+        # and per-bucket pk ranges [4*eps*g, 4*eps*g + 3*eps) are disjoint —
+        # global searchsorted answers every per-bucket range count at once.
+        pk = b * (4 * eps) + (c - (b - 1) * eps)
+        pks = np.sort(pk, kind="stable")
+        qb, qc = b[core], c[core]
+        base = qb * (4 * eps) + (qc - qb * eps)  # pk of (qb, qc - eps)
+        n = (
+            np.searchsorted(pks, base + 2 * eps, side="right")
+            - np.searchsorted(pks, base, side="left")
+            - 1
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[core], type=pa.int64()),
+                "n_close": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {"o_orderkey": pa.array([], type=pa.int64()), "n_close": pa.array([], type=pa.int64())}
+    )
+    return map_sorted_groups(
+        ods.map_batches(explode, batch_format="pyarrow"), "bucket", count_band, empty
+    )
+
+
+Q_BAND_JOIN_SQL = """
+WITH c AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+SELECT a.o_orderkey, CAST(count(b.o_orderkey) AS BIGINT) AS n_close
+FROM c a LEFT JOIN c b
+  ON b.cents BETWEEN a.cents - 10000 AND a.cents + 10000 AND b.o_orderkey <> a.o_orderkey
+GROUP BY a.o_orderkey
+"""

@@ -512,3 +512,57 @@ SELECT d.lang, m.med AS median_chars,
 FROM documents d JOIN m USING (lang)
 GROUP BY d.lang, m.med
 """
+
+
+def p_weighted_sample(sf_dir: str, k: int = 200):
+    """Deterministic weighted sampling without replacement — priority
+    sampling (Duffield–Lund–Thorup, JACM 2007): each doc draws priority
+    u/w where u is its md5-derived "uniform" (the hash of doc_id as a
+    double) and w = max(n_chars, 1) its weight; the k SMALLEST priorities
+    are the sample, so long docs are proportionally more likely in.  This is
+    the selection step that consumes importance weights in corpus curation
+    (the DSIR/DoReMi apply).  Plan: per-block partial top-k inside
+    ``map_batches``, then a tiny driver merge of k-per-block partials — the
+    same distributed top-k shape as s_knn_bruteforce, no sort shuffle.
+    Exactly SQL-oracled: uint64→double casts and double division are
+    IEEE-defined (correctly rounded), so numpy and DuckDB compute
+    bit-identical priorities; ties break on doc_id."""
+    from ..functions.hashing import md5_u64_arr
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(t["n_chars"].to_numpy(zero_copy_only=False), 1).astype(np.int64)
+        h = md5_u64_arr([str(int(i)) for i in ids]).astype(np.float64)
+        pr = h / w.astype(np.float64)
+        sel = np.lexsort((ids, pr))[: min(k, len(ids))]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], type=pa.int64()),
+                "weight": pa.array(w[sel], type=pa.int64()),
+                "priority": pa.array(pr[sel], type=pa.float64()),
+            }
+        )
+
+    pdf = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "weight": pa.array([], type=pa.int64()),
+                "priority": pa.array([], type=pa.float64()),
+            }
+        )
+    top = pdf.sort_values(["priority", "doc_id"], kind="mergesort").head(k)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+P_WEIGHTED_SAMPLE_SQL = """
+WITH pr AS (
+  SELECT doc_id, CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+         CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS DOUBLE)
+           / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS priority
+  FROM documents)
+SELECT doc_id, weight, priority FROM pr ORDER BY priority, doc_id LIMIT 200
+"""

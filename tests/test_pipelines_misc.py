@@ -647,3 +647,48 @@ def test_dau_wau_hand_events(ray_session, tmp_path):
     assert g.loc["2024-01-02", "dau"] == 1 and g.loc["2024-01-02", "wau"] == 2
     # Jan 9's trailing week (Jan 3-9) contains only user 30
     assert g.loc["2024-01-09", "dau"] == 1 and g.loc["2024-01-09", "wau"] == 1
+
+
+def test_band_join_hand_orders(ray_session, tmp_path):
+    """Known ±$100 neighborhoods, including cross-bucket (halo) pairs:
+    25000c sits in bucket 2 and must still see 19999c (bucket 1) and
+    30001c (bucket 3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    prices = [100.00, 150.00, 199.99, 250.00, 300.01, 1000.00]
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(range(1, 7), type=pa.int64()),
+                  "o_totalprice": pa.array(prices, type=pa.float64())}),
+        tmp_path / "orders.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_band_join
+
+    got = q_band_join(str(tmp_path)).to_pandas().set_index("o_orderkey")["n_close"]
+    assert got.to_dict() == {1: 2, 2: 3, 3: 3, 4: 3, 5: 1, 6: 0}
+
+
+def test_weighted_sample_priority_order(ray_session, tmp_path):
+    """The sample is exactly the k smallest md5(doc_id)/weight priorities,
+    recomputed independently with hashlib here."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids, chars = [11, 22, 33, 44, 55], [10, 10_000, 500, 1, 80_000]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": [""] * 5, "lang": ["en"] * 5, "source": ["s"] * 5,
+                  "n_chars": pa.array(chars, type=pa.int64())}),
+        tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.sampling import p_weighted_sample
+
+    def prio(i, w):
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "little")
+        return float(h) / float(max(w, 1))
+
+    expected = sorted(((prio(i, w), i, max(w, 1)) for i, w in zip(ids, chars)))[:3]
+    got = p_weighted_sample(str(tmp_path), k=3).to_pandas()
+    assert list(got["doc_id"]) == [e[1] for e in expected]
+    assert list(got["weight"]) == [e[2] for e in expected]
+    assert list(got["priority"]) == [e[0] for e in expected]
