@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dau_wau": R.q_dau_wau,
         "q_band_join": R.q_band_join,
         "p_weighted_sample": SP.p_weighted_sample,
+        "t_vocab_stats": T.t_vocab_stats,
+        "t_dup_ngram_fraction": T.t_dup_ngram_fraction,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -294,6 +296,8 @@ def oracle_sql() -> dict[str, str]:
         "q_dau_wau": R.Q_DAU_WAU_SQL,
         "q_band_join": R.Q_BAND_JOIN_SQL,
         "p_weighted_sample": SP.P_WEIGHTED_SAMPLE_SQL,
+        "t_vocab_stats": T.T_VOCAB_STATS_SQL,
+        "t_dup_ngram_fraction": T.T_DUP_NGRAM_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

@@ -1190,3 +1190,163 @@ SELECT doc_id, tok, CAST(rank AS BIGINT) AS rank, score_fp FROM (
   FROM scored)
 WHERE rank <= {TFIDF_TOP_K}
 """
+
+
+def t_vocab_stats(sf_dir: str):
+    """EXACT corpus vocabulary statistics — total tokens, distinct vocabulary
+    size, hapax count (frequency-1 types) — the companion to the approximate
+    ``t_distinct_hll`` for corpora where exactness matters (tokenizer vocab
+    construction, Heaps-law audits).  Plan: ``pc.value_counts`` per block is
+    the combiner (zipfian tokens collapse ~100x before the shuffle), ONE
+    token-keyed ``groupby().sum()`` — the same token-cardinality exchange as
+    t_tfidf's df — then O(#blocks) scalar partials to the driver."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        flat, _ = token_lists_arrow(t["text"])
+        if len(flat) == 0:
+            return pa.table(
+                {"tok": pa.array([], type=pa.string()), "c": pa.array([], type=pa.int64())}
+            )
+        vc = pc.value_counts(flat)
+        return pa.table({"tok": vc.field("values"), "c": vc.field("counts").cast(pa.int64())})
+
+    counts = (
+        docs.map_batches(tok_partial, batch_format="pyarrow").groupby("tok").aggregate(Sum("c", alias_name="n"))
+    )
+
+    def reduce_partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_tokens": pa.array([int(n.sum())], type=pa.int64()),
+                "vocab_size": pa.array([len(n)], type=pa.int64()),
+                "n_hapax": pa.array([int((n == 1).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = counts.map_batches(reduce_partial, batch_format="pyarrow").to_pandas()
+    tot = parts.sum() if not parts.empty else {"n_tokens": 0, "vocab_size": 0, "n_hapax": 0}
+    return pa.table(
+        {
+            "n_tokens": pa.array([int(tot["n_tokens"])], type=pa.int64()),
+            "vocab_size": pa.array([int(tot["vocab_size"])], type=pa.int64()),
+            "n_hapax": pa.array([int(tot["n_hapax"])], type=pa.int64()),
+        }
+    )
+
+
+T_VOCAB_STATS_SQL = """
+WITH tok AS (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+')) AS tk
+             FROM documents),
+c AS (SELECT tk, count(*) AS n FROM tok GROUP BY tk)
+SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_hapax
+FROM c
+"""
+
+
+DUP_NGRAM_N = 8
+
+
+def t_dup_ngram_fraction(sf_dir: str, n: int = DUP_NGRAM_N):
+    """Cross-document duplicate n-gram fraction — the MassiveText/RefinedWeb
+    curation signal: per doc, the share of its DISTINCT 8-gram windows that
+    also occur in at least one other document (boilerplate detection the
+    within-doc ``t_repetition``/``t_dupline_ratio`` checks can't see).  Docs
+    shorter than n tokens emit no windows and are excluded (the
+    decontamination short="drop" rule).  Plan: vectorized flat shingling →
+    md5 gram keys (int64, never gram strings on the wire) → within-doc
+    dedup in the batch → ONE gram-keyed groupby count (df) → hash join back
+    → per-doc counts via map_sorted_groups (no row-cardinality hash
+    aggregate).  md5 collisions (~2^-64/pair) are the only divergence from
+    the string-keyed oracle — the repo's documented MinHash channel.
+    Output (doc_id, n_grams, n_dup, dup_ppm), dup_ppm an exact integer
+    floor(n_dup*1e6/n_grams)."""
+    from ray.data.aggregate import Count
+
+    from ..rayops import adaptive_partitions, map_sorted_groups, safe_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def doc_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, offsets = token_lists_arrow(t["text"])
+        sh, sh_offs = shingle_lists(flat, offsets, n, short="drop")
+        cnt = np.diff(sh_offs)
+        if len(sh) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()), "gram_h": pa.array([], type=pa.int64())}
+            )
+        doc = np.repeat(ids, cnt)
+        h = md5_u64_dict(sh).view(np.int64)
+        order = np.lexsort((h, doc))
+        doc, h = doc[order], h[order]
+        keep = np.ones(len(doc), dtype=bool)
+        keep[1:] = (doc[1:] != doc[:-1]) | (h[1:] != h[:-1])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], type=pa.int64()),
+                "gram_h": pa.array(h[keep], type=pa.int64()),
+            }
+        )
+
+    grams = docs.map_batches(doc_grams, batch_format="pyarrow")
+    df = grams.groupby("gram_h").aggregate(Count(alias_name="df"))
+    joined = safe_join(
+        grams, df, num_partitions=adaptive_partitions(n_docs), on=("gram_h",), right_on=("gram_h",)
+    )
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        dup = (t["df"].to_numpy(zero_copy_only=False) >= 2).astype(np.int64)
+        order = np.argsort(d, kind="stable")
+        d, dup = d[order], dup[order]
+        uniq, starts, counts = np.unique(d, return_index=True, return_counts=True)
+        ndup = np.add.reduceat(dup, starts) if len(d) else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "n_grams": pa.array(counts.astype(np.int64), type=pa.int64()),
+                "n_dup": pa.array(ndup, type=pa.int64()),
+                "dup_ppm": pa.array(ndup * 1_000_000 // counts, type=pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_grams": pa.array([], type=pa.int64()),
+            "n_dup": pa.array([], type=pa.int64()),
+            "dup_ppm": pa.array([], type=pa.int64()),
+        }
+    )
+    return map_sorted_groups(joined, "doc_id", per_doc, empty)
+
+
+def _dup_ngram_sql(n: int = DUP_NGRAM_N) -> str:
+    gram_expr = ", ".join(f"tk[i+{o}]" for o in range(n))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[0-9a-z_]+') AS tk
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(CASE
+      WHEN len(tk) < {n} THEN CAST([] AS VARCHAR[])
+      ELSE list_transform(range(1, len(tk) - {n - 2}), i -> concat_ws(' ', {gram_expr}))
+    END) AS g FROM toks)),
+df AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (df.df >= 2) AS BIGINT) AS n_dup,
+       CAST(count(*) FILTER (df.df >= 2) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+FROM sh s JOIN df ON df.g = s.g
+GROUP BY s.doc_id
+"""
+
+
+T_DUP_NGRAM_SQL = _dup_ngram_sql()

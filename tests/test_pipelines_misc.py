@@ -692,3 +692,29 @@ def test_weighted_sample_priority_order(ray_session, tmp_path):
     assert list(got["doc_id"]) == [e[1] for e in expected]
     assert list(got["weight"]) == [e[2] for e in expected]
     assert list(got["priority"]) == [e[0] for e in expected]
+
+
+def test_vocab_stats_hand_corpus(ray_session, tmp_path):
+    rows = {1: "alpha beta alpha", 2: "beta gamma"}
+    _write_doc_table(tmp_path, rows)
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import t_vocab_stats
+
+    got = t_vocab_stats(str(tmp_path)).to_pandas().iloc[0]
+    assert got["n_tokens"] == 5  # alpha x2, beta x2, gamma x1
+    assert got["vocab_size"] == 3
+    assert got["n_hapax"] == 1
+
+
+def test_dup_ngram_fraction_hand_corpus(ray_session, tmp_path):
+    """Two 9-token docs sharing their first 8-gram -> each has 2 distinct
+    8-grams, 1 duplicated (500000 ppm); a short doc emits nothing."""
+    rows = {1: "a b c d e f g h x", 2: "a b c d e f g h y", 3: "too short"}
+    _write_doc_table(tmp_path, rows)
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import t_dup_ngram_fraction
+
+    got = t_dup_ngram_fraction(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert sorted(got.index) == [1, 2]  # doc 3 has < 8 tokens
+    for d in (1, 2):
+        assert got.loc[d, "n_grams"] == 2
+        assert got.loc[d, "n_dup"] == 1
+        assert got.loc[d, "dup_ppm"] == 500_000
