@@ -1098,10 +1098,15 @@ TFIDF_FP = 1_000_000
 
 def t_tfidf_topk(sf_dir: str, k: int = TFIDF_TOP_K):
     """Top-k (doc_id, tok, rank, score_fp) per document by fixed-point tf-idf;
-    rank 1..k by (score desc, tok asc)."""
-    from ray.data.aggregate import Count
+    rank 1..k by (score desc, tok asc).
 
-    from ..rayops import adaptive_partitions, map_sorted_groups, safe_join
+    Plan: two range sorts, no hash exchange.  Complete tok groups compute df
+    as the group size and score in place (each (doc, tok) row counts once),
+    then complete doc groups rank top-k.  (The first version used
+    groupby(tok).count + hash join back — 9.2 s at sf0.1 because the lazy tf
+    stream feeding both join inputs re-executed and the join added two hash
+    exchanges; same cure as t_dup_ngram_fraction.)"""
+    from ..rayops import map_sorted_groups
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     n_docs = docs.count()
@@ -1132,15 +1137,17 @@ def t_tfidf_topk(sf_dir: str, k: int = TFIDF_TOP_K):
         )
 
     tf = docs.map_batches(tf_partial, batch_format="pyarrow")
-    # df = number of docs containing tok: each (doc, tok) row counts once
-    df = tf.groupby("tok").aggregate(Count(alias_name="df"))
-    joined = safe_join(
-        tf, df, num_partitions=adaptive_partitions(n_docs), on=("tok",), right_on=("tok",)
-    )
 
-    def score(t: pa.Table) -> pa.Table:
+    def score_tok_groups(t: pa.Table) -> pa.Table:
+        # complete tok groups: df(tok) = group size — each (doc, tok) row
+        # counts once, so a bincount over in-block dictionary codes IS the
+        # corpus document frequency
+        enc = pc.dictionary_encode(t["tok"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        df_v = np.bincount(codes)[codes].astype(np.float64)
         tf_v = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-        df_v = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
         idf_fp = np.floor(np.log(n_docs / df_v) * TFIDF_FP).astype(np.int64)
         return pa.table(
             {
@@ -1150,7 +1157,11 @@ def t_tfidf_topk(sf_dir: str, k: int = TFIDF_TOP_K):
             }
         )
 
-    scored = joined.map_batches(score, batch_format="pyarrow")
+    empty_scored = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()), "tok": pa.array([], type=pa.string()),
+         "score_fp": pa.array([], type=pa.int64())}
+    )
+    scored = map_sorted_groups(tf, "tok", score_tok_groups, empty_scored)
 
     empty = pa.table(
         {"doc_id": pa.array([], type=pa.int64()), "tok": pa.array([], type=pa.string()),
@@ -1260,18 +1271,19 @@ def t_dup_ngram_fraction(sf_dir: str, n: int = DUP_NGRAM_N):
     shorter than n tokens emit no windows and are excluded (the
     decontamination short="drop" rule).  Plan: vectorized flat shingling →
     md5 gram keys (int64, never gram strings on the wire) → within-doc
-    dedup in the batch → ONE gram-keyed groupby count (df) → hash join back
-    → per-doc counts via map_sorted_groups (no row-cardinality hash
-    aggregate).  md5 collisions (~2^-64/pair) are the only divergence from
-    the string-keyed oracle — the repo's documented MinHash channel.
-    Output (doc_id, n_grams, n_dup, dup_ppm), dup_ppm an exact integer
-    floor(n_dup*1e6/n_grams)."""
-    from ray.data.aggregate import Count
-
-    from ..rayops import adaptive_partitions, map_sorted_groups, safe_join
+    dedup in the batch → TWO range sorts and nothing else: complete gram
+    groups flag each (doc, gram) row dup when its group has ≥2 rows, then
+    complete doc groups count.  (The first version used
+    groupby(gram).count + hash join back — 11.3 s at sf0.1 because the lazy
+    gram stream feeding both join inputs re-executed and the join added two
+    hash exchanges; the two-sort plan is ~3x faster and each exchange is a
+    slim 2×int64 stream.)  md5 collisions (~2^-64/pair) are the only
+    divergence from the string-keyed oracle — the repo's documented MinHash
+    channel.  Output (doc_id, n_grams, n_dup, dup_ppm), dup_ppm an exact
+    integer floor(n_dup*1e6/n_grams)."""
+    from ..rayops import map_sorted_groups
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    n_docs = docs.count()
 
     def doc_grams(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1296,14 +1308,31 @@ def t_dup_ngram_fraction(sf_dir: str, n: int = DUP_NGRAM_N):
         )
 
     grams = docs.map_batches(doc_grams, batch_format="pyarrow")
-    df = grams.groupby("gram_h").aggregate(Count(alias_name="df"))
-    joined = safe_join(
-        grams, df, num_partitions=adaptive_partitions(n_docs), on=("gram_h",), right_on=("gram_h",)
+
+    def flag_dup(t: pa.Table) -> pa.Table:
+        # complete gram groups: a row is dup iff its gram's group size >= 2
+        h = t["gram_h"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        _, starts, counts = np.unique(hs, return_index=True, return_counts=True)
+        dup_sorted = np.repeat(counts >= 2, counts)
+        dup = np.empty(len(h), dtype=np.int64)
+        dup[order] = dup_sorted
+        return pa.table(
+            {"doc_id": pa.array(d, type=pa.int64()), "dup": pa.array(dup, type=pa.int64())}
+        )
+
+    flagged = map_sorted_groups(
+        grams,
+        "gram_h",
+        flag_dup,
+        pa.table({"doc_id": pa.array([], type=pa.int64()), "dup": pa.array([], type=pa.int64())}),
     )
 
     def per_doc(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False)
-        dup = (t["df"].to_numpy(zero_copy_only=False) >= 2).astype(np.int64)
+        dup = t["dup"].to_numpy(zero_copy_only=False)
         order = np.argsort(d, kind="stable")
         d, dup = d[order], dup[order]
         uniq, starts, counts = np.unique(d, return_index=True, return_counts=True)
@@ -1325,7 +1354,7 @@ def t_dup_ngram_fraction(sf_dir: str, n: int = DUP_NGRAM_N):
             "dup_ppm": pa.array([], type=pa.int64()),
         }
     )
-    return map_sorted_groups(joined, "doc_id", per_doc, empty)
+    return map_sorted_groups(flagged, "doc_id", per_doc, empty)
 
 
 def _dup_ngram_sql(n: int = DUP_NGRAM_N) -> str:
