@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_weighted_sample": SP.p_weighted_sample,
         "t_vocab_stats": T.t_vocab_stats,
         "t_dup_ngram_fraction": T.t_dup_ngram_fraction,
+        "t_bpe_merges": T.t_bpe_merges,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,

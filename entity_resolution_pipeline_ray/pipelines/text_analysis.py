@@ -1379,3 +1379,89 @@ GROUP BY s.doc_id
 
 
 T_DUP_NGRAM_SQL = _dup_ngram_sql()
+
+
+def t_bpe_merges(sf_dir: str, n_merges: int = 20, max_vocab: int = 100_000):
+    """BPE tokenizer-vocabulary learning (Sennrich et al. 2016): the top
+    ``n_merges`` byte-pair merges over the corpus, rank-ordered.  The
+    distributed part is the corpus→word-count reduction (the corpus-sized
+    stage: per-block ``pc.value_counts`` combiner then ONE token-keyed
+    groupby sum, as t_vocab_stats); the merge loop itself runs on the driver
+    over the count-capped vocabulary — the published algorithm's shape
+    (BPE iterates over the VOCAB with frequencies, never the corpus), with
+    ``max_vocab`` bounding driver state like the clustering fast path.
+    Deterministic: ties break on the lexicographically smallest pair.
+    Not SQL-expressible (iterative re-tokenization) → rows-only oracle.
+    Output (rank, left, right, pair_count)."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        flat, _ = token_lists_arrow(t["text"])
+        if len(flat) == 0:
+            return pa.table(
+                {"tok": pa.array([], type=pa.string()), "c": pa.array([], type=pa.int64())}
+            )
+        vc = pc.value_counts(flat)
+        return pa.table({"tok": vc.field("values"), "c": vc.field("counts").cast(pa.int64())})
+
+    counts = (
+        docs.map_batches(tok_partial, batch_format="pyarrow").groupby("tok").aggregate(Sum("c", alias_name="n"))
+    )
+
+    def vocab_topk(t: pa.Table) -> pa.Table:
+        # per-block partial top-max_vocab by (n desc, tok asc) — the driver
+        # merge sees at most max_vocab rows per block, never the full vocab
+        toks = t["tok"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        if len(toks) > max_vocab:
+            order = np.lexsort((toks, -n))[:max_vocab]
+            toks, n = toks[order], n[order]
+        return pa.table({"tok": pa.array(toks, type=pa.string()), "n": pa.array(n, type=pa.int64())})
+
+    vdf = counts.map_batches(vocab_topk, batch_format="pyarrow").to_pandas()
+    if not vdf.empty:
+        vdf = vdf.sort_values(["n", "tok"], ascending=[False, True], kind="mergesort").head(max_vocab)
+
+    # driver BPE loop over the (small) vocab: word -> symbol tuple
+    words = {tuple(w): int(c) for w, c in zip(vdf.get("tok", []), vdf.get("n", []))}
+    out_rank, out_left, out_right, out_cnt = [], [], [], []
+    for rank in range(1, n_merges + 1):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        # tie-break: highest count, then lexicographically smallest pair
+        top = max(pair_counts.values())
+        best = min(p for p, c in pair_counts.items() if c == top)
+        cnt = top
+        out_rank.append(rank)
+        out_left.append(best[0])
+        out_right.append(best[1])
+        out_cnt.append(cnt)
+        merged = best[0] + best[1]
+        new_words = {}
+        for syms, c in words.items():
+            if len(syms) > 1:
+                ns, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                        ns.append(merged)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                syms = tuple(ns)
+            new_words[syms] = new_words.get(syms, 0) + c
+        words = new_words
+    return pa.table(
+        {
+            "rank": pa.array(out_rank, type=pa.int64()),
+            "left": pa.array(out_left, type=pa.string()),
+            "right": pa.array(out_right, type=pa.string()),
+            "pair_count": pa.array(out_cnt, type=pa.int64()),
+        }
+    )

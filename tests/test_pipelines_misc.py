@@ -718,3 +718,16 @@ def test_dup_ngram_fraction_hand_corpus(ray_session, tmp_path):
         assert got.loc[d, "n_grams"] == 2
         assert got.loc[d, "n_dup"] == 1
         assert got.loc[d, "dup_ppm"] == 500_000
+
+
+def test_bpe_merges_hand_corpus(ray_session, tmp_path):
+    """Sennrich's classic example: {low:3, lower:1, lowest:1}.  Pair counts
+    round 1: (l,o)=5, (o,w)=5, rest <=2 -> tie broken lexicographically to
+    (l,o); round 2 merges (lo,w); round 3 merges (low,e) with count 2."""
+    rows = {1: "low low low", 2: "lower lowest"}
+    _write_doc_table(tmp_path, rows)
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import t_bpe_merges
+
+    got = t_bpe_merges(str(tmp_path), n_merges=3).to_pandas()
+    assert list(map(tuple, got[["left", "right", "pair_count"]].itertuples(index=False))) == [
+        ("l", "o", 5), ("lo", "w", 5), ("low", "e", 2)]
