@@ -49,6 +49,16 @@ from ..rayops import adaptive_partitions, first_per_key, read_parquet_clean, saf
 # dst, exact while both node ids stay below 2^31 (~1 B customers / suppliers;
 # asserted in the pack kernels — a silent wrap would corrupt the dedup).
 EKEY_SHIFT = 31
+
+# triangles_on_edges: below this edge count the sorted ekey set broadcasts
+# (8 B/edge -> 40 MB at the cap) and closing edges are counted inside the
+# wedge pass; above it, the wedge stream hash-joins the edge set instead
+EDGE_BROADCAST_MAX_ROWS = 5_000_000
+
+# triangles_on_edges: below this node count the (node, deg) arrays broadcast
+# (16 B/node -> 80 MB at the cap) and endpoint degrees attach by searchsorted
+# in one map; above it, two node-keyed hash joins attach them instead
+NODE_BROADCAST_MAX_ROWS = 5_000_000
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
 
@@ -406,12 +416,15 @@ def g_common_neighbors(sf_dir: str, k: int = COMMON_NEIGHBORS_TOPK):
     decode the distinct purchase edges back to (cust, supp), enumerate
     within-customer supplier pairs with the blocking stage's sorted-group
     kernel (one range shuffle; per-customer degree bounds the quadratic
-    locally), count per packed pair via groupby (Ray pre-aggregates partials
-    before the exchange), then per-block partial top-k + a tiny driver merge
-    — the knn_bruteforce reduce shape, never a global sort.  Output
+    locally), combine counts per block (np.unique — the dense pair space
+    collapses ~25x before the exchange), then ONE range sort over the
+    (pair, c) partials with complete-group summing AND the per-block top-k
+    fused into the same pass, ending in a tiny driver merge.  (The first
+    version used groupby(pair).count(): 37 s at sf0.1 — 499,500 groups
+    through Ray's ~13k-groups/s hash-aggregate finalizer, the exact
+    bottleneck rayops.map_sorted_groups exists to avoid.)  Output
     (supp_a, supp_b, n_common), rank order (n desc, a, b)."""
-    from ray.data.aggregate import Count
-
+    from ..rayops import map_sorted_groups
     from ..stages.blocking import sorted_group_pairs
 
     edges = purchase_edges(sf_dir)
@@ -426,25 +439,34 @@ def g_common_neighbors(sf_dir: str, k: int = COMMON_NEIGHBORS_TOPK):
 
     pairs = sorted_group_pairs(edges.map_batches(decode, batch_format="pyarrow"), unique=False)
 
-    def pack(t: pa.Table) -> pa.Table:
+    def pack_combine(t: pa.Table) -> pa.Table:
         a = t["left_id"].to_numpy(zero_copy_only=False)
         b = t["right_id"].to_numpy(zero_copy_only=False)
-        return pa.table({"pair": pa.array(_pack_edges(a, b), type=pa.int64())})
-
-    counts = pairs.map_batches(pack, batch_format="pyarrow").groupby("pair").aggregate(
-        Count(alias_name="n_common")
-    )
-
-    def block_topk(t: pa.Table) -> pa.Table:
-        n = t["n_common"].to_numpy(zero_copy_only=False)
-        p = t["pair"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((p, -n))[:k]
+        u, c = np.unique(_pack_edges(a, b), return_counts=True)
         return pa.table(
-            {"pair": pa.array(p[order], type=pa.int64()), "n_common": pa.array(n[order], type=pa.int64())}
+            {"pair": pa.array(u, type=pa.int64()), "c": pa.array(c.astype(np.int64), type=pa.int64())}
         )
 
-    part = block_topk  # same (n desc, pair asc) order as the driver merge
-    merged = counts.map_batches(part, batch_format="pyarrow").to_pandas()
+    packed = pairs.map_batches(pack_combine, batch_format="pyarrow")
+
+    def sum_and_topk(t: pa.Table) -> pa.Table:
+        # complete pair groups: sum the partials, keep the block's top-k by
+        # the SAME (n desc, pair asc) order as the driver merge
+        p = t["pair"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(p, kind="stable")
+        ps, cs = p[order], c[order]
+        u, starts = np.unique(ps, return_index=True)
+        tot = np.add.reduceat(cs, starts)
+        sel = np.lexsort((u, -tot))[:k]
+        return pa.table(
+            {"pair": pa.array(u[sel], type=pa.int64()), "n_common": pa.array(tot[sel], type=pa.int64())}
+        )
+
+    empty = pa.table(
+        {"pair": pa.array([], type=pa.int64()), "n_common": pa.array([], type=pa.int64())}
+    )
+    merged = map_sorted_groups(packed, "pair", sum_and_topk, empty).to_pandas()
     merged = merged.sort_values(["n_common", "pair"], ascending=[False, True]).head(k)
     pr = merged["pair"].to_numpy()
     return pa.table(
@@ -495,6 +517,10 @@ def triangles_on_edges(edges):
 
     from ..rayops import adaptive_partitions, map_sorted_groups, safe_join
 
+    # materialize the slim (u, v) stream ONCE: it feeds count(), the degree
+    # aggregate and a join side — left lazy, the upstream pair enumeration
+    # re-executes for each consumer (observed 3x at sf0.1)
+    edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return pa.table({"n_triangles": pa.array([0], type=pa.int64())})
@@ -505,30 +531,14 @@ def triangles_on_edges(edges):
         v = t["v"].to_numpy(zero_copy_only=False)
         return pa.table({"node": pa.array(np.concatenate([u, v]), type=pa.int64())})
 
-    deg = edges.map_batches(explode, batch_format="pyarrow").groupby("node").aggregate(
-        Count(alias_name="deg")
+    deg = (
+        edges.map_batches(explode, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+        .materialize()  # feeds BOTH endpoint joins — compute once
     )
 
-    ed_u = safe_join(
-        edges,
-        deg.map_batches(lambda t: t.rename_columns(["u", "deg_u"]), batch_format="pyarrow"),
-        num_partitions=nparts,
-        on=("u",),
-        right_on=("u",),
-    )
-    ed = safe_join(
-        ed_u,
-        deg.map_batches(lambda t: t.rename_columns(["v", "deg_v"]), batch_format="pyarrow"),
-        num_partitions=nparts,
-        on=("v",),
-        right_on=("v",),
-    )
-
-    def orient(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
-        du = t["deg_u"].to_numpy(zero_copy_only=False)
-        dv = t["deg_v"].to_numpy(zero_copy_only=False)
+    def _orient_arrays(u, v, du, dv) -> pa.Table:
         # src = lower (deg, id) endpoint; (u, du) vs (v, dv) with u < v always
         u_first = (du < dv) | ((du == dv) & (u < v))
         src = np.where(u_first, u, v)
@@ -543,11 +553,53 @@ def triangles_on_edges(edges):
             }
         )
 
-    directed = ed.map_batches(orient, batch_format="pyarrow").materialize()
+    n_nodes = deg.count()
+    if n_nodes <= NODE_BROADCAST_MAX_ROWS:
+        # small-degree-table plan: broadcast the sorted (node, deg) arrays
+        # (16 B/node) and attach endpoint degrees by searchsorted inside ONE
+        # map — the two node-keyed hash joins cost 6.6 s at sf0.1 for a
+        # 1,500-node degree table; this is ~0.3 s
+        dt = pa.concat_tables(ray.get(deg.to_arrow_refs()))
+        nodes = dt["node"].to_numpy(zero_copy_only=False)
+        degs = dt["deg"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nodes)
+        dref = ray.put((nodes[order], degs[order]))
 
-    empty_wedges = pa.table({"ekey": pa.array([], type=pa.int64())})
+        def orient_bcast(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            nn, dd = ray.get(dref)
+            return _orient_arrays(u, v, dd[np.searchsorted(nn, u)], dd[np.searchsorted(nn, v)])
 
-    def wedges(t: pa.Table) -> pa.Table:
+        directed = edges.map_batches(orient_bcast, batch_format="pyarrow").materialize()
+    else:
+        # at-scale plan: attach endpoint degrees by two node-keyed hash joins
+        ed_u = safe_join(
+            edges,
+            deg.map_batches(lambda t: t.rename_columns(["u", "deg_u"]), batch_format="pyarrow"),
+            num_partitions=nparts,
+            on=("u",),
+            right_on=("u",),
+        )
+        ed = safe_join(
+            ed_u,
+            deg.map_batches(lambda t: t.rename_columns(["v", "deg_v"]), batch_format="pyarrow"),
+            num_partitions=nparts,
+            on=("v",),
+            right_on=("v",),
+        )
+
+        def orient(t: pa.Table) -> pa.Table:
+            return _orient_arrays(
+                t["u"].to_numpy(zero_copy_only=False),
+                t["v"].to_numpy(zero_copy_only=False),
+                t["deg_u"].to_numpy(zero_copy_only=False),
+                t["deg_v"].to_numpy(zero_copy_only=False),
+            )
+
+        directed = ed.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def _wedge_keys(t: pa.Table) -> np.ndarray:
         # complete src groups: ordered out-neighbor pairs (v ≺ w by (deg, id))
         # — the closing edge, if present, is oriented exactly v → w
         df = t.to_pandas().sort_values(["src", "ddst", "dst"])
@@ -558,9 +610,41 @@ def triangles_on_edges(edges):
                 continue
             i, j = np.triu_indices(len(d), k=1)
             out.append(_pack_edges(d[i], d[j]))
-        if not out:
+        return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+
+    if n_edges <= EDGE_BROADCAST_MAX_ROWS:
+        # small-graph plan: broadcast the sorted ekey set (8 B/edge) and count
+        # closing membership INSIDE the wedge pass — no wedge stream ever
+        # materializes, no join
+        ekeys = np.sort(
+            pa.concat_tables(ray.get(directed.select_columns(["ekey"]).to_arrow_refs()))["ekey"]
+            .to_numpy(zero_copy_only=False)
+        )
+        eref = ray.put(ekeys)
+
+        def wedge_close_count(t: pa.Table) -> pa.Table:
+            w = _wedge_keys(t)
+            if len(w) == 0:
+                return pa.table({"n": pa.array([0], type=pa.int64())})
+            ek = ray.get(eref)
+            pos = np.searchsorted(ek, w)
+            hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == w)
+            return pa.table({"n": pa.array([int(hit.sum())], type=pa.int64())})
+
+        parts = map_sorted_groups(
+            directed, "src", wedge_close_count, pa.table({"n": pa.array([], type=pa.int64())})
+        ).to_pandas()
+        total = int(parts["n"].sum()) if not parts.empty else 0
+        return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
+
+    # at-scale plan: the wedge stream joins the edge set on the packed key
+    empty_wedges = pa.table({"ekey": pa.array([], type=pa.int64())})
+
+    def wedges(t: pa.Table) -> pa.Table:
+        w = _wedge_keys(t)
+        if len(w) == 0:
             return empty_wedges
-        return pa.table({"ekey": pa.array(np.concatenate(out), type=pa.int64())})
+        return pa.table({"ekey": pa.array(w, type=pa.int64())})
 
     wedge_ds = map_sorted_groups(directed, "src", wedges, empty_wedges)
     closed = safe_join(

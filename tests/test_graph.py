@@ -114,3 +114,22 @@ def test_triangles_on_hand_graphs(ray_session):
     assert count(k4 + [(4, 9)]) == 4
     # two triangles sharing an edge
     assert count([(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)]) == 2
+
+
+def test_triangles_dual_plans_agree(ray_session, monkeypatch):
+    """The broadcast (degree-searchsorted + in-pass closing count) and
+    at-scale (two degree joins + ekey hash join) plans must count the same
+    triangles."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import entity_resolution_pipeline_ray.pipelines.graph as G
+
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9), (5, 6)]
+    t = pa.table({"u": pa.array([a for a, _ in pairs], type=pa.int64()),
+                  "v": pa.array([b for _, b in pairs], type=pa.int64())})
+    bcast = G.triangles_on_edges(rd.from_arrow(t))["n_triangles"][0].as_py()
+    monkeypatch.setattr(G, "EDGE_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(G, "NODE_BROADCAST_MAX_ROWS", 0)
+    joined = G.triangles_on_edges(rd.from_arrow(t))["n_triangles"][0].as_py()
+    assert bcast == joined == 4
