@@ -279,8 +279,9 @@ def _mod_filter(want_zero: bool):
     return f
 
 
-def d_decontaminate(sf_dir: str):
-    """Output (doc_id, contaminated) for every non-benchmark doc."""
+def _contamination_flags(sf_dir: str, extra_cols: tuple = ()):
+    """The decontamination flag stream with optional passthrough columns:
+    (doc_id, contaminated, *extra_cols) for every non-benchmark doc."""
     import ray
 
     bench = _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -299,7 +300,7 @@ def d_decontaminate(sf_dir: str):
     )
     ref = ray.put(bench_hashes)
 
-    corpus = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    corpus = _docs(sf_dir, ["doc_id", "text", *extra_cols]).map_batches(
         _mod_filter(False), batch_format="pyarrow"
     )
 
@@ -310,9 +311,17 @@ def d_decontaminate(sf_dir: str):
         # segmented any(): a doc is contaminated iff a hit falls in its window range
         cum = np.concatenate(([0], np.cumsum(hits, dtype=np.int64)))
         out = (cum[g_offs[1:]] - cum[g_offs[:-1]]) > 0
-        return pa.table({"doc_id": t["doc_id"], "contaminated": pa.array(out)})
+        cols = {"doc_id": t["doc_id"], "contaminated": pa.array(out)}
+        for c in extra_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
 
     return corpus.map_batches(check, batch_format="pyarrow")
+
+
+def d_decontaminate(sf_dir: str):
+    """Output (doc_id, contaminated) for every non-benchmark doc."""
+    return _contamination_flags(sf_dir)
 
 
 # -------------------------------------------------------- boilerplate lines
@@ -1303,34 +1312,36 @@ def d_contamination_by_source(sf_dir: str):
     """Per-source contamination report — the audit a curation run publishes
     next to the decontamination pass: for each source, how many corpus docs
     share an eval n-gram (count + rate in exact 1e-6 units, so no float-sum
-    ambiguity).  Composes d_decontaminate's flag stream with a slim source
-    lookup; the aggregate is a tiny per-source groupby."""
-    from ray.data.aggregate import Count, Sum
+    ambiguity).  Single pass: the decontamination flag map carries ``source``
+    through (the first version joined the flag stream back to a doc→source
+    lookup — 9.5 s at sf0.1, all doc-keyed join overhead for a 19-row
+    report), per-block (source, n, flagged) combiners, then a tiny
+    source-keyed groupby over the partials."""
+    from ray.data.aggregate import Sum
 
-    from ..rayops import adaptive_partitions, safe_join
+    flags = _contamination_flags(sf_dir, extra_cols=("source",))
 
-    flags = d_decontaminate(sf_dir)
-    src = _docs(sf_dir, ["doc_id", "source"])
-    joined = safe_join(
-        flags,
-        src,
-        num_partitions=adaptive_partitions(src.count()),
-        on=("doc_id",),
-        right_on=("doc_id",),
-    )
-
-    def prep(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["source", "contaminated"])
+            .to_pandas()
+            .assign(flagged=lambda d: d["contaminated"].astype(np.int64))
+            .groupby("source", dropna=False, sort=False)
+            .agg(n=("flagged", "size"), f=("flagged", "sum"))
+            .reset_index()
+        )
         return pa.table(
             {
-                "source": t["source"],
-                "flagged": pc.cast(t["contaminated"], pa.int64()),
+                "source": pa.array(g["source"], type=pa.string()),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+                "f": pa.array(g["f"].to_numpy(dtype=np.int64), type=pa.int64()),
             }
         )
 
     agg = (
-        joined.map_batches(prep, batch_format="pyarrow")
+        flags.map_batches(partial, batch_format="pyarrow")
         .groupby("source")
-        .aggregate(Count(alias_name="n_docs"), Sum("flagged", alias_name="n_flagged"))
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("f", alias_name="n_flagged"))
     )
 
     def fin(t: pa.Table) -> pa.Table:
