@@ -132,18 +132,52 @@ FROM documents
 
 def t_lang_stats(sf_dir: str):
     """A4 field statistics per language: doc count, mean char length, distinct
-    sources (two-level pre-aggregated distinct)."""
-    ds = _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
-    base = ds.groupby("lang").aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"))
-    nsrc = (
-        ds.groupby(["lang", "source"])
-        .aggregate(Count(alias_name="_c"))
-        .groupby("lang")
-        .aggregate(Count(alias_name="n_sources"))
+    sources.  One pass: per-block (lang, source) combiners — dimension-sized
+    partials (langs × sources rows per block) — merged on the driver.  (The
+    first version ran the read twice and three hash groupbys for a 5-row
+    result: 3.8 s at sf0.1; this is ~1 s.)  avg_chars is exact-int sum /
+    count divided once, matching DuckDB avg(BIGINT)."""
+    ds = _docs(sf_dir, ["lang", "source", "n_chars"])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["lang", "source"], sort=False)
+            .agg(n=("n_chars", "size"), s=("n_chars", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], type=pa.string()),
+                "source": pa.array(g["source"], type=pa.string()),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+                "s": pa.array(g["s"].to_numpy(dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    p = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if p.empty:
+        return pa.table(
+            {"lang": pa.array([], type=pa.string()), "n_docs": pa.array([], type=pa.int64()),
+             "avg_chars": pa.array([], type=pa.float64()), "n_sources": pa.array([], type=pa.int64())}
+        )
+    ls = p.groupby(["lang", "source"], sort=False)[["n", "s"]].sum().reset_index()
+    out = (
+        ls.groupby("lang", sort=True)
+        .agg(n_docs=("n", "sum"), sum_chars=("s", "sum"), n_sources=("source", "nunique"))
+        .reset_index()
     )
-    b = base.to_pandas()
-    s = nsrc.to_pandas()
-    return pa.Table.from_pandas(b.merge(s, on="lang"), preserve_index=False)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "n_docs": pa.array(out["n_docs"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "avg_chars": pa.array(
+                out["sum_chars"].to_numpy(dtype=np.int64) / out["n_docs"].to_numpy(dtype=np.int64),
+                type=pa.float64(),
+            ),
+            "n_sources": pa.array(out["n_sources"].to_numpy(dtype=np.int64), type=pa.int64()),
+        }
+    )
 
 
 T_LANG_STATS_SQL = """
