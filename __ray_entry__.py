@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_vocab_stats": T.t_vocab_stats,
         "t_dup_ngram_fraction": T.t_dup_ngram_fraction,
         "t_bpe_merges": T.t_bpe_merges,
+        "q_user_growth": R.q_user_growth,
+        "q_transition_counts": R.q_transition_counts,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -299,6 +301,8 @@ def oracle_sql() -> dict[str, str]:
         "p_weighted_sample": SP.P_WEIGHTED_SAMPLE_SQL,
         "t_vocab_stats": T.T_VOCAB_STATS_SQL,
         "t_dup_ngram_fraction": T.T_DUP_NGRAM_SQL,
+        "q_user_growth": R.Q_USER_GROWTH_SQL,
+        "q_transition_counts": R.Q_TRANSITION_COUNTS_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

@@ -1989,3 +1989,121 @@ FROM c a LEFT JOIN c b
   ON b.cents BETWEEN a.cents - 10000 AND a.cents + 10000 AND b.o_orderkey <> a.o_orderkey
 GROUP BY a.o_orderkey
 """
+
+
+def q_user_growth(sf_dir: str):
+    """User growth curve: per calendar day, first-time users and the
+    cumulative user count.  Plan: ONE range shuffle (``first_per_key`` on
+    user_id ordered by day — the distributed min-day dedup), then per-block
+    day-count partials (day-cardinality, dimension-sized) merge on the
+    driver where the running total is a cumsum.  Days with no new users are
+    absent in both engines by construction.  Output (day_us, new_users,
+    cum_users)."""
+    from ..rayops import first_per_key
+
+    DAY_US = 86_400_000_000
+    ev = _pq(sf_dir, "events", ["ts", "user_id"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pa.array(d.to_numpy(zero_copy_only=False) // DAY_US, type=pa.int64()),
+            }
+        )
+
+    firsts = first_per_key(ev.map_batches(keys, batch_format="pyarrow"), "user_id", order_col="day")
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["day"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"day": pa.array(u, type=pa.int64()), "c": pa.array(c.astype(np.int64), type=pa.int64())}
+        )
+
+    p = firsts.map_batches(day_counts, batch_format="pyarrow").to_pandas()
+    if p.empty:
+        return pa.table(
+            {"day_us": pa.array([], type=pa.int64()), "new_users": pa.array([], type=pa.int64()),
+             "cum_users": pa.array([], type=pa.int64())}
+        )
+    g = p.groupby("day", sort=True)["c"].sum()
+    return pa.table(
+        {
+            "day_us": pa.array(g.index.to_numpy(dtype=np.int64) * DAY_US, type=pa.int64()),
+            "new_users": pa.array(g.to_numpy(dtype=np.int64), type=pa.int64()),
+            "cum_users": pa.array(np.cumsum(g.to_numpy(dtype=np.int64)), type=pa.int64()),
+        }
+    )
+
+
+Q_USER_GROWTH_SQL = """
+WITH f AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d FROM events GROUP BY user_id),
+nd AS (SELECT d, count(*) AS new_users FROM f GROUP BY d)
+SELECT CAST(epoch_us(d) AS BIGINT) AS day_us,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+FROM nd
+"""
+
+
+def q_transition_counts(sf_dir: str):
+    """Event-type transition (Markov) matrix: counts of consecutive
+    (prev_type → event_type) pairs within each user's ts-ordered stream —
+    the behavioral-model input of event pipelines.  Plan: per-user complete
+    groups via ONE range sort (``map_sorted_groups``), vectorized shift
+    inside the block, per-block (prev, cur) partials (≤ types² rows), tiny
+    driver merge.  Ties on ts break by event_id, same as the oracle's
+    window ORDER BY.  Output (prev_type, event_type, n_trans)."""
+    from ..rayops import map_sorted_groups
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    empty = pa.table(
+        {"prev_type": pa.array([], type=pa.string()), "event_type": pa.array([], type=pa.string()),
+         "n": pa.array([], type=pa.int64())}
+    )
+
+    def per_user(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["event_type"].shift(1)
+        mask = prev.notna().to_numpy()
+        if not mask.any():
+            return empty
+        sub = pd.DataFrame(
+            {"prev_type": prev.to_numpy()[mask], "event_type": df["event_type"].to_numpy()[mask]}
+        )
+        g = sub.groupby(["prev_type", "event_type"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "prev_type": pa.array(g["prev_type"], type=pa.string()),
+                "event_type": pa.array(g["event_type"], type=pa.string()),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    p = map_sorted_groups(ev, "user_id", per_user, empty).to_pandas()
+    if p.empty:
+        return pa.table(
+            {"prev_type": pa.array([], type=pa.string()), "event_type": pa.array([], type=pa.string()),
+             "n_trans": pa.array([], type=pa.int64())}
+        )
+    g = p.groupby(["prev_type", "event_type"], sort=True)["n"].sum().reset_index()
+    return pa.table(
+        {
+            "prev_type": pa.array(g["prev_type"], type=pa.string()),
+            "event_type": pa.array(g["event_type"], type=pa.string()),
+            "n_trans": pa.array(g["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+        }
+    )
+
+
+Q_TRANSITION_COUNTS_SQL = """
+WITH w AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n_trans
+FROM w WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""

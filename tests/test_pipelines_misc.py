@@ -731,3 +731,44 @@ def test_bpe_merges_hand_corpus(ray_session, tmp_path):
     got = t_bpe_merges(str(tmp_path), n_merges=3).to_pandas()
     assert list(map(tuple, got[["left", "right", "pair_count"]].itertuples(index=False))) == [
         ("l", "o", 5), ("lo", "w", 5), ("low", "e", 2)]
+
+
+def test_user_growth_hand_events(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(
+        ["2024-01-01 05:00", "2024-01-01 06:00", "2024-01-02 05:00", "2024-01-03 05:00"])
+    pq.write_table(
+        pa.table({"event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "ts": pa.array(ts, type=pa.timestamp("us")),
+                  "user_id": pa.array([10, 20, 10, 30], type=pa.int64()),
+                  "event_type": ["view"] * 4, "value": [0.0] * 4, "props": ["{}"] * 4}),
+        tmp_path / "events.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_user_growth
+
+    got = q_user_growth(str(tmp_path)).to_pandas()
+    # Jan 1: users 10+20 new (cum 2); Jan 2: none (day absent); Jan 3: user 30
+    assert got["new_users"].tolist() == [2, 1]
+    assert got["cum_users"].tolist() == [2, 3]
+
+
+def test_transition_counts_hand_events(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(["2024-01-01 05:00", "2024-01-01 06:00", "2024-01-01 07:00",
+                         "2024-01-01 05:30", "2024-01-01 05:45"])
+    pq.write_table(
+        pa.table({"event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                  "ts": pa.array(ts, type=pa.timestamp("us")),
+                  "user_id": pa.array([10, 10, 10, 20, 20], type=pa.int64()),
+                  "event_type": ["view", "click", "view", "view", "buy"],
+                  "value": [0.0] * 5, "props": ["{}"] * 5}),
+        tmp_path / "events.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_transition_counts
+
+    got = q_transition_counts(str(tmp_path)).to_pandas()
+    m = {(r["prev_type"], r["event_type"]): r["n_trans"] for _, r in got.iterrows()}
+    # user 10: view->click, click->view; user 20: view->buy
+    assert m == {("view", "click"): 1, ("click", "view"): 1, ("view", "buy"): 1}
