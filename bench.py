@@ -44,6 +44,9 @@ ORACLE_QUERIES = [
     "s_knn_bruteforce",
     "m_media_features",
     "g_pagerank",
+    # round-4 late-session optimized operators (two-sort / broadcast plans)
+    "g_triangles",
+    "t_tfidf_topk",
 ]
 
 
