@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_bpe_merges": T.t_bpe_merges,
         "q_user_growth": R.q_user_growth,
         "q_transition_counts": R.q_transition_counts,
+        "q_user_fanout_hist": R.q_user_fanout_hist,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -303,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "t_dup_ngram_fraction": T.T_DUP_NGRAM_SQL,
         "q_user_growth": R.Q_USER_GROWTH_SQL,
         "q_transition_counts": R.Q_TRANSITION_COUNTS_SQL,
+        "q_user_fanout_hist": R.Q_USER_FANOUT_HIST_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

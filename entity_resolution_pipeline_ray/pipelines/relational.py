@@ -2107,3 +2107,44 @@ SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n_trans
 FROM w WHERE prev_type IS NOT NULL
 GROUP BY prev_type, event_type
 """
+
+
+def q_user_fanout_hist(sf_dir: str):
+    """Key fan-out histogram — the skew census an engine runs BEFORE keying a
+    shuffle on user_id (a power-law key melts a hash exchange; this is the
+    relational twin of t_lsh_bucket_stats): (events-per-user, n_users).
+    Plan: per-user counts from complete groups of ONE range sort, then the
+    histogram itself is value-domain-sized — per-block combiners and a tiny
+    driver merge."""
+    from ..rayops import map_sorted_groups
+
+    ev = _pq(sf_dir, "events", ["user_id"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        _, c = np.unique(t["user_id"].to_numpy(zero_copy_only=False), return_counts=True)
+        u, n = np.unique(c, return_counts=True)  # in-block histogram combine
+        return pa.table(
+            {"n_events": pa.array(u.astype(np.int64), type=pa.int64()),
+             "n_users": pa.array(n.astype(np.int64), type=pa.int64())}
+        )
+
+    empty = pa.table(
+        {"n_events": pa.array([], type=pa.int64()), "n_users": pa.array([], type=pa.int64())}
+    )
+    p = map_sorted_groups(ev, "user_id", per_user, empty).to_pandas()
+    if p.empty:
+        return pa.Table.from_pandas(p, preserve_index=False).cast(empty.schema)
+    g = p.groupby("n_events", sort=True)["n_users"].sum().reset_index()
+    return pa.table(
+        {
+            "n_events": pa.array(g["n_events"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "n_users": pa.array(g["n_users"].to_numpy(dtype=np.int64), type=pa.int64()),
+        }
+    )
+
+
+Q_USER_FANOUT_HIST_SQL = """
+WITH pu AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+SELECT n_events, CAST(count(*) AS BIGINT) AS n_users
+FROM pu GROUP BY n_events
+"""

@@ -772,3 +772,21 @@ def test_transition_counts_hand_events(ray_session, tmp_path):
     m = {(r["prev_type"], r["event_type"]): r["n_trans"] for _, r in got.iterrows()}
     # user 10: view->click, click->view; user 20: view->buy
     assert m == {("view", "click"): 1, ("click", "view"): 1, ("view", "buy"): 1}
+
+
+def test_user_fanout_hist_hand_events(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(["2024-01-01"] * 6)
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(1, 7), type=pa.int64()),
+                  "ts": pa.array(ts, type=pa.timestamp("us")),
+                  "user_id": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+                  "event_type": ["view"] * 6, "value": [0.0] * 6, "props": ["{}"] * 6}),
+        tmp_path / "events.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_user_fanout_hist
+
+    got = q_user_fanout_hist(str(tmp_path)).to_pandas()
+    # user 1 -> 3 events, user 2 -> 2, user 3 -> 1
+    assert dict(zip(got["n_events"], got["n_users"])) == {1: 1, 2: 1, 3: 1}
