@@ -790,3 +790,83 @@ def test_user_fanout_hist_hand_events(ray_session, tmp_path):
     got = q_user_fanout_hist(str(tmp_path)).to_pandas()
     # user 1 -> 3 events, user 2 -> 2, user 3 -> 1
     assert dict(zip(got["n_events"], got["n_users"])) == {1: 1, 2: 1, 3: 1}
+
+
+def test_band_join_matches_bruteforce_random(ray_session, tmp_path):
+    """Halo-bucket plan == O(n^2) brute force on seeded random prices,
+    including exact ±eps boundary hits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    # cluster prices tightly so bands overlap heavily and cross buckets
+    prices = np.round(rng.uniform(50, 450, size=300), 2)
+    prices[:5] = [100.00, 200.00, 300.00, 199.99, 299.99]  # force boundary pairs
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(range(300), type=pa.int64()),
+                  "o_totalprice": pa.array(prices, type=pa.float64())}),
+        tmp_path / "orders.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_band_join
+
+    got = q_band_join(str(tmp_path)).to_pandas().set_index("o_orderkey")["n_close"].sort_index()
+    cents = np.round(prices * 100.0).astype(np.int64)
+    brute = (np.abs(cents[:, None] - cents[None, :]) <= 10_000).sum(axis=1) - 1
+    assert (got.to_numpy() == brute).all()
+
+
+def test_dup_ngram_matches_bruteforce_random(ray_session, tmp_path):
+    """Two-sort plan == brute-force distinct-8-gram df computation on a
+    seeded random corpus with planted shared spans."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = " ".join(vocab[:10])  # a 10-token span planted in several docs
+    rows = {}
+    for d in range(40):
+        body = " ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+        rows[d] = (shared + " " + body) if d % 3 == 0 else body
+    _write_doc_table(tmp_path, rows)
+    from entity_resolution_pipeline_ray.functions.text import word_shingles, word_tokens
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import t_dup_ngram_fraction
+
+    got = t_dup_ngram_fraction(str(tmp_path)).to_pandas().set_index("doc_id")
+    # short="drop" semantics: docs under 8 tokens emit no grams
+    grams = {
+        d: set(word_shingles(word_tokens(txt), 8)) if len(word_tokens(txt)) >= 8 else set()
+        for d, txt in rows.items()
+    }
+    from collections import Counter
+    df = Counter(g for gs in grams.values() for g in gs)
+    for d, gs in grams.items():
+        if not gs:
+            assert d not in got.index
+            continue
+        ndup = sum(1 for g in gs if df[g] >= 2)
+        assert got.loc[d, "n_grams"] == len(gs)
+        assert got.loc[d, "n_dup"] == ndup
+        assert got.loc[d, "dup_ppm"] == ndup * 1_000_000 // len(gs)
+
+
+def test_weighted_sample_matches_bruteforce_random(ray_session, tmp_path):
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(13)
+    n = 80
+    ids = rng.permutation(10_000)[:n].astype(np.int64)
+    chars = rng.integers(0, 5_000, size=n).astype(np.int64)  # includes 0-weight docs
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids), "text": [""] * n, "lang": ["en"] * n,
+                  "source": ["s"] * n, "n_chars": pa.array(chars)}),
+        tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.sampling import p_weighted_sample
+
+    def prio(i, w):
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "little")
+        return float(h) / float(max(int(w), 1))
+
+    expected = sorted(((prio(i, w), int(i)) for i, w in zip(ids, chars)))[:20]
+    got = p_weighted_sample(str(tmp_path), k=20).to_pandas()
+    assert list(got["doc_id"]) == [e[1] for e in expected]
+    assert list(got["priority"]) == [e[0] for e in expected]
