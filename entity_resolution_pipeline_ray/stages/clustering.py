@@ -92,8 +92,11 @@ def _components_driver(edges_ds, all_ids_ds):
         return r
 
     for batch in edges_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        src = batch["src"].to_numpy(zero_copy_only=False)
-        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        # accepts either the raw (src, dst) stream or the materialized
+        # bidirectional (node, nbr) view — duplicates are idempotent for UF
+        a_col, b_col = ("node", "nbr") if "node" in batch.column_names else ("src", "dst")
+        src = batch[a_col].to_numpy(zero_copy_only=False)
+        dst = batch[b_col].to_numpy(zero_copy_only=False)
         for a, b in zip(src, dst):
             ra, rb = find(int(a)), find(int(b))
             if ra != rb:
@@ -130,7 +133,11 @@ def propagate_labels(
             lambda b: pa.table({"doc_id": b["node"], "cluster_id": b["label"]}), batch_format="pyarrow"
         )
     if n_edges <= 2 * driver_edge_threshold:  # ebidir holds both directions
-        return _components_driver(edges_ds, all_ids_ds)
+        # feed the MATERIALIZED bidirectional edges, not the original lazy
+        # stream: iterating edges_ds here re-executed its whole upstream
+        # (candidate generation / scoring) a second time; duplicated
+        # directions are idempotent under union-find
+        return _components_driver(ebidir, all_ids_ds)
     # adaptive partitioning: bounded by data AND cpu budget (see rayops)
     from ..rayops import adaptive_partitions
 
