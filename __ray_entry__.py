@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_growth": R.q_user_growth,
         "q_transition_counts": R.q_transition_counts,
         "q_user_fanout_hist": R.q_user_fanout_hist,
+        "p_lang_top_quartile": SP.p_lang_top_quartile,
+        "t_term_search": T.t_term_search,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -305,6 +307,8 @@ def oracle_sql() -> dict[str, str]:
         "q_user_growth": R.Q_USER_GROWTH_SQL,
         "q_transition_counts": R.Q_TRANSITION_COUNTS_SQL,
         "q_user_fanout_hist": R.Q_USER_FANOUT_HIST_SQL,
+        "p_lang_top_quartile": SP.P_LANG_TOP_QUARTILE_SQL,
+        "t_term_search": T.T_TERM_SEARCH_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

@@ -566,3 +566,58 @@ WITH pr AS (
   FROM documents)
 SELECT doc_id, weight, priority FROM pr ORDER BY priority, doc_id LIMIT 200
 """
+
+
+def p_lang_top_quartile(sf_dir: str):
+    """Quality-quantile filter apply — keep each language's top quartile by
+    n_chars (the per-group "top X% by score" selection step of curation
+    recipes): the q_lang_quantiles histogram machinery computes exact
+    DuckDB-parity thresholds (value-domain-sized driver state), the
+    thresholds broadcast, and ONE filter pass streams the corpus.  Output
+    (doc_id, lang, n_chars)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby(["lang", "n_chars"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+
+    def qdisc(vals: np.ndarray, cnts: np.ndarray, q: float) -> int:
+        n = int(cnts.sum())
+        idx = max(int(np.ceil(n * q)) - 1, 0)
+        return int(vals[np.searchsorted(np.cumsum(cnts), idx + 1)])
+
+    th = {}
+    if not counts.empty:
+        for lang, g in counts.sort_values(["lang", "n_chars"]).groupby("lang", sort=True):
+            th[lang] = qdisc(g["n_chars"].to_numpy(), g["c"].to_numpy(), 0.75)
+    tref = ray.put(th)
+
+    full = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        thr = ray.get(tref)
+        lang = t["lang"].to_pylist()
+        n = t["n_chars"].to_numpy(zero_copy_only=False)
+        mask = np.array([n[i] >= thr.get(l, np.iinfo(np.int64).max) for i, l in enumerate(lang)])
+        if len(mask) == 0:
+            return t
+        return t.filter(pa.array(mask))
+
+    return full.map_batches(keep, batch_format="pyarrow")
+
+
+P_LANG_TOP_QUARTILE_SQL = """
+WITH th AS (SELECT lang, quantile_disc(n_chars, 0.75) AS q75 FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN th USING (lang) WHERE d.n_chars >= th.q75
+"""

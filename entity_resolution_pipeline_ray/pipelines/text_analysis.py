@@ -1499,3 +1499,50 @@ def t_bpe_merges(sf_dir: str, n_merges: int = 20, max_vocab: int = 100_000):
             "pair_count": pa.array(out_cnt, type=pa.int64()),
         }
     )
+
+
+TERM_SEARCH_TERMS = ("table", "quality", "sample")
+
+
+def t_term_search(sf_dir: str, terms: tuple = TERM_SEARCH_TERMS):
+    """Concordance / grep-at-scale: for each query term, the docs containing
+    it and the 1-based position of the first hit (DuckDB ``strpos`` parity on
+    this ASCII corpus) — the corpus-inspection primitive behind targeted
+    decontamination and eval-leak hunts.  One streaming pass; each term is a
+    vectorized ``pc.find_substring`` over the lowered text (no per-row
+    Python).  Output (term, doc_id, first_pos)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(t["text"], ""))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        outs = []
+        for term in terms:
+            pos = pc.find_substring(low, term).to_numpy(zero_copy_only=False)
+            m = pos >= 0
+            outs.append(
+                pa.table(
+                    {
+                        "term": pa.array([term] * int(m.sum()), type=pa.string()),
+                        "doc_id": pa.array(ids[m], type=pa.int64()),
+                        "first_pos": pa.array(pos[m] + 1, type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _term_search_sql(terms: tuple = TERM_SEARCH_TERMS) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH t(term) AS (VALUES {vals})
+SELECT t.term, d.doc_id,
+       CAST(strpos(lower(coalesce(d.text, '')), t.term) AS BIGINT) AS first_pos
+FROM documents d, t
+WHERE strpos(lower(coalesce(d.text, '')), t.term) > 0
+"""
+
+
+T_TERM_SEARCH_SQL = _term_search_sql()

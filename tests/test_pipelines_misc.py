@@ -870,3 +870,31 @@ def test_weighted_sample_matches_bruteforce_random(ray_session, tmp_path):
     got = p_weighted_sample(str(tmp_path), k=20).to_pandas()
     assert list(got["doc_id"]) == [e[1] for e in expected]
     assert list(got["priority"]) == [e[0] for e in expected]
+
+
+def test_lang_top_quartile_hand_corpus(ray_session, tmp_path):
+    """12 en-docs with n_chars 1..12: quantile_disc(0.75) = element at
+    ceil(12*0.75)-1 = index 8 of the sorted list = 9 -> keep 9..12."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 12
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(1, n + 1), type=pa.int64()),
+                  "text": ["x"] * n, "lang": ["en"] * n, "source": ["s"] * n,
+                  "n_chars": pa.array(range(1, n + 1), type=pa.int64())}),
+        tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.sampling import p_lang_top_quartile
+
+    got = p_lang_top_quartile(str(tmp_path)).to_pandas()
+    assert sorted(got["n_chars"]) == [9, 10, 11, 12]
+
+
+def test_term_search_hand_corpus(ray_session, tmp_path):
+    rows = {1: "a Table of data", 2: "no hits here", 3: "sample the sample"}
+    _write_doc_table(tmp_path, rows)
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import t_term_search
+
+    got = t_term_search(str(tmp_path)).to_pandas()
+    m = {(r["term"], r["doc_id"]): r["first_pos"] for _, r in got.iterrows()}
+    assert m == {("table", 1): 3, ("sample", 3): 1}  # 1-based, case-folded
