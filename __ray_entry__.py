@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_fanout_hist": R.q_user_fanout_hist,
         "p_lang_top_quartile": SP.p_lang_top_quartile,
         "t_term_search": T.t_term_search,
+        "d_minhash_threshold_sweep": D.d_minhash_threshold_sweep,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -309,6 +310,7 @@ def oracle_sql() -> dict[str, str]:
         "q_user_fanout_hist": R.Q_USER_FANOUT_HIST_SQL,
         "p_lang_top_quartile": SP.P_LANG_TOP_QUARTILE_SQL,
         "t_term_search": T.T_TERM_SEARCH_SQL,
+        "d_minhash_threshold_sweep": D.D_MINHASH_SWEEP_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

@@ -1237,3 +1237,51 @@ FROM sizes GROUP BY bucket_size
 
 
 T_LSH_BUCKET_STATS_SQL = _lsh_bucket_stats_sql()
+
+
+SWEEP_THRESHOLDS_PCT = (50, 60, 70, 80, 90)
+
+
+def d_minhash_threshold_sweep(sf_dir: str, minhash_cfg: MinHashConfig | None = None):
+    """Threshold calibration sweep: verified near-dup pair counts at five
+    similarity cutoffs from ONE pair-generation pass — the curve an operator
+    reads before picking the dedup threshold (too low floods the closure,
+    too high leaks mirrors).  Reuses the memoized 0.5-threshold pair stream;
+    the per-threshold counts are per-block partials summed on the driver
+    (5 ints per block).  The est_jaccard values are exact dyadics (k/128),
+    so the >= comparisons against the decimal cutoffs are float-safe.
+    Output (threshold_pct, n_pairs), zero-count thresholds included."""
+    cfg = minhash_cfg or MinHashConfig()
+    pairs = minhash_dup_pairs(sf_dir, threshold=0.5, minhash_cfg=cfg)
+    ths = np.array(SWEEP_THRESHOLDS_PCT, dtype=np.float64) / 100.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        est = t["est_jaccard"].to_numpy(zero_copy_only=False)
+        counts = (est[None, :] >= ths[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "threshold_pct": pa.array(np.array(SWEEP_THRESHOLDS_PCT, dtype=np.int64)),
+                "n_pairs": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    p = pairs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if p.empty:
+        tots = {int(t): 0 for t in SWEEP_THRESHOLDS_PCT}
+    else:
+        tots = p.groupby("threshold_pct")["n_pairs"].sum().to_dict()
+    return pa.table(
+        {
+            "threshold_pct": pa.array([int(t) for t in SWEEP_THRESHOLDS_PCT], type=pa.int64()),
+            "n_pairs": pa.array([int(tots.get(int(t), 0)) for t in SWEEP_THRESHOLDS_PCT], type=pa.int64()),
+        }
+    )
+
+
+D_MINHASH_SWEEP_SQL = f"""
+WITH p AS ({_minhash_sql(0.5)})
+SELECT t.th AS threshold_pct, CAST(count(p.left_id) AS BIGINT) AS n_pairs
+FROM (VALUES (50), (60), (70), (80), (90)) t(th)
+LEFT JOIN p ON p.est_jaccard >= t.th / 100.0
+GROUP BY t.th
+"""

@@ -898,3 +898,21 @@ def test_term_search_hand_corpus(ray_session, tmp_path):
     got = t_term_search(str(tmp_path)).to_pandas()
     m = {(r["term"], r["doc_id"]): r["first_pos"] for _, r in got.iterrows()}
     assert m == {("table", 1): 3, ("sample", 3): 1}  # 1-based, case-folded
+
+
+def test_minhash_threshold_sweep_monotone(ray_session, tmp_path):
+    """Counts are monotone non-increasing in the threshold, include zero rows,
+    and the 60%-cutoff count equals the registered pair query's count."""
+    rows = {1: "alpha beta gamma delta epsilon zeta", 2: "alpha beta gamma delta epsilon zeta",
+            3: "alpha beta gamma delta epsilon eta", 4: "totally different content here now"}
+    _write_doc_table(tmp_path, rows)
+    from entity_resolution_pipeline_ray.pipelines.dedup import (
+        d_minhash_threshold_sweep,
+        minhash_dup_pairs,
+    )
+
+    got = d_minhash_threshold_sweep(str(tmp_path)).to_pandas().set_index("threshold_pct")["n_pairs"]
+    assert list(got.index) == [50, 60, 70, 80, 90]
+    assert (got.to_numpy()[:-1] >= got.to_numpy()[1:]).all()
+    n60 = len(minhash_dup_pairs(str(tmp_path), threshold=0.6).to_pandas())
+    assert got.loc[60] == n60
