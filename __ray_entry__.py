@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_lang_top_quartile": SP.p_lang_top_quartile,
         "t_term_search": T.t_term_search,
         "d_minhash_threshold_sweep": D.d_minhash_threshold_sweep,
+        "t_csv_reader_agg": T.t_csv_reader_agg,
+        "t_jsonl_reader_agg": T.t_jsonl_reader_agg,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -311,6 +313,8 @@ def oracle_sql() -> dict[str, str]:
         "p_lang_top_quartile": SP.P_LANG_TOP_QUARTILE_SQL,
         "t_term_search": T.T_TERM_SEARCH_SQL,
         "d_minhash_threshold_sweep": D.D_MINHASH_SWEEP_SQL,
+        "t_csv_reader_agg": T.T_READER_AGG_SQL,
+        "t_jsonl_reader_agg": T.T_READER_AGG_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

@@ -1546,3 +1546,81 @@ WHERE strpos(lower(coalesce(d.text, '')), t.term) > 0
 
 
 T_TERM_SEARCH_SQL = _term_search_sql()
+
+
+def _roundtrip_file(sf_dir: str, fmt: str) -> str:
+    """Materialize documents(doc_id, lang, n_chars) to CSV / JSONL under /tmp
+    ONCE per sf_dir (marker-gated) so the reader-coverage queries below
+    exercise sources.read_pages' non-Parquet branches on real files."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = f"/tmp/reader_roundtrip/{fmt}_{key}"
+    fname = os.path.join(d, f"docs.{fmt}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+        if fmt == "csv":
+            import pyarrow.csv as pacsv
+
+            pacsv.write_csv(tbl, fname)
+        else:
+            tbl.to_pandas().to_json(fname, orient="records", lines=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return fname
+
+
+def _reader_lang_agg(ds):
+    """(lang, n_docs, sum_chars) via per-block combiners + tiny driver merge."""
+    def part(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("lang", sort=False).agg(
+            n=("n_chars", "size"), s=("n_chars", "sum")).reset_index()
+        return pa.table(
+            {"lang": pa.array(g["lang"], type=pa.string()),
+             "n": pa.array(g["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+             "s": pa.array(g["s"].to_numpy(dtype=np.int64), type=pa.int64())}
+        )
+
+    p = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if p.empty:
+        return pa.table(
+            {"lang": pa.array([], type=pa.string()), "n_docs": pa.array([], type=pa.int64()),
+             "sum_chars": pa.array([], type=pa.int64())}
+        )
+    g = p.groupby("lang", sort=True)[["n", "s"]].sum().reset_index()
+    return pa.table(
+        {"lang": pa.array(g["lang"], type=pa.string()),
+         "n_docs": pa.array(g["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+         "sum_chars": pa.array(g["s"].to_numpy(dtype=np.int64), type=pa.int64())}
+    )
+
+
+def t_csv_reader_agg(sf_dir: str):
+    """S1 reader coverage, CSV branch: parquet → CSV → ``read_pages`` →
+    per-lang aggregate, value-oracled against SQL over the ORIGINAL parquet —
+    a lossless-roundtrip proof for the directory reader's CSV path."""
+    from ..sources.readers import read_pages
+
+    return _reader_lang_agg(read_pages(_roundtrip_file(sf_dir, "csv"), columns=["lang", "n_chars"]))
+
+
+def t_jsonl_reader_agg(sf_dir: str):
+    """S1 reader coverage, JSONL branch (the web-crawl interchange format):
+    parquet → JSONL → ``read_pages`` → per-lang aggregate, value-oracled
+    against the original parquet."""
+    from ..sources.readers import read_pages
+
+    return _reader_lang_agg(read_pages(_roundtrip_file(sf_dir, "jsonl"), columns=["lang", "n_chars"]))
+
+
+T_READER_AGG_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""

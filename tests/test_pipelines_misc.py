@@ -916,3 +916,24 @@ def test_minhash_threshold_sweep_monotone(ray_session, tmp_path):
     assert (got.to_numpy()[:-1] >= got.to_numpy()[1:]).all()
     n60 = len(minhash_dup_pairs(str(tmp_path), threshold=0.6).to_pandas())
     assert got.loc[60] == n60
+
+
+def test_reader_roundtrip_aggs_match_parquet(ray_session):
+    """CSV and JSONL reader branches reproduce the parquet-derived aggregate
+    exactly (lossless roundtrip of int64 + string columns)."""
+    import duckdb
+
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import (
+        t_csv_reader_agg,
+        t_jsonl_reader_agg,
+    )
+
+    con = duckdb.connect()
+    want = con.sql(
+        f"SELECT lang, count(*) AS n, sum(n_chars) AS s FROM '{SF}/documents.parquet' GROUP BY lang ORDER BY lang"
+    ).df()
+    con.close()
+    for fn in (t_csv_reader_agg, t_jsonl_reader_agg):
+        got = fn(SF).to_pandas().sort_values("lang").reset_index(drop=True)
+        assert got["n_docs"].tolist() == want["n"].tolist()
+        assert got["sum_chars"].tolist() == want["s"].tolist()
