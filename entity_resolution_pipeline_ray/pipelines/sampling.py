@@ -621,3 +621,57 @@ WITH th AS (SELECT lang, quantile_disc(n_chars, 0.75) AS q75 FROM documents GROU
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN th USING (lang) WHERE d.n_chars >= th.q75
 """
+
+
+def p_write_lang_shards(sf_dir: str):
+    """Partitioned-Parquet sink coverage (the resumable-output shape: one
+    directory per partition key, so a re-run skips finished partitions):
+    write documents hive-partitioned by lang under /tmp ONCE (marker-gated —
+    the resume path), then read the WRITTEN files back and aggregate, value-
+    oracled against the original table — a write→read integrity proof.
+    Output (lang, n_docs, sum_chars)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..rayops import read_parquet_clean
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = f"/tmp/lang_shards_{key}"
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]).write_parquet(d, partition_cols=["lang"])
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    back = read_parquet_clean(d, columns=["lang", "n_chars"])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("lang", sort=False).agg(
+            n=("n_chars", "size"), s=("n_chars", "sum")).reset_index()
+        return pa.table(
+            {"lang": pa.array(g["lang"].astype(str), type=pa.string()),
+             "n": pa.array(g["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+             "s": pa.array(g["s"].to_numpy(dtype=np.int64), type=pa.int64())}
+        )
+
+    p = back.map_batches(part, batch_format="pyarrow").to_pandas()
+    if p.empty:
+        return pa.table(
+            {"lang": pa.array([], type=pa.string()), "n_docs": pa.array([], type=pa.int64()),
+             "sum_chars": pa.array([], type=pa.int64())}
+        )
+    g = p.groupby("lang", sort=True)[["n", "s"]].sum().reset_index()
+    return pa.table(
+        {"lang": pa.array(g["lang"], type=pa.string()),
+         "n_docs": pa.array(g["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+         "sum_chars": pa.array(g["s"].to_numpy(dtype=np.int64), type=pa.int64())}
+    )
+
+
+P_WRITE_LANG_SHARDS_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""

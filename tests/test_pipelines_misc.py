@@ -937,3 +937,26 @@ def test_reader_roundtrip_aggs_match_parquet(ray_session):
         got = fn(SF).to_pandas().sort_values("lang").reset_index(drop=True)
         assert got["n_docs"].tolist() == want["n"].tolist()
         assert got["sum_chars"].tolist() == want["s"].tolist()
+
+
+def test_write_lang_shards_partition_layout(ray_session):
+    """The sink writes ONE hive directory per lang (the resumable layout) and
+    the read-back aggregate matches the source."""
+    import glob
+    import hashlib
+    import os
+
+    import duckdb
+
+    from entity_resolution_pipeline_ray.pipelines.sampling import p_write_lang_shards
+
+    got = p_write_lang_shards(SF).to_pandas().sort_values("lang").reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.sql(
+        f"SELECT lang, count(*) AS n FROM '{SF}/documents.parquet' GROUP BY lang ORDER BY lang"
+    ).df()
+    con.close()
+    assert got["n_docs"].tolist() == want["n"].tolist()
+    d = f"/tmp/lang_shards_{hashlib.md5(SF.encode()).hexdigest()[:12]}"
+    parts = sorted(os.path.basename(p) for p in glob.glob(os.path.join(d, "lang=*")))
+    assert parts == sorted(f"lang={l}" for l in want["lang"])
