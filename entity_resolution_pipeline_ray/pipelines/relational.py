@@ -2133,7 +2133,7 @@ def q_user_fanout_hist(sf_dir: str):
     )
     p = map_sorted_groups(ev, "user_id", per_user, empty).to_pandas()
     if p.empty:
-        return pa.Table.from_pandas(p, preserve_index=False).cast(empty.schema)
+        return empty  # 0-row to_pandas frames carry no columns
     g = p.groupby("n_events", sort=True)["n_users"].sum().reset_index()
     return pa.table(
         {

@@ -636,13 +636,21 @@ def p_write_lang_shards(sf_dir: str):
 
     from ..rayops import read_parquet_clean
 
+    empty_out = pa.table(
+        {"lang": pa.array([], type=pa.string()), "n_docs": pa.array([], type=pa.int64()),
+         "sum_chars": pa.array([], type=pa.int64())}
+    )
+    src = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    if src.count() == 0:  # nothing to shard; an empty partitioned write has no read-back
+        return empty_out
+
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     d = f"/tmp/lang_shards_{key}"
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
-        _docs(sf_dir, ["doc_id", "lang", "n_chars"]).write_parquet(d, partition_cols=["lang"])
+        src.write_parquet(d, partition_cols=["lang"])
         with open(marker, "w") as f:
             f.write("ok")
 

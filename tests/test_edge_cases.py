@@ -362,3 +362,91 @@ def test_round4_session_operators_on_empty_tables(ray_session, tmp_path):
     assert m_phash_pairs(sf).num_rows == 0
     assert p_split_assign(sf).count() == 0
     assert len(q_lang_mad(sf)) == 0
+
+
+def test_late_session_operators_on_empty_tables(ray_session, tmp_path):
+    """The late-session operators pass 0-row inputs through cleanly."""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "value": pa.array([], type=pa.float64()),
+                "props": pa.array([], type=pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "o_totalprice": pa.array([], type=pa.float64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    sf = str(tmp_path)
+    from entity_resolution_pipeline_ray.pipelines.dedup import (
+        d_minhash_threshold_sweep,
+        t_lsh_bucket_stats,
+    )
+    from entity_resolution_pipeline_ray.pipelines.relational import (
+        q_band_join,
+        q_dau_wau,
+        q_transition_counts,
+        q_user_fanout_hist,
+        q_user_growth,
+    )
+    from entity_resolution_pipeline_ray.pipelines.sampling import (
+        p_lang_top_quartile,
+        p_weighted_sample,
+    )
+    from entity_resolution_pipeline_ray.pipelines.text_analysis import (
+        t_bpe_merges,
+        t_csv_reader_agg,
+        t_dup_ngram_fraction,
+        t_jsonl_reader_agg,
+        t_term_search,
+        t_vocab_stats,
+    )
+
+    def nrows(out):
+        import pandas as pd
+
+        return len(out) if isinstance(out, (pa.Table, pd.DataFrame)) else out.count()
+
+    assert nrows(q_band_join(sf)) == 0
+    assert nrows(q_dau_wau(sf)) == 0
+    assert nrows(q_user_growth(sf)) == 0
+    assert nrows(q_transition_counts(sf)) == 0
+    assert nrows(q_user_fanout_hist(sf)) == 0
+    assert nrows(p_weighted_sample(sf)) == 0
+    assert nrows(p_lang_top_quartile(sf)) == 0
+    assert nrows(t_dup_ngram_fraction(sf)) == 0
+    assert nrows(t_term_search(sf)) == 0
+    assert nrows(t_lsh_bucket_stats(sf)) == 0
+    assert nrows(t_bpe_merges(sf)) == 0
+    vs = t_vocab_stats(sf)
+    assert vs["n_tokens"][0].as_py() == 0 and vs["vocab_size"][0].as_py() == 0
+    sw = d_minhash_threshold_sweep(sf).to_pandas()
+    assert sw["n_pairs"].tolist() == [0, 0, 0, 0, 0]
+    assert nrows(t_csv_reader_agg(sf)) == 0
+    assert nrows(t_jsonl_reader_agg(sf)) == 0
+    from entity_resolution_pipeline_ray.pipelines.sampling import p_write_lang_shards
+
+    assert nrows(p_write_lang_shards(sf)) == 0
