@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_csv_reader_agg": T.t_csv_reader_agg,
         "t_jsonl_reader_agg": T.t_jsonl_reader_agg,
         "p_write_lang_shards": SP.p_write_lang_shards,
+        "q_rate_anomaly": R.q_rate_anomaly,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -317,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "t_csv_reader_agg": T.T_READER_AGG_SQL,
         "t_jsonl_reader_agg": T.T_READER_AGG_SQL,
         "p_write_lang_shards": SP.P_WRITE_LANG_SHARDS_SQL,
+        "q_rate_anomaly": R.Q_RATE_ANOMALY_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

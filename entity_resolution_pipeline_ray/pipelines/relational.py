@@ -2148,3 +2148,67 @@ WITH pu AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
 SELECT n_events, CAST(count(*) AS BIGINT) AS n_users
 FROM pu GROUP BY n_events
 """
+
+
+def q_rate_anomaly(sf_dir: str, window_minutes: int = 60, k_sigma: int = 3):
+    """Streaming rate-anomaly flags: a minute is anomalous when its event
+    count exceeds mean + 3σ of the trailing 60 observed minutes — the alert
+    rule of ingest monitoring, in EXACT integer arithmetic so both engines
+    agree bit-for-bit: (W·x − S)² > k²·(W·Q − S²) with S/Q the window's
+    sum/sum-of-squares (the q_corr integer-moments trick applied to a
+    sliding window).  Plan: per-minute counts via per-block combiners (the
+    minute spine is dimension-sized — q_dau_wau's argument), rolling moments
+    are two numpy cumsum diffs on the driver.  Output (minute_us, n_events,
+    anomaly)."""
+    MIN_US = 60_000_000
+    ev = _pq(sf_dir, "events", ["ts"])
+
+    def per_min(t: pa.Table) -> pa.Table:
+        m = pc.cast(pc.floor_temporal(t["ts"], unit="minute"), pa.int64())
+        u, c = np.unique(m.to_numpy(zero_copy_only=False) // MIN_US, return_counts=True)
+        return pa.table(
+            {"m": pa.array(u, type=pa.int64()), "c": pa.array(c.astype(np.int64), type=pa.int64())}
+        )
+
+    p = ev.map_batches(per_min, batch_format="pyarrow").to_pandas()
+    empty = pa.table(
+        {"minute_us": pa.array([], type=pa.int64()), "n_events": pa.array([], type=pa.int64()),
+         "anomaly": pa.array([], type=pa.int64())}
+    )
+    if p.empty:
+        return empty
+    g = p.groupby("m", sort=True)["c"].sum()
+    x = g.to_numpy(dtype=np.int64)
+    n = len(x)
+    cs = np.concatenate(([0], np.cumsum(x)))
+    cq = np.concatenate(([0], np.cumsum(x * x)))
+    idx = np.arange(n)
+    lo = np.maximum(idx - window_minutes, 0)  # trailing W observed minutes + current
+    W = idx - lo + 1
+    S = cs[idx + 1] - cs[lo]
+    Q = cq[idx + 1] - cq[lo]
+    lhs = W * x - S
+    anom = (lhs > 0) & (lhs * lhs > k_sigma * k_sigma * (W * Q - S * S))
+    return pa.table(
+        {
+            "minute_us": pa.array(g.index.to_numpy(dtype=np.int64) * MIN_US, type=pa.int64()),
+            "n_events": pa.array(x, type=pa.int64()),
+            "anomaly": pa.array(anom.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+Q_RATE_ANOMALY_SQL = """
+WITH pm AS (SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS m, count(*) AS x
+            FROM events GROUP BY m),
+w AS (SELECT m, x,
+             count(*) OVER win AS wn,
+             sum(x) OVER win AS s,
+             sum(x * x) OVER win AS q
+      FROM pm WINDOW win AS (ORDER BY m ROWS BETWEEN 60 PRECEDING AND CURRENT ROW))
+SELECT CAST(epoch_us(m) AS BIGINT) AS minute_us,
+       CAST(x AS BIGINT) AS n_events,
+       CAST(CASE WHEN wn * x > s AND (wn * x - s) * (wn * x - s) > 9 * (wn * q - s * s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+FROM w
+"""

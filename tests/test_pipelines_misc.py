@@ -960,3 +960,31 @@ def test_write_lang_shards_partition_layout(ray_session):
     d = f"/tmp/lang_shards_{hashlib.md5(SF.encode()).hexdigest()[:12]}"
     parts = sorted(os.path.basename(p) for p in glob.glob(os.path.join(d, "lang=*")))
     assert parts == sorted(f"lang={l}" for l in want["lang"])
+
+
+def test_rate_anomaly_hand_events(ray_session, tmp_path):
+    """A flat 1-event/minute stream with one 50-event spike: only the spike
+    minute trips the 3-sigma rule; the flat prefix never does (sigma=0 but
+    x == mu there)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01")
+    ts, uid = [], []
+    for m in range(30):
+        ts.append(base + pd.Timedelta(minutes=m)); uid.append(1)
+    spike = base + pd.Timedelta(minutes=30)
+    for i in range(50):
+        ts.append(spike); uid.append(i)
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(len(ts)), type=pa.int64()),
+                  "ts": pa.array(pd.to_datetime(ts), type=pa.timestamp("us")),
+                  "user_id": pa.array(uid, type=pa.int64()),
+                  "event_type": ["view"] * len(ts), "value": [0.0] * len(ts),
+                  "props": ["{}"] * len(ts)}),
+        tmp_path / "events.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_rate_anomaly
+
+    got = q_rate_anomaly(str(tmp_path)).to_pandas()
+    assert got["anomaly"].sum() == 1
+    assert got.loc[got["anomaly"] == 1, "n_events"].iloc[0] == 50
