@@ -2212,3 +2212,100 @@ SELECT CAST(epoch_us(m) AS BIGINT) AS minute_us,
                  THEN 1 ELSE 0 END AS BIGINT) AS anomaly
 FROM w
 """
+
+
+def q_fuzzy_name_pairs(sf_dir: str, max_dist: int = 2):
+    """Fuzzy self-join on relational strings — near-identical part names
+    (same brand, Levenshtein ≤ 2): the catalog-dedup / entity-linking shape
+    over a dimension table, with FULL-recall banded blocking: dist ≤ 2
+    implies |len(a)−len(b)| ≤ 2, so length buckets of width 2 with core+halo
+    emission (the q_band_join trick keyed by (brand, len-bucket)) cannot
+    miss a true pair; each candidate is generated exactly once (oriented
+    from the lower (bucket, partkey) member) and verified with the
+    vectorized integer edit-distance DP (DuckDB ``levenshtein`` parity).
+    Output (left_partkey, right_partkey, lev_dist)."""
+    from ..functions.similarity import levenshtein_dist_batch
+    from ..rayops import map_sorted_groups
+
+    parts_ds = _pq(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    eps = int(max_dist)
+
+    def explode(t: pa.Table) -> pa.Table:
+        name = pc.utf8_lower(pc.fill_null(t["p_name"], ""))
+        ln = pc.utf8_length(name).to_numpy(zero_copy_only=False).astype(np.int64)
+        brand = pc.fill_null(t["p_brand"], "")
+        # brand must partition groups globally: hash the brand STRING, not a
+        # per-batch dictionary code
+        from ..functions.hashing import md5_u64_dict
+
+        bh = (md5_u64_dict(brand) >> np.uint64(16)).astype(np.int64)
+        b = ln // max(eps, 1)
+        gkey = bh * (1 << 16) + np.clip(b, 0, (1 << 14) - 1)
+        rows = []
+        for off, core in ((0, 1), (-1, 0), (1, 0)):
+            rows.append(
+                pa.table(
+                    {
+                        "gkey": pa.array(gkey + off, type=pa.int64()),
+                        "bucket": pa.array(b, type=pa.int64()),
+                        "p_partkey": t["p_partkey"],
+                        "name": name,
+                        "core": pa.array(np.full(len(ln), core, dtype=np.int8)),
+                    }
+                )
+            )
+        return pa.concat_tables(rows)
+
+    empty = pa.table(
+        {"left_partkey": pa.array([], type=pa.int64()), "right_partkey": pa.array([], type=pa.int64()),
+         "lev_dist": pa.array([], type=pa.int64())}
+    )
+
+    def pairs_in_groups(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        la, lb, na, nb = [], [], [], []
+        for _, g in df.groupby("gkey", sort=False):
+            keys = g["p_partkey"].to_numpy(dtype=np.int64)
+            names = g["name"].to_numpy()
+            buck = g["bucket"].to_numpy(dtype=np.int64)
+            core = g["core"].to_numpy(dtype=np.int8).astype(bool)
+            n = len(keys)
+            if n < 2 or not core.any():
+                continue
+            # orient from the lower (bucket, partkey) member, which is core in
+            # this group by construction — each unordered pair generated once
+            order = np.lexsort((keys, buck))
+            keys, names, buck, core = keys[order], names[order], buck[order], core[order]
+            ii, jj = np.triu_indices(n, k=1)
+            keep = core[ii]
+            ii, jj = ii[keep], jj[keep]
+            if len(ii) == 0:
+                continue
+            la.append(keys[ii]); lb.append(keys[jj])
+            na.append(names[ii]); nb.append(names[jj])
+        if not la:
+            return empty
+        ka = np.concatenate(la); kb = np.concatenate(lb)
+        d = levenshtein_dist_batch(np.concatenate(na), np.concatenate(nb))
+        ok = d <= eps
+        lo = np.minimum(ka[ok], kb[ok])
+        hi = np.maximum(ka[ok], kb[ok])
+        return pa.table(
+            {"left_partkey": pa.array(lo, type=pa.int64()),
+             "right_partkey": pa.array(hi, type=pa.int64()),
+             "lev_dist": pa.array(d[ok], type=pa.int64())}
+        )
+
+    return map_sorted_groups(
+        parts_ds.map_batches(explode, batch_format="pyarrow"), "gkey", pairs_in_groups, empty
+    )
+
+
+Q_FUZZY_NAME_PAIRS_SQL = """
+SELECT least(a.p_partkey, b.p_partkey) AS left_partkey,
+       greatest(a.p_partkey, b.p_partkey) AS right_partkey,
+       CAST(levenshtein(lower(a.p_name), lower(b.p_name)) AS BIGINT) AS lev_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(lower(a.p_name), lower(b.p_name)) <= 2
+"""

@@ -988,3 +988,25 @@ def test_rate_anomaly_hand_events(ray_session, tmp_path):
     got = q_rate_anomaly(str(tmp_path)).to_pandas()
     assert got["anomaly"].sum() == 1
     assert got.loc[got["anomaly"] == 1, "n_events"].iloc[0] == 50
+
+
+def test_fuzzy_name_pairs_hand_parts(ray_session, tmp_path):
+    """Engineered near-names incl. a cross-length-bucket pair (len 10 vs 12,
+    dist 2) and a same-name different-brand pair that must NOT match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names = ["steel blue", "steel blues", "steel bluesy", "green metal", "steel blue"]
+    brands = ["B1", "B1", "B1", "B1", "B2"]
+    pq.write_table(
+        pa.table({"p_partkey": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                  "p_name": names, "p_brand": brands,
+                  "p_type": ["t"] * 5, "p_size": pa.array([1] * 5, type=pa.int32()),
+                  "p_retailprice": [1.0] * 5}),
+        tmp_path / "part.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_fuzzy_name_pairs
+
+    got = q_fuzzy_name_pairs(str(tmp_path)).to_pandas()
+    pairs = {(r["left_partkey"], r["right_partkey"]): r["lev_dist"] for _, r in got.iterrows()}
+    # (1,2) dist 1; (2,3) dist 1; (1,3) dist 2 crosses buckets 5 and 6
+    assert pairs == {(1, 2): 1, (2, 3): 1, (1, 3): 2}
