@@ -1010,3 +1010,58 @@ def test_fuzzy_name_pairs_hand_parts(ray_session, tmp_path):
     pairs = {(r["left_partkey"], r["right_partkey"]): r["lev_dist"] for _, r in got.iterrows()}
     # (1,2) dist 1; (2,3) dist 1; (1,3) dist 2 crosses buckets 5 and 6
     assert pairs == {(1, 2): 1, (2, 3): 1, (1, 3): 2}
+
+
+def _write_random_events(tmp_path, n=400, n_users=25, days=20, seed=5):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-03-01").value // 1000  # us
+    ts_us = base + rng.integers(0, days * 86_400_000_000, size=n)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(pd.to_datetime(np.sort(ts_us) * 1000)).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(1, n_users + 1, size=n).astype(np.int64)),
+        "event_type": pa.array(rng.choice(["view", "click", "buy"], size=n)),
+        "value": pa.array(np.zeros(n)), "props": pa.array(["{}"] * n)})
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    return tbl.to_pandas()
+
+
+def test_dau_wau_matches_bruteforce_random(ray_session, tmp_path):
+    ev = _write_random_events(tmp_path)
+    from entity_resolution_pipeline_ray.pipelines.relational import q_dau_wau
+
+    got = q_dau_wau(str(tmp_path)).to_pandas().set_index("day_us")
+    ev["day"] = ev["ts"].dt.floor("D")
+    for day, g in ev.groupby("day"):
+        key = day.value // 1000
+        win = ev[(ev["day"] >= day - pd.Timedelta(days=6)) & (ev["day"] <= day)]
+        assert got.loc[key, "dau"] == g["user_id"].nunique()
+        assert got.loc[key, "wau"] == win["user_id"].nunique()
+
+
+def test_user_growth_matches_bruteforce_random(ray_session, tmp_path):
+    ev = _write_random_events(tmp_path, seed=6)
+    from entity_resolution_pipeline_ray.pipelines.relational import q_user_growth
+
+    got = q_user_growth(str(tmp_path)).to_pandas()
+    first = ev.assign(day=ev["ts"].dt.floor("D")).groupby("user_id")["day"].min()
+    nd = first.value_counts().sort_index()
+    assert got["day_us"].tolist() == [d.value // 1000 for d in nd.index]
+    assert got["new_users"].tolist() == nd.tolist()
+    assert got["cum_users"].tolist() == nd.cumsum().tolist()
+
+
+def test_transition_counts_matches_bruteforce_random(ray_session, tmp_path):
+    ev = _write_random_events(tmp_path, seed=7)
+    from entity_resolution_pipeline_ray.pipelines.relational import q_transition_counts
+
+    got = q_transition_counts(str(tmp_path)).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    prev = ev.groupby("user_id")["event_type"].shift(1)
+    sub = pd.DataFrame({"p": prev, "c": ev["event_type"]}).dropna()
+    want = sub.groupby(["p", "c"]).size()
+    m = {(r["prev_type"], r["event_type"]): r["n_trans"] for _, r in got.iterrows()}
+    assert m == {k: int(v) for k, v in want.items()}
