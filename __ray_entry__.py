@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_write_lang_shards": SP.p_write_lang_shards,
         "q_rate_anomaly": R.q_rate_anomaly,
         "q_fuzzy_name_pairs": R.q_fuzzy_name_pairs,
+        "g_degree_hist": G.g_degree_hist,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -321,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "p_write_lang_shards": SP.P_WRITE_LANG_SHARDS_SQL,
         "q_rate_anomaly": R.Q_RATE_ANOMALY_SQL,
         "q_fuzzy_name_pairs": R.Q_FUZZY_NAME_PAIRS_SQL,
+        "g_degree_hist": G.G_DEGREE_HIST_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

@@ -715,3 +715,52 @@ FROM e e1
 JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
 JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y
 """
+
+
+def g_degree_hist(sf_dir: str):
+    """Degree distribution of the co-activity graph — the power-law audit run
+    before any per-node iteration (a heavy-tailed degree sequence is what
+    makes naive wedge/pair enumeration explode; triangles_on_edges' (deg, id)
+    orientation depends on knowing this shape).  Plan: one node-keyed count
+    over the materialized edge stream, then the histogram itself is value-
+    domain-sized (per-block combiners + driver merge).  Output (degree,
+    n_nodes)."""
+    from ray.data.aggregate import Count
+
+    edges = coactivity_edges(sf_dir).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([u, v]), type=pa.int64())})
+
+    deg = edges.map_batches(explode, batch_format="pyarrow").groupby("node").aggregate(
+        Count(alias_name="deg")
+    )
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["deg"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"degree": pa.array(u, type=pa.int64()),
+             "n_nodes": pa.array(c.astype(np.int64), type=pa.int64())}
+        )
+
+    p = deg.map_batches(hist_part, batch_format="pyarrow").to_pandas()
+    if p.empty:
+        return pa.table(
+            {"degree": pa.array([], type=pa.int64()), "n_nodes": pa.array([], type=pa.int64())}
+        )
+    g = p.groupby("degree", sort=True)["n_nodes"].sum().reset_index()
+    return pa.table(
+        {"degree": pa.array(g["degree"].to_numpy(dtype=np.int64), type=pa.int64()),
+         "n_nodes": pa.array(g["n_nodes"].to_numpy(dtype=np.int64), type=pa.int64())}
+    )
+
+
+G_DEGREE_HIST_SQL = """
+WITH uh AS (SELECT DISTINCT user_id AS u, date_trunc('minute', ts) AS m FROM events),
+e AS (SELECT DISTINCT a.u AS x, b.u AS y FROM uh a JOIN uh b ON a.m = b.m AND a.u < b.u),
+d AS (SELECT node, count(*) AS degree FROM (
+        SELECT x AS node FROM e UNION ALL SELECT y FROM e) GROUP BY node)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM d GROUP BY degree
+"""

@@ -133,3 +133,23 @@ def test_triangles_dual_plans_agree(ray_session, monkeypatch):
     monkeypatch.setattr(G, "NODE_BROADCAST_MAX_ROWS", 0)
     joined = G.triangles_on_edges(rd.from_arrow(t))["n_triangles"][0].as_py()
     assert bcast == joined == 4
+
+
+def test_degree_hist_hand_events(ray_session, tmp_path):
+    """Three users sharing one minute form a triangle (deg 2 each); a pair in
+    another minute adds two deg-1 nodes."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime(["2024-01-01 00:00"] * 3 + ["2024-01-01 00:05"] * 2)
+    pq.write_table(
+        pa.table({"event_id": pa.array(range(5), type=pa.int64()),
+                  "ts": pa.array(ts, type=pa.timestamp("us")),
+                  "user_id": pa.array([1, 2, 3, 8, 9], type=pa.int64()),
+                  "event_type": ["view"] * 5, "value": [0.0] * 5, "props": ["{}"] * 5}),
+        tmp_path / "events.parquet")
+    from entity_resolution_pipeline_ray.pipelines.graph import g_degree_hist
+
+    got = g_degree_hist(str(tmp_path)).to_pandas()
+    assert dict(zip(got["degree"], got["n_nodes"])) == {1: 2, 2: 3}
