@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rate_anomaly": R.q_rate_anomaly,
         "q_fuzzy_name_pairs": R.q_fuzzy_name_pairs,
         "g_degree_hist": G.g_degree_hist,
+        "p_curriculum_order": SP.p_curriculum_order,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -323,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rate_anomaly": R.Q_RATE_ANOMALY_SQL,
         "q_fuzzy_name_pairs": R.Q_FUZZY_NAME_PAIRS_SQL,
         "g_degree_hist": G.G_DEGREE_HIST_SQL,
+        "p_curriculum_order": SP.P_CURRICULUM_ORDER_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

@@ -683,3 +683,54 @@ P_WRITE_LANG_SHARDS_SQL = """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
 """
+
+
+def p_curriculum_order(sf_dir: str):
+    """Curriculum ordering: a GLOBAL training-order index over the corpus —
+    rank 1..N by (n_chars DESC, doc_id), i.e. longest documents first (swap
+    in any quality score).  The global row_number Ray Data lacks, via
+    ``rayops.exclusive_prefix_sum``: ONE range sort on a packed
+    (score, doc_id) key, per-block scalar sums to the driver (O(#blocks)
+    ints), a driver cumsum, and a second streaming pass adding each block's
+    offset — nothing corpus-sized leaves the workers.  Output
+    (doc_id, curriculum_rank)."""
+    from ..rayops import exclusive_prefix_sum
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(d) and (
+            int(d.max()) >= (1 << 42) or int(d.min()) < 0 or int(n.max()) >= (1 << 20) or int(n.min()) < 0
+        ):
+            raise ValueError("doc_id/n_chars exceeds the 42/20-bit packing bound; widen the pack")
+        ok = ((1 << 20) - 1 - n) * (1 << 42) + d  # descending n_chars, ascending doc_id
+        return pa.table(
+            {
+                "ok": pa.array(ok, type=pa.int64()),
+                "doc_id": pa.array(d, type=pa.int64()),
+                "one": pa.array(np.ones(len(d), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    ranked = exclusive_prefix_sum(docs.map_batches(keyed, batch_format="pyarrow"), "ok", "one", "rank0")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "curriculum_rank": pa.array(
+                    t["rank0"].to_numpy(zero_copy_only=False) + 1, type=pa.int64()
+                ),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+P_CURRICULUM_ORDER_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS curriculum_rank
+FROM documents
+"""

@@ -1065,3 +1065,19 @@ def test_transition_counts_matches_bruteforce_random(ray_session, tmp_path):
     want = sub.groupby(["p", "c"]).size()
     m = {(r["prev_type"], r["event_type"]): r["n_trans"] for _, r in got.iterrows()}
     assert m == {k: int(v) for k, v in want.items()}
+
+
+def test_curriculum_order_hand_corpus(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": ["x"] * 4, "lang": ["en"] * 4, "source": ["s"] * 4,
+                  "n_chars": pa.array([10, 99, 10, 5], type=pa.int64())}),
+        tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.sampling import p_curriculum_order
+
+    got = p_curriculum_order(str(tmp_path)).to_pandas().set_index("doc_id")["curriculum_rank"]
+    # 99 first, then the two 10s by doc_id, then 5
+    assert got.to_dict() == {2: 1, 1: 2, 3: 3, 4: 4}
