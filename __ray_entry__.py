@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fuzzy_name_pairs": R.q_fuzzy_name_pairs,
         "g_degree_hist": G.g_degree_hist,
         "p_curriculum_order": SP.p_curriculum_order,
+        "g_lpa_communities": G.g_lpa_communities,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -325,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         "q_fuzzy_name_pairs": R.Q_FUZZY_NAME_PAIRS_SQL,
         "g_degree_hist": G.G_DEGREE_HIST_SQL,
         "p_curriculum_order": SP.P_CURRICULUM_ORDER_SQL,
+        "g_lpa_communities": G.G_LPA_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

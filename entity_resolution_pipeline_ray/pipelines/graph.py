@@ -764,3 +764,150 @@ d AS (SELECT node, count(*) AS degree FROM (
         SELECT x AS node FROM e UNION ALL SELECT y FROM e) GROUP BY node)
 SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM d GROUP BY degree
 """
+
+
+LPA_ROUNDS = 3
+
+
+def lpa_on_edges(edges, rounds: int = LPA_ROUNDS, driver_edge_threshold: int = 5_000_000):
+    """Synchronous label-propagation communities over distinct (u, v) edges:
+    labels start as node ids; each round every node takes the SMALLEST label
+    among the most frequent labels of its neighbors (undirected, no self
+    vote) — fully deterministic, so a fixed round count is both the engine
+    spec and the unrolled-CTE oracle.  Two size-gated plans (the clustering
+    discipline): below ``driver_edge_threshold`` the slim edge list runs
+    vectorized rounds on the driver; above it each round is ONE node-keyed
+    label join + a packed (node, label) count + a ``head_k_per_key``
+    (count DESC, label ASC, k=1) winner pass — all existing primitives.
+    Output (node, community)."""
+    from ray.data.aggregate import Sum
+
+    from ..rayops import first_per_key, head_k_per_key
+
+    n_edges = edges.count()
+    empty = pa.table(
+        {"node": pa.array([], type=pa.int64()), "community": pa.array([], type=pa.int64())}
+    )
+    if n_edges == 0:
+        return empty
+
+    if n_edges <= driver_edge_threshold:
+        parts = [
+            b for b in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow") if b.num_rows
+        ]
+        src = np.concatenate([b["u"].to_numpy(zero_copy_only=False) for b in parts]).astype(np.int64)
+        dst = np.concatenate([b["v"].to_numpy(zero_copy_only=False) for b in parts]).astype(np.int64)
+        nodes = np.unique(np.concatenate([src, dst]))
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        ei = np.concatenate([si, di])  # receiving node (index)
+        ej = np.concatenate([di, si])  # its neighbor (index)
+        lab = nodes.copy()
+        for _ in range(rounds):
+            nl = lab[ej]
+            order = np.lexsort((nl, ei))
+            en, ln = ei[order], nl[order]
+            new_grp = np.concatenate(([True], (en[1:] != en[:-1]) | (ln[1:] != ln[:-1])))
+            starts = np.flatnonzero(new_grp)
+            gnode, glab = en[starts], ln[starts]
+            gcnt = np.diff(np.concatenate((starts, [len(en)])))
+            o2 = np.lexsort((glab, -gcnt, gnode))
+            gn, gl = gnode[o2], glab[o2]
+            first = np.concatenate(([True], gn[1:] != gn[:-1]))
+            nxt = lab.copy()
+            nxt[gn[first]] = gl[first]
+            lab = nxt
+        return pa.table(
+            {"node": pa.array(nodes, type=pa.int64()), "community": pa.array(lab, type=pa.int64())}
+        )
+
+    # ---- all-distributed rounds (the 100-TB plan)
+    def bidir(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([u, v]), type=pa.int64()),
+                "nbr": pa.array(np.concatenate([v, u]), type=pa.int64()),
+            }
+        )
+
+    nbrs = edges.map_batches(bidir, batch_format="pyarrow").materialize()
+    nparts = adaptive_partitions(n_edges)
+    labels = first_per_key(
+        nbrs.map_batches(
+            lambda t: pa.table({"lnode": t["node"], "lab": t["node"]}), batch_format="pyarrow"
+        ),
+        "lnode",
+    ).materialize()
+    for _ in range(rounds):
+        joined = safe_join(nbrs, labels, num_partitions=nparts, on=("nbr",), right_on=("lnode",))
+
+        def pack_counts(t: pa.Table) -> pa.Table:
+            node = t["node"].to_numpy(zero_copy_only=False)
+            lab = t["lab"].to_numpy(zero_copy_only=False)
+            pk = _pack_edges(node, lab)
+            u, c = np.unique(pk, return_counts=True)
+            return pa.table(
+                {"pk": pa.array(u, type=pa.int64()), "c": pa.array(c.astype(np.int64), type=pa.int64())}
+            )
+
+        counts = (
+            joined.map_batches(pack_counts, batch_format="pyarrow")
+            .groupby("pk")
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "lnode": pa.array(
+                            t["pk"].to_numpy(zero_copy_only=False) >> EKEY_SHIFT, type=pa.int64()
+                        ),
+                        "lab": pa.array(
+                            t["pk"].to_numpy(zero_copy_only=False) & ((1 << EKEY_SHIFT) - 1),
+                            type=pa.int64(),
+                        ),
+                        "c": t["c"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        labels = (
+            head_k_per_key(counts, "lnode", ["c", "lab"], 1, descending=[True, False])
+            .select_columns(["lnode", "lab"])
+            .materialize()
+        )
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["lnode"], "community": t["lab"]}), batch_format="pyarrow"
+    )
+
+
+def g_lpa_communities(sf_dir: str):
+    """Label-propagation communities of the same-minute co-activity graph —
+    the DISTRIBUTED upgrade of the reference's in-memory community-detection
+    options (networkx louvain/LPA,
+    /root/reference/src/batch_parallel_classification.py:871-935)."""
+    return lpa_on_edges(coactivity_edges(sf_dir).materialize())
+
+
+def _lpa_sql(rounds: int = LPA_ROUNDS) -> str:
+    body = [
+        "WITH uh AS (SELECT DISTINCT user_id AS u, date_trunc('minute', ts) AS m FROM events),",
+        "ed AS (SELECT DISTINCT a.u AS x, b.u AS y FROM uh a JOIN uh b ON a.m = b.m AND a.u < b.u),",
+        "e AS (SELECT x AS node, y AS nbr FROM ed UNION ALL SELECT y, x FROM ed),",
+        "l0 AS (SELECT DISTINCT node, node AS lab FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        body.append(
+            f""",
+c{r} AS (SELECT e.node, l.lab, count(*) AS c
+         FROM e JOIN l{r - 1} l ON l.node = e.nbr GROUP BY e.node, l.lab),
+l{r} AS (SELECT node, lab FROM (
+           SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+           FROM c{r}) WHERE rn = 1)"""
+        )
+    body.append(f"\nSELECT node, CAST(lab AS BIGINT) AS community FROM l{rounds}")
+    return "\n".join(body)
+
+
+G_LPA_SQL = _lpa_sql()

@@ -153,3 +153,62 @@ def test_degree_hist_hand_events(ray_session, tmp_path):
 
     got = g_degree_hist(str(tmp_path)).to_pandas()
     assert dict(zip(got["degree"], got["n_nodes"])) == {1: 2, 2: 3}
+
+
+def _lpa_reference(pairs, rounds=3):
+    """Straight-python synchronous LPA: min label among the most frequent
+    neighbor labels, no self vote."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(set)
+    for a, b in pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    lab = {n: n for n in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for n in nbrs:
+            c = Counter(lab[m] for m in nbrs[n])
+            top = max(c.values())
+            nxt[n] = min(l for l, k in c.items() if k == top)
+        lab = nxt
+    return lab
+
+
+def test_lpa_matches_reference_random(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_pipeline_ray.pipelines.graph import lpa_on_edges
+
+    rng = np.random.default_rng(21)
+    pairs = set()
+    while len(pairs) < 120:
+        a, b = sorted(rng.integers(1, 40, size=2).tolist())
+        if a != b:
+            pairs.add((a, b))
+    pairs = sorted(pairs)
+    t = pa.table({"u": pa.array([a for a, _ in pairs], type=pa.int64()),
+                  "v": pa.array([b for _, b in pairs], type=pa.int64())})
+    got = lpa_on_edges(rd.from_arrow(t))
+    got = {r["node"]: r["community"] for r in got.to_pandas().to_dict("records")}
+    assert got == _lpa_reference(pairs)
+
+
+def test_lpa_dual_plans_agree(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_pipeline_ray.pipelines.graph import lpa_on_edges
+
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    t = pa.table({"u": pa.array([a for a, _ in pairs], type=pa.int64()),
+                  "v": pa.array([b for _, b in pairs], type=pa.int64())})
+    fast = lpa_on_edges(rd.from_arrow(t)).to_pandas().sort_values("node").reset_index(drop=True)
+    dist = (
+        lpa_on_edges(rd.from_arrow(t), driver_edge_threshold=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert fast.equals(dist)
+    assert fast.set_index("node")["community"].to_dict() == _lpa_reference(pairs)
