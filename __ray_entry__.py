@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "g_degree_hist": G.g_degree_hist,
         "p_curriculum_order": SP.p_curriculum_order,
         "g_lpa_communities": G.g_lpa_communities,
+        "q3_shipping_priority": R.q3_shipping_priority,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -327,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "g_degree_hist": G.G_DEGREE_HIST_SQL,
         "p_curriculum_order": SP.P_CURRICULUM_ORDER_SQL,
         "g_lpa_communities": G.G_LPA_SQL,
+        "q3_shipping_priority": R.Q3_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

@@ -2334,3 +2334,127 @@ FROM part a JOIN part b
   ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
 WHERE levenshtein(lower(a.p_name), lower(b.p_name)) <= 2
 """
+
+
+Q3_CUTOFF = "1998-06-15"
+Q3_SEGMENT = "BUILDING"
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10):
+    """TPC-H Q3 (shipping priority, adapted to this schema's columns): top-k
+    unshipped orders of one market segment by discounted revenue.  Plan:
+    broadcast the segment's customer-key set (dimension-sized) into the
+    orders filter, ONE orderkey hash join lineitem⋈filtered-orders, then
+    per-order revenue sums + the top-k FUSED into one ``map_sorted_groups``
+    pass (complete orderkey groups per block emit only their local top-k —
+    the g_common_neighbors reduce shape, never an orders-cardinality hash
+    aggregate), tiny driver merge.  Revenue in exact integer 1e-4 units with
+    the q1 half-away-up cent rounding, so ordering is float-free.  Output
+    (l_orderkey, revenue, o_orderdate_us, o_orderpriority)."""
+    import ray as _ray
+
+    from ..rayops import adaptive_partitions, map_sorted_groups, safe_join
+
+    cutoff = np.datetime64(Q3_CUTOFF).astype("datetime64[us]").astype(np.int64)
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = np.sort(cust.loc[cust["c_mktsegment"] == Q3_SEGMENT, "c_custkey"].to_numpy(dtype=np.int64))
+    kref = _ray.put(keys)
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        ks = _ray.get(kref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        od = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, ck)
+        seg = (pos < len(ks)) & (ks[np.minimum(pos, max(len(ks) - 1, 0))] == ck) if len(ks) else np.zeros(len(ck), bool)
+        m = seg & (od < cutoff)
+        return pa.table(
+            {
+                "o_orderkey": pc.array_filter(t["o_orderkey"], pa.array(m)),
+                "o_orderdate_us": pa.array(od[m], type=pa.int64()),
+                "o_orderpriority": pc.array_filter(t["o_orderpriority"], pa.array(m)),
+            }
+        )
+
+    fo = orders.map_batches(ofilter, batch_format="pyarrow")
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def lfilter(t: pa.Table) -> pa.Table:
+        sd = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        m = sd > cutoff
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        units = np.round(ep * (1.0 - dc) * 10_000.0).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pc.array_filter(t["l_orderkey"], pa.array(m)),
+                "rev_units": pa.array(units, type=pa.int64()),
+            }
+        )
+
+    fl = li.map_batches(lfilter, batch_format="pyarrow")
+    joined = safe_join(
+        fl, fo, num_partitions=adaptive_partitions(orders.count()), on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    empty = pa.table(
+        {"l_orderkey": pa.array([], type=pa.int64()), "rev_units": pa.array([], type=pa.int64()),
+         "o_orderdate_us": pa.array([], type=pa.int64()), "o_orderpriority": pa.array([], type=pa.string())}
+    )
+
+    def topk_orders(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby(["l_orderkey", "o_orderdate_us", "o_orderpriority"], sort=False)["rev_units"]
+            .sum()
+            .reset_index()
+        )
+        g = g.sort_values(
+            ["rev_units", "o_orderdate_us", "l_orderkey"], ascending=[False, True, True], kind="mergesort"
+        ).head(k)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(dtype=np.int64), type=pa.int64()),
+                "rev_units": pa.array(g["rev_units"].to_numpy(dtype=np.int64), type=pa.int64()),
+                "o_orderdate_us": pa.array(g["o_orderdate_us"].to_numpy(dtype=np.int64), type=pa.int64()),
+                "o_orderpriority": pa.array(g["o_orderpriority"], type=pa.string()),
+            }
+        )
+
+    parts = map_sorted_groups(joined, "l_orderkey", topk_orders, empty).to_pandas()
+    if parts.empty:
+        return empty
+    top = parts.sort_values(
+        ["rev_units", "o_orderdate_us", "l_orderkey"], ascending=[False, True, True], kind="mergesort"
+    ).head(k)
+    # exact half-away-up 1e-4 units -> cents -> dollars (the q1 discipline)
+    rev = ((top["rev_units"].to_numpy(dtype=np.int64) + 50) // 100).astype(np.float64) / 100.0
+    return pa.table(
+        {
+            "l_orderkey": pa.array(top["l_orderkey"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "revenue": pa.array(rev, type=pa.float64()),
+            "o_orderdate_us": pa.array(top["o_orderdate_us"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "o_orderpriority": pa.array(top["o_orderpriority"], type=pa.string()),
+        }
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey,
+       CAST(floor((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) / 100)
+            AS BIGINT) / 100.0 AS revenue,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) DESC,
+         o_orderdate, l_orderkey
+LIMIT 10
+"""

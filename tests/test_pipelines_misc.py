@@ -1081,3 +1081,18 @@ def test_curriculum_order_hand_corpus(ray_session, tmp_path):
     got = p_curriculum_order(str(tmp_path)).to_pandas().set_index("doc_id")["curriculum_rank"]
     # 99 first, then the two 10s by doc_id, then 5
     assert got.to_dict() == {2: 1, 1: 2, 3: 3, 4: 4}
+
+
+def test_q3_matches_duckdb(ray_session):
+    import duckdb
+
+    from entity_resolution_pipeline_ray.pipelines.relational import Q3_SQL, q3_shipping_priority
+
+    mine = q3_shipping_priority(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    want = con.sql(Q3_SQL).df()
+    con.close()
+    assert mine["l_orderkey"].tolist() == want["l_orderkey"].tolist()
+    assert mine["revenue"].tolist() == want["revenue"].tolist()
