@@ -2340,11 +2340,17 @@ Q3_CUTOFF = "1998-06-15"
 Q3_SEGMENT = "BUILDING"
 
 
-def q3_shipping_priority(sf_dir: str, k: int = 10):
+Q3_CUST_BROADCAST_MAX = 20_000_000  # 8 B/key -> 160 MB at the cap
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10, cust_broadcast_max: int | None = None):
     """TPC-H Q3 (shipping priority, adapted to this schema's columns): top-k
     unshipped orders of one market segment by discounted revenue.  Plan:
-    broadcast the segment's customer-key set (dimension-sized) into the
-    orders filter, ONE orderkey hash join lineitem⋈filtered-orders, then
+    the segment's customer-key set broadcasts into the orders filter when it
+    fits (≤ ``Q3_CUST_BROADCAST_MAX`` keys), else a custkey semi-join does
+    the filtering (the gated dual-plan discipline — a fifth of a 10^9-row
+    customer dimension must not ship per task); then
+    ONE orderkey hash join lineitem⋈filtered-orders, then
     per-order revenue sums + the top-k FUSED into one ``map_sorted_groups``
     pass (complete orderkey groups per block emit only their local top-k —
     the g_common_neighbors reduce shape, never an orders-cardinality hash
@@ -2356,29 +2362,54 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
     from ..rayops import adaptive_partitions, map_sorted_groups, safe_join
 
     cutoff = np.datetime64(Q3_CUTOFF).astype("datetime64[us]").astype(np.int64)
+    bcast_max = Q3_CUST_BROADCAST_MAX if cust_broadcast_max is None else cust_broadcast_max
 
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = np.sort(cust.loc[cust["c_mktsegment"] == Q3_SEGMENT, "c_custkey"].to_numpy(dtype=np.int64))
-    kref = _ray.put(keys)
+    cust_ds = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    seg_cust = cust_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], Q3_SEGMENT)).select(["c_custkey"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_seg = seg_cust.count()
 
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
 
-    def ofilter(t: pa.Table) -> pa.Table:
-        ks = _ray.get(kref)
-        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+    def date_proj(t: pa.Table) -> pa.Table:
         od = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ks, ck)
-        seg = (pos < len(ks)) & (ks[np.minimum(pos, max(len(ks) - 1, 0))] == ck) if len(ks) else np.zeros(len(ck), bool)
-        m = seg & (od < cutoff)
+        m = od < cutoff
         return pa.table(
             {
                 "o_orderkey": pc.array_filter(t["o_orderkey"], pa.array(m)),
+                "o_custkey": pc.array_filter(t["o_custkey"], pa.array(m)),
                 "o_orderdate_us": pa.array(od[m], type=pa.int64()),
                 "o_orderpriority": pc.array_filter(t["o_orderpriority"], pa.array(m)),
             }
         )
 
-    fo = orders.map_batches(ofilter, batch_format="pyarrow")
+    dated = orders.map_batches(date_proj, batch_format="pyarrow")
+    if n_seg <= bcast_max:
+        keys = np.sort(
+            pa.concat_tables(_ray.get(seg_cust.to_arrow_refs()))["c_custkey"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        kref = _ray.put(keys)
+
+        def seg_filter(t: pa.Table) -> pa.Table:
+            ks = _ray.get(kref)
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, ck)
+            m = (pos < len(ks)) & (ks[np.minimum(pos, max(len(ks) - 1, 0))] == ck) if len(ks) else np.zeros(len(ck), bool)
+            return t.filter(pa.array(m)).drop_columns(["o_custkey"])
+
+        fo = dated.map_batches(seg_filter, batch_format="pyarrow")
+    else:
+        fo = safe_join(
+            dated,
+            seg_cust,
+            num_partitions=adaptive_partitions(n_seg),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).map_batches(lambda t: t.drop_columns(["o_custkey"]), batch_format="pyarrow")
 
     li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 

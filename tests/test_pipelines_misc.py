@@ -1096,3 +1096,12 @@ def test_q3_matches_duckdb(ray_session):
     con.close()
     assert mine["l_orderkey"].tolist() == want["l_orderkey"].tolist()
     assert mine["revenue"].tolist() == want["revenue"].tolist()
+
+
+def test_q3_dual_plans_agree(ray_session):
+    """Broadcast segment-filter and semi-join plans return identical top-k."""
+    from entity_resolution_pipeline_ray.pipelines.relational import q3_shipping_priority
+
+    bcast = q3_shipping_priority(SF).to_pandas()
+    joined = q3_shipping_priority(SF, cust_broadcast_max=0).to_pandas()
+    assert bcast.equals(joined)
