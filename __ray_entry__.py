@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_curriculum_order": SP.p_curriculum_order,
         "g_lpa_communities": G.g_lpa_communities,
         "q3_shipping_priority": R.q3_shipping_priority,
+        "p_group_sample_k": SP.p_group_sample_k,
+        "q_percent_rank": R.q_percent_rank,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -329,6 +331,8 @@ def oracle_sql() -> dict[str, str]:
         "p_curriculum_order": SP.P_CURRICULUM_ORDER_SQL,
         "g_lpa_communities": G.G_LPA_SQL,
         "q3_shipping_priority": R.Q3_SQL,
+        "p_group_sample_k": SP.P_GROUP_SAMPLE_K_SQL,
+        "q_percent_rank": R.Q_PERCENT_RANK_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

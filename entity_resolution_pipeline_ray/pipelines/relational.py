@@ -2489,3 +2489,63 @@ ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) 
          o_orderdate, l_orderkey
 LIMIT 10
 """
+
+
+def q_percent_rank(sf_dir: str):
+    """percent_rank of each order's price within its priority class, in exact
+    integer ppm — the window-function family's cumulative-distribution member
+    (RANK over big partitions), float-free on both engines:
+    pr_ppm = (rank − 1) · 10⁶ // (n_partition − 1), rank = RANK() (ties share
+    the lowest rank) over cents ascending.  Plan: ONE range sort on
+    (priority, cents) via ``map_sorted_groups`` — complete priority groups
+    per task, vectorized tie-aware ranking inside.  Output (o_orderkey,
+    o_orderpriority, pr_ppm)."""
+    from ..rayops import map_sorted_groups
+
+    ods = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table(
+            {"o_orderpriority": t["o_orderpriority"], "cents": pa.array(cents, type=pa.int64()),
+             "o_orderkey": t["o_orderkey"]}
+        )
+
+    empty = pa.table(
+        {"o_orderkey": pa.array([], type=pa.int64()), "o_orderpriority": pa.array([], type=pa.string()),
+         "pr_ppm": pa.array([], type=pa.int64())}
+    )
+
+    def per_prio(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        outs = []
+        for prio, g in df.groupby("o_orderpriority", sort=False):
+            c = g["cents"].to_numpy()
+            order = np.argsort(c, kind="mergesort")
+            cs = c[order]
+            n = len(cs)
+            # RANK(): position of each value's FIRST occurrence, 1-based
+            first = np.concatenate(([True], cs[1:] != cs[:-1]))
+            rank_sorted = np.maximum.accumulate(np.where(first, np.arange(1, n + 1), 0))
+            rank = np.empty(n, dtype=np.int64)
+            rank[order] = rank_sorted
+            pr = (rank - 1) * 1_000_000 // max(n - 1, 1)
+            outs.append(
+                pa.table(
+                    {"o_orderkey": pa.array(g["o_orderkey"].to_numpy(dtype=np.int64), type=pa.int64()),
+                     "o_orderpriority": pa.array([prio] * n, type=pa.string()),
+                     "pr_ppm": pa.array(pr, type=pa.int64())}
+                )
+            )
+        return pa.concat_tables(outs) if outs else empty
+
+    return map_sorted_groups(ods.map_batches(prep, batch_format="pyarrow"), "o_orderpriority", per_prio, empty)
+
+
+Q_PERCENT_RANK_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST((rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) - 1) * 1000000
+            // greatest(count(*) OVER (PARTITION BY o_orderpriority) - 1, 1) AS BIGINT) AS pr_ppm
+FROM orders
+"""

@@ -734,3 +734,39 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS curriculum_rank
 FROM documents
 """
+
+
+GROUP_SAMPLE_K = 25
+
+
+def p_group_sample_k(sf_dir: str, k: int = GROUP_SAMPLE_K):
+    """Uniform k-per-group sampling, deterministic: each language keeps its k
+    docs with the SMALLEST md5(doc_id) — an unbiased fixed-size per-group
+    sample that is a pure function of doc_id (reproducible across runs and
+    partitionings, unlike seeded shuffles), the eval-set carving step of
+    corpus curation.  Plan: ONE ``head_k_per_key`` range sort on
+    (lang, hash) — never a hash aggregate over group keys.  Output
+    (doc_id, lang, h)."""
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.array([md5_u64(str(int(i))) for i in ids], dtype=np.uint64)
+        # shift into int64 range for the sort key; order-preserving
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"],
+             "h": pa.array((h >> np.uint64(1)).astype(np.int64), type=pa.int64())}
+        )
+
+    return head_k_per_key(ds.map_batches(hashed, batch_format="pyarrow"), "lang", ["h", "doc_id"], k)
+
+
+P_GROUP_SAMPLE_K_SQL = f"""
+SELECT doc_id, lang, h FROM (
+  SELECT doc_id, lang,
+         CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) >> 1 AS BIGINT) AS h,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)) >> 1, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {GROUP_SAMPLE_K}
+"""

@@ -1105,3 +1105,55 @@ def test_q3_dual_plans_agree(ray_session):
     bcast = q3_shipping_priority(SF).to_pandas()
     joined = q3_shipping_priority(SF, cust_broadcast_max=0).to_pandas()
     assert bcast.equals(joined)
+
+
+def test_group_sample_k_hand_corpus(ray_session, tmp_path):
+    """Keeps exactly the k smallest-md5 docs per lang, recomputed here."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = list(range(1, 13))
+    langs = ["en"] * 8 + ["de"] * 4
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": ["x"] * 12, "lang": langs, "source": ["s"] * 12,
+                  "n_chars": pa.array([1] * 12, type=pa.int64())}),
+        tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.sampling import p_group_sample_k
+
+    got = p_group_sample_k(str(tmp_path), k=3).to_pandas()
+
+    def h(i):
+        return int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "little") >> 1
+
+    for lang in ("en", "de"):
+        members = [i for i, l in zip(ids, langs) if l == lang]
+        want = sorted(members, key=lambda i: (h(i), i))[:3]
+        assert sorted(got.loc[got["lang"] == lang, "doc_id"]) == sorted(want)
+
+
+def test_percent_rank_hand_orders(ray_session, tmp_path):
+    """RANK ties share the low rank; ppm denominators are n-1 per class."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    prices = [10.0, 20.0, 20.0, 30.0, 5.0]  # class A: ranks 2,3,3,5 over n=4... recompute below
+    prios = ["A", "A", "A", "A", "B"]
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(range(1, 6), type=pa.int64()),
+                  "o_custkey": pa.array([1] * 5, type=pa.int64()),
+                  "o_orderstatus": ["O"] * 5, "o_totalprice": prices,
+                  "o_orderdate": pa.array(pd.to_datetime(["2024-01-01"] * 5), type=pa.timestamp("us")),
+                  "o_orderpriority": prios}),
+        tmp_path / "orders.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_percent_rank
+
+    got = q_percent_rank(str(tmp_path)).to_pandas().set_index("o_orderkey")["pr_ppm"]
+    # class A (n=4): 10->rank1, 20->rank2 (both), 30->rank4
+    assert got.loc[1] == 0
+    assert got.loc[2] == got.loc[3] == (2 - 1) * 1_000_000 // 3
+    assert got.loc[4] == 1_000_000
+    # class B: single row -> denominator clamps to 1, rank 1 -> 0
+    assert got.loc[5] == 0
