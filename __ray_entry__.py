@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": R.q3_shipping_priority,
         "p_group_sample_k": SP.p_group_sample_k,
         "q_percent_rank": R.q_percent_rank,
+        "q_cube": R.q_cube,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -333,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": R.Q3_SQL,
         "p_group_sample_k": SP.P_GROUP_SAMPLE_K_SQL,
         "q_percent_rank": R.Q_PERCENT_RANK_SQL,
+        "q_cube": R.Q_CUBE_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

@@ -2549,3 +2549,69 @@ SELECT o_orderkey, o_orderpriority,
             // greatest(count(*) OVER (PARTITION BY o_orderpriority) - 1, 1) AS BIGINT) AS pr_ppm
 FROM orders
 """
+
+
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE over (event_type, weekday): all four grouping sets —
+    (type, dow), (type), (dow), grand total — completing the grouping-sets
+    family next to q_rollup_events' ROLLUP.  Plan: per-block combiners to
+    the FINEST grain (#types × 7 keys — dimension-sized), driver re-reduction
+    into the coarser sets (the distributed cube pattern: one scan, never a
+    second pass).  Sentinels: event_type '(all)', dow −1.  value sums in
+    exact integer 1e-6 units divided once at the end, so both engines round
+    identically.  Output (event_type, dow, n_events, total_value)."""
+    ev = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        dow = pc.cast(
+            pc.day_of_week(t["ts"], count_from_zero=True, week_start=7), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        vu = np.round(t["value"].to_numpy(zero_copy_only=False) * 1_000_000.0).astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": t["event_type"].to_pylist(), "dow": dow, "vu": vu})
+            .groupby(["event_type", "dow"], sort=False)
+            .agg(n=("vu", "size"), v=("vu", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {"event_type": pa.array(g["event_type"], type=pa.string()),
+             "dow": pa.array(g["dow"].to_numpy(dtype=np.int64), type=pa.int64()),
+             "n": pa.array(g["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+             "v": pa.array(g["v"].to_numpy(dtype=np.int64), type=pa.int64())}
+        )
+
+    p = ev.map_batches(part, batch_format="pyarrow").to_pandas()
+    empty = pa.table(
+        {"event_type": pa.array([], type=pa.string()), "dow": pa.array([], type=pa.int64()),
+         "n_events": pa.array([], type=pa.int64()), "total_value": pa.array([], type=pa.float64())}
+    )
+    if p.empty:
+        return empty
+    fine = p.groupby(["event_type", "dow"], sort=True)[["n", "v"]].sum().reset_index()
+    frames = [fine]
+    by_type = fine.groupby("event_type", sort=True)[["n", "v"]].sum().reset_index().assign(dow=-1)
+    by_dow = fine.groupby("dow", sort=True)[["n", "v"]].sum().reset_index().assign(event_type="(all)")
+    total = pd.DataFrame(
+        {"event_type": ["(all)"], "dow": [-1], "n": [fine["n"].sum()], "v": [fine["v"].sum()]}
+    )
+    out = pd.concat([fine, by_type, by_dow, total], ignore_index=True)
+    return pa.table(
+        {"event_type": pa.array(out["event_type"], type=pa.string()),
+         "dow": pa.array(out["dow"].to_numpy(dtype=np.int64), type=pa.int64()),
+         "n_events": pa.array(out["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+         "total_value": pa.array(out["v"].to_numpy(dtype=np.int64) / 1_000_000.0, type=pa.float64())}
+    )
+
+
+Q_CUBE_SQL = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(dow, -1) AS dow,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(vu AS BIGINT) / 1000000.0 AS total_value
+FROM (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+         count(*) AS n_events,
+         sum(CAST(round(value * 1000000) AS BIGINT)) AS vu
+  FROM events
+  GROUP BY CUBE (event_type, CAST(dayofweek(ts) AS BIGINT)))
+"""

@@ -1157,3 +1157,19 @@ def test_percent_rank_hand_orders(ray_session, tmp_path):
     assert got.loc[4] == 1_000_000
     # class B: single row -> denominator clamps to 1, rank 1 -> 0
     assert got.loc[5] == 0
+
+
+def test_cube_mass_conservation(ray_session):
+    """Each grouping set's n_events sums to the corpus total; the grand-total
+    row equals the fine-grain sum."""
+    from entity_resolution_pipeline_ray.pipelines.relational import q_cube
+
+    got = q_cube(SF).to_pandas()
+    fine = got[(got["event_type"] != "(all)") & (got["dow"] >= 0)]
+    by_type = got[(got["event_type"] != "(all)") & (got["dow"] == -1)]
+    by_dow = got[(got["event_type"] == "(all)") & (got["dow"] >= 0)]
+    total = got[(got["event_type"] == "(all)") & (got["dow"] == -1)]
+    n = fine["n_events"].sum()
+    assert by_type["n_events"].sum() == n
+    assert by_dow["n_events"].sum() == n
+    assert total["n_events"].iloc[0] == n and len(total) == 1
