@@ -515,7 +515,7 @@ def triangles_on_edges(edges):
 
     from ray.data.aggregate import Count
 
-    from ..rayops import adaptive_partitions, map_sorted_groups, safe_join
+    from ..rayops import adaptive_partitions, collect_table, map_sorted_groups, safe_join
 
     # materialize the slim (u, v) stream ONCE: it feeds count(), the degree
     # aggregate and a join side — left lazy, the upstream pair enumeration
@@ -559,7 +559,7 @@ def triangles_on_edges(edges):
         # (16 B/node) and attach endpoint degrees by searchsorted inside ONE
         # map — the two node-keyed hash joins cost 6.6 s at sf0.1 for a
         # 1,500-node degree table; this is ~0.3 s
-        dt = pa.concat_tables(ray.get(deg.to_arrow_refs()))
+        dt = collect_table(deg)
         nodes = dt["node"].to_numpy(zero_copy_only=False)
         degs = dt["deg"].to_numpy(zero_copy_only=False)
         order = np.argsort(nodes)
@@ -617,7 +617,7 @@ def triangles_on_edges(edges):
         # closing membership INSIDE the wedge pass — no wedge stream ever
         # materializes, no join
         ekeys = np.sort(
-            pa.concat_tables(ray.get(directed.select_columns(["ekey"]).to_arrow_refs()))["ekey"]
+            collect_table(directed.select_columns(["ekey"]))["ekey"]
             .to_numpy(zero_copy_only=False)
         )
         eref = ray.put(ekeys)

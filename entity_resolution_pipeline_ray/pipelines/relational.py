@@ -2359,7 +2359,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10, cust_broadcast_max: int | Non
     (l_orderkey, revenue, o_orderdate_us, o_orderpriority)."""
     import ray as _ray
 
-    from ..rayops import adaptive_partitions, map_sorted_groups, safe_join
+    from ..rayops import adaptive_partitions, collect_table, map_sorted_groups, safe_join
 
     cutoff = np.datetime64(Q3_CUTOFF).astype("datetime64[us]").astype(np.int64)
     bcast_max = Q3_CUST_BROADCAST_MAX if cust_broadcast_max is None else cust_broadcast_max
@@ -2388,7 +2388,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10, cust_broadcast_max: int | Non
     dated = orders.map_batches(date_proj, batch_format="pyarrow")
     if n_seg <= bcast_max:
         keys = np.sort(
-            pa.concat_tables(_ray.get(seg_cust.to_arrow_refs()))["c_custkey"]
+            collect_table(seg_cust)["c_custkey"]
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )

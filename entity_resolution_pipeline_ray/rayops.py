@@ -265,6 +265,27 @@ def adaptive_partitions(n_rows: int, *, rows_per_partition: int = 200_000, cap: 
     return max(2, min(cap, by_data, by_cpu))
 
 
+def collect_table(ds):
+    """Concatenate a SMALL Dataset into one driver-side Arrow table.
+
+    Hash-shuffle aggregates can emit empty blocks with an EMPTY (zero-column)
+    schema; ``pa.concat_tables`` over the raw block list then fails with
+    "Schema at index N was different".  Keep only row-bearing blocks (they
+    always carry the real schema); if every block is empty, return the first
+    schema-bearing one so consumers still see column names.
+    """
+    import pyarrow as pa
+
+    tabs = ray.get(ds.to_arrow_refs())
+    live = [t for t in tabs if t.num_rows > 0]
+    if live:
+        return pa.concat_tables(live)
+    for t in tabs:
+        if t.num_columns > 0:
+            return t
+    return pa.table({})
+
+
 def drop_empty_blocks(ds):
     """Remove empty blocks from a Dataset.
 

@@ -450,3 +450,26 @@ def test_late_session_operators_on_empty_tables(ray_session, tmp_path):
     from entity_resolution_pipeline_ray.pipelines.sampling import p_write_lang_shards
 
     assert nrows(p_write_lang_shards(sf)) == 0
+
+
+def test_collect_table_skips_empty_schema_blocks(ray_session):
+    """Hash-shuffle aggregates can emit zero-column empty blocks; collect_table
+    must concat around them (regression: g_triangles crashed at sf0.001 when
+    the degree aggregate produced such a block)."""
+    import ray
+    import ray.data as rd
+
+    from entity_resolution_pipeline_ray.rayops import collect_table
+
+    real = pa.table({"node": pa.array([1, 2], type=pa.int64()), "deg": pa.array([3, 4], type=pa.int64())})
+    empty_noschema = pa.table({})
+    ds = rd.from_arrow_refs([ray.put(empty_noschema), ray.put(real), ray.put(empty_noschema)])
+    out = collect_table(ds)
+    assert out.column_names == ["node", "deg"]
+    assert out.num_rows == 2
+
+    # all-empty: schema-bearing empty block wins over the zero-column ones
+    empty_schema = real.slice(0, 0)
+    ds2 = rd.from_arrow_refs([ray.put(empty_noschema), ray.put(empty_schema)])
+    out2 = collect_table(ds2)
+    assert out2.column_names == ["node", "deg"] and out2.num_rows == 0
