@@ -2615,3 +2615,111 @@ FROM (
   FROM events
   GROUP BY CUBE (event_type, CAST(dayofweek(ts) AS BIGINT)))
 """
+
+
+def q_late_orders(sf_dir: str):
+    """TPC-H-Q4-style correlated EXISTS across a join: orders placed in a
+    6-month window that have at least one line shipped more than 30 days
+    after the order date, counted by o_orderpriority.
+
+    Scale plan: lineitem never ships its rows to the join — a per-batch
+    partial max(l_shipdate) per l_orderkey feeds one groupby-Max shuffle
+    (output is one slim int64 row per orderkey), the window-filtered orders
+    join on that, and the EXISTS collapses to one vectorized timestamp
+    compare.  The 5-group priority count finishes with per-batch combiners
+    and a driver merge (hash-aggregate fixed cost dwarfs 5 groups — see
+    q1_pricing_summary).  Reference analog: grouped order-level stats over
+    joined pair/record tables (src/reporting.py)."""
+    from ..rayops import adaptive_partitions, safe_join
+
+    lo = pd.Timestamp("1994-01-01").value // 1000  # us
+    hi = pd.Timestamp("1994-07-01").value // 1000
+    grace_us = 30 * 86_400 * 1_000_000
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sd = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"l_orderkey": ok, "ship_us": sd}).groupby("l_orderkey", sort=False)[
+            "ship_us"
+        ].max()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g.index.to_numpy(dtype=np.int64), type=pa.int64()),
+                "ship_us": pa.array(g.to_numpy(dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    last_ship = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Max("ship_us", alias_name="max_ship_us"))
+    )
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_window(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        m = (od >= lo) & (od < hi)
+        return pa.table(
+            {
+                "o_orderkey": pc.array_filter(t["o_orderkey"], pa.array(m)),
+                "o_orderdate_us": pa.array(od[m], type=pa.int64()),
+                "o_orderpriority": pc.array_filter(t["o_orderpriority"], pa.array(m)),
+            }
+        )
+
+    win = orders.map_batches(o_window, batch_format="pyarrow").materialize()
+    empty = pa.table(
+        {
+            "o_orderpriority": pa.array([], type=pa.string()),
+            "late_orders": pa.array([], type=pa.int64()),
+        }
+    )
+    n_win = win.count()
+    if n_win == 0:
+        return empty
+    joined = safe_join(
+        win,
+        last_ship,
+        num_partitions=adaptive_partitions(n_win),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def late_counts(t: pa.Table) -> pa.Table:
+        late = (
+            t["max_ship_us"].to_numpy(zero_copy_only=False)
+            > t["o_orderdate_us"].to_numpy(zero_copy_only=False) + grace_us
+        )
+        pr = pc.array_filter(t["o_orderpriority"], pa.array(late))
+        vc = pd.Series(pr.to_pylist()).value_counts()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(vc.index.astype(str), type=pa.string()),
+                "n": pa.array(vc.to_numpy(dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(late_counts, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return empty
+    out = parts.groupby("o_orderpriority", sort=True)["n"].sum().reset_index()
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out["o_orderpriority"], type=pa.string()),
+            "late_orders": pa.array(out["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+        }
+    )
+
+
+Q_LATE_ORDERS_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS late_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1994-01-01' AND o.o_orderdate < TIMESTAMP '1994-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""

@@ -1173,3 +1173,53 @@ def test_cube_mass_conservation(ray_session):
     assert by_type["n_events"].sum() == n
     assert by_dow["n_events"].sum() == n
     assert total["n_events"].iloc[0] == n and len(total) == 1
+
+
+def test_late_orders_hand_case(ray_session, tmp_path):
+    """Correlated EXISTS: only orders in the window with a line shipped >30
+    days after the order date count; multiple late lines count the order once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    od = pd.to_datetime(["1994-02-01", "1994-03-01", "1994-04-01", "1993-01-01"])
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "o_custkey": pa.array([1] * 4, type=pa.int64()),
+                  "o_orderstatus": ["O"] * 4, "o_totalprice": [1.0] * 4,
+                  "o_orderdate": pa.array(od, type=pa.timestamp("us")),
+                  "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH", "1-URGENT"]}),
+        tmp_path / "orders.parquet")
+    # order 1: two late lines (counts once); order 2: on-time only; order 3:
+    # late; order 4: late but outside the window
+    li_ok = [1, 1, 2, 3, 4]
+    ship = pd.to_datetime(["1994-03-15", "1994-04-01", "1994-03-05", "1994-06-01", "1993-06-01"])
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(li_ok, type=pa.int64()),
+                  "l_shipdate": pa.array(ship, type=pa.timestamp("us"))}),
+        tmp_path / "lineitem.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_late_orders
+
+    got = q_late_orders(str(tmp_path)).to_pandas().set_index("o_orderpriority")["late_orders"]
+    assert got.to_dict() == {"1-URGENT": 1, "2-HIGH": 1}
+
+
+def test_late_orders_empty(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                  "o_custkey": pa.array([], type=pa.int64()),
+                  "o_orderstatus": pa.array([], type=pa.string()),
+                  "o_totalprice": pa.array([], type=pa.float64()),
+                  "o_orderdate": pa.array([], type=pa.timestamp("us")),
+                  "o_orderpriority": pa.array([], type=pa.string())}),
+        tmp_path / "orders.parquet")
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([], type=pa.int64()),
+                  "l_shipdate": pa.array([], type=pa.timestamp("us"))}),
+        tmp_path / "lineitem.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_late_orders
+
+    out = q_late_orders(str(tmp_path)).to_pandas()
+    assert list(out.columns) == ["o_orderpriority", "late_orders"] and out.empty

@@ -62,8 +62,10 @@ def main():
     import duckdb
     import ray
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--at-scale-plans"]
+    at_scale = "--at-scale-plans" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
@@ -75,6 +77,23 @@ def main():
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as E
+
+    if at_scale:
+        # Force every size-gated operator onto its distributed (100-TB) plan:
+        # zero the broadcast/driver-side thresholds so the toy corpus takes the
+        # same code path a trillion-row corpus would.  Complements the
+        # dual-plan equality unit tests with a registry-wide value check.
+        from entity_resolution_pipeline_ray.pipelines import dedup as _D
+        from entity_resolution_pipeline_ray.pipelines import graph as _G
+        from entity_resolution_pipeline_ray.pipelines import relational as _R
+        from entity_resolution_pipeline_ray.stages import blocking as _B
+
+        _B.DRIVER_CENSUS_MAX_ROWS = 0
+        _R.Q3_CUST_BROADCAST_MAX = 0
+        _D.BROADCAST_THRESHOLD_ROWS = 0
+        _G.EDGE_BROADCAST_MAX_ROWS = 0
+        _G.NODE_BROADCAST_MAX_ROWS = 0
+        print("at-scale-plans mode: all broadcast/driver-census gates forced to 0")
 
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
