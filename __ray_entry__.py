@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_percent_rank": R.q_percent_rank,
         "q_cube": R.q_cube,
         "q_late_orders": R.q_late_orders,
+        "q_intersect_users": R.q_intersect_users,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -337,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
         "q_percent_rank": R.Q_PERCENT_RANK_SQL,
         "q_cube": R.Q_CUBE_SQL,
         "q_late_orders": R.Q_LATE_ORDERS_SQL,
+        "q_intersect_users": R.Q_INTERSECT_USERS_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

@@ -2723,3 +2723,72 @@ WHERE o.o_orderdate >= TIMESTAMP '1994-01-01' AND o.o_orderdate < TIMESTAMP '199
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
 GROUP BY o_orderpriority
 """
+
+
+def q_intersect_users(sf_dir: str):
+    """INTERSECT set op (SURVEY §2.7 family): users active in the corpus's
+    first six hours AND its last six hours.
+
+    Scale plan: instead of two scans + a distinct-merge, ONE scan emits
+    per-batch (user_id, has_early, has_late) 0/1 partials (groupby-max inside
+    the batch), a single groupby-Max shuffle ORs them globally, and a filter
+    keeps users with both flags — combiner-friendly, one all-to-all, no
+    row-level distinct materialization."""
+    lo = pd.Timestamp("2024-01-01 06:00:00").value // 1000
+    hi = pd.Timestamp("2024-01-30 18:00:00").value // 1000
+
+    ev = _pq(sf_dir, "events", ["ts", "user_id"])
+
+    def part(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        early = ts < lo
+        late = ts >= hi
+        keep = early | late
+        if not keep.any():
+            return pa.table(
+                {"user_id": pa.array([], type=pa.int64()),
+                 "has_early": pa.array([], type=pa.int64()),
+                 "has_late": pa.array([], type=pa.int64())}
+            )
+        g = (
+            pd.DataFrame(
+                {"user_id": uid[keep],
+                 "has_early": early[keep].astype(np.int64),
+                 "has_late": late[keep].astype(np.int64)}
+            )
+            .groupby("user_id", sort=False)
+            .max()
+            .reset_index()
+        )
+        return pa.table(
+            {"user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+             "has_early": pa.array(g["has_early"].to_numpy(dtype=np.int64), type=pa.int64()),
+             "has_late": pa.array(g["has_late"].to_numpy(dtype=np.int64), type=pa.int64())}
+        )
+
+    agg = (
+        ev.map_batches(part, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("has_early", alias_name="e"), Max("has_late", alias_name="l"))
+    )
+
+    def both(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64())})
+        m = pc.and_(pc.equal(t["e"], pa.scalar(1)), pc.equal(t["l"], pa.scalar(1)))
+        return pa.table({"user_id": pc.array_filter(t["user_id"], m)})
+
+    out = agg.map_batches(both, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pa.table({"user_id": pa.array([], type=pa.int64())})
+    return pa.table(
+        {"user_id": pa.array(np.sort(out["user_id"].to_numpy(dtype=np.int64)), type=pa.int64())}
+    )
+
+
+Q_INTERSECT_USERS_SQL = """
+SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-01 06:00:00'
+INTERSECT
+SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-30 18:00:00'
+"""

@@ -1223,3 +1223,41 @@ def test_late_orders_empty(ray_session, tmp_path):
 
     out = q_late_orders(str(tmp_path)).to_pandas()
     assert list(out.columns) == ["o_orderpriority", "late_orders"] and out.empty
+
+
+def test_intersect_users_hand_case(ray_session, tmp_path):
+    """Only users seen BOTH before 01-01 06:00 and after 01-30 18:00 survive;
+    mid-corpus activity neither qualifies nor disqualifies."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.to_datetime([
+        "2024-01-01 01:00", "2024-01-30 20:00",  # user 1: both -> kept
+        "2024-01-01 02:00", "2024-01-15 12:00",  # user 2: early only
+        "2024-01-30 19:00",                       # user 3: late only
+        "2024-01-10 10:00",                       # user 4: mid only
+        "2024-01-01 03:00", "2024-01-30 23:00",  # user 5: both -> kept
+    ])
+    uid = [1, 1, 2, 2, 3, 4, 5, 5]
+    pq.write_table(
+        pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                  "user_id": pa.array(uid, type=pa.int64())}),
+        tmp_path / "events.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_intersect_users
+
+    got = q_intersect_users(str(tmp_path)).to_pandas()["user_id"].tolist()
+    assert got == [1, 5]
+
+
+def test_intersect_users_empty(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"ts": pa.array([], type=pa.timestamp("us")),
+                  "user_id": pa.array([], type=pa.int64())}),
+        tmp_path / "events.parquet")
+    from entity_resolution_pipeline_ray.pipelines.relational import q_intersect_users
+
+    out = q_intersect_users(str(tmp_path)).to_pandas()
+    assert list(out.columns) == ["user_id"] and out.empty
