@@ -770,3 +770,57 @@ SELECT doc_id, lang, h FROM (
   FROM documents)
 WHERE rn <= {GROUP_SAMPLE_K}
 """
+
+
+SHUFFLE_SEED = 42
+
+
+def p_seeded_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED):
+    """Global seeded deterministic shuffle — THE pretraining-data ordering
+    step: every doc gets a reproducible position 1..N given (seed, doc_id),
+    independent of partitioning or cluster size (unlike
+    ``Dataset.random_shuffle``, whose layout depends on block structure).
+
+    Plan: shuffle key = md5 hex of "seed:doc_id" (DuckDB ``md5`` parity,
+    effectively collision-free so the global order is total), then the
+    distributed row_number via ``rayops.exclusive_prefix_sum`` — one range
+    sort of slim (key, doc_id) rows, O(#blocks) driver scalars, a second
+    streaming pass adding block offsets.  Output (doc_id, shuffle_pos)."""
+    from ..functions.hashing import md5_hex
+
+    docs = _docs(sf_dir, ["doc_id"])
+    prefix = f"{int(seed)}:"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = md5_hex([prefix + str(int(i)) for i in ids])
+        return pa.table(
+            {
+                "h": pa.array(h, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    from ..rayops import exclusive_prefix_sum
+
+    ranked = exclusive_prefix_sum(docs.map_batches(keyed, batch_format="pyarrow"), "h", "one", "pos0")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shuffle_pos": pa.array(
+                    t["pos0"].to_numpy(zero_copy_only=False) + 1, type=pa.int64()
+                ),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+P_SEEDED_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5(concat('{SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR)))) AS BIGINT) AS shuffle_pos
+FROM documents
+"""

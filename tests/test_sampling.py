@@ -285,3 +285,25 @@ def test_keyed_exclusive_prefix_sum_empty(ray_session):
     out = keyed_exclusive_prefix_sum(ds, "k", "i", "v", "prev")
     assert out.count() == 0
     assert "prev" in out.schema().names
+
+
+def test_seeded_shuffle_is_permutation_and_seed_sensitive(ray_session, tmp_path):
+    """shuffle_pos is a 1..N permutation, reproducible for a seed, and a
+    different seed yields a different order (with overwhelming probability
+    for 200 docs)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 200
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), type=pa.int64())}),
+        tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.sampling import p_seeded_shuffle
+
+    a = p_seeded_shuffle(str(tmp_path), seed=42).to_pandas().sort_values("doc_id")
+    b = p_seeded_shuffle(str(tmp_path), seed=42).to_pandas().sort_values("doc_id")
+    c = p_seeded_shuffle(str(tmp_path), seed=7).to_pandas().sort_values("doc_id")
+    assert sorted(a["shuffle_pos"]) == list(range(1, n + 1))
+    assert (a["shuffle_pos"].to_numpy() == b["shuffle_pos"].to_numpy()).all()
+    assert (a["shuffle_pos"].to_numpy() != c["shuffle_pos"].to_numpy()).any()
