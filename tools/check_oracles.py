@@ -62,8 +62,10 @@ def main():
     import duckdb
     import ray
 
-    argv = [a for a in sys.argv[1:] if a != "--at-scale-plans"]
+    flags = {"--at-scale-plans", "--tiny-blocks"}
+    argv = [a for a in sys.argv[1:] if a not in flags]
     at_scale = "--at-scale-plans" in sys.argv[1:]
+    tiny_blocks = "--tiny-blocks" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
     if not ray.is_initialized():
@@ -71,6 +73,12 @@ def main():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    if tiny_blocks:
+        # block-boundary torture: force every dataset into many tiny blocks so
+        # sorted-group / prefix-sum / first_per_key boundary logic is exercised
+        # at toy scale the way a 100-TB run's block counts would exercise it
+        DataContext.get_current().target_max_block_size = 64 * 1024
+        print("tiny-blocks mode: target_max_block_size = 64 KiB")
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
