@@ -2694,11 +2694,11 @@ def q_late_orders(sf_dir: str):
             > t["o_orderdate_us"].to_numpy(zero_copy_only=False) + grace_us
         )
         pr = pc.array_filter(t["o_orderpriority"], pa.array(late))
-        vc = pd.Series(pr.to_pylist()).value_counts()
+        vc = pc.value_counts(pr)
         return pa.table(
             {
-                "o_orderpriority": pa.array(vc.index.astype(str), type=pa.string()),
-                "n": pa.array(vc.to_numpy(dtype=np.int64), type=pa.int64()),
+                "o_orderpriority": vc.field("values").cast(pa.string()),
+                "n": vc.field("counts").cast(pa.int64()),
             }
         )
 
