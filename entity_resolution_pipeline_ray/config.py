@@ -10,6 +10,17 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+# When not None, overrides every size-gate DEFAULT that picks between a
+# broadcast/driver-side plan and the distributed plan (an explicit threshold
+# passed by a caller still wins).  ``tools/check_oracles.py --at-scale-plans``
+# sets this to 0 so the whole registry runs its 100-TB code paths at toy scale.
+SCALE_GATE_OVERRIDE: int | None = None
+
+
+def scale_gate(default: int) -> int:
+    """Resolve a size-gate threshold default against the module-wide override."""
+    return default if SCALE_GATE_OVERRIDE is None else SCALE_GATE_OVERRIDE
+
 
 @dataclass(frozen=True)
 class MinHashConfig:

@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 from ..functions.hashing import md5_u64_arr, md5_u64_dict
 from ..functions.text import chunk_lists, shingle_lists, token_lists_arrow, word_tokens
 from ..rayops import read_parquet_clean
+from ..config import scale_gate
 
 
 def _docs(sf_dir: str, columns):
@@ -1241,7 +1242,7 @@ def t_cms_topk(sf_dir: str, k: int = 25, driver_merge_threshold: int = 5_000_000
         )
 
     partials = ds.map_batches(count_partial, batch_format="pyarrow")
-    if n_docs <= driver_merge_threshold:
+    if n_docs <= scale_gate(driver_merge_threshold):
         frames = [
             b.to_pandas()
             for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")

@@ -24,6 +24,7 @@ from ..stages.scoring import score_pairs
 from ..stages.signatures import compute_doc_features
 from ..stages.training import train_matcher
 from ..state.model import LRModel
+from ..config import scale_gate
 
 
 def run_er_pipeline(
@@ -88,7 +89,7 @@ def run_er_pipeline(
     bg_ex = bg_fut = None
     want_payload = (
         materialize_intermediate
-        and doc_features.count() <= cfg.execution.broadcast_threshold_rows
+        and doc_features.count() <= scale_gate(cfg.execution.broadcast_threshold_rows)
     )
     overlap = want_payload and _ray.cluster_resources().get("CPU", 0) >= 8
     if overlap:
@@ -343,7 +344,7 @@ def _attach_urls(res: dict, n_rows: int, cfg: ERConfig):
     from ..rayops import adaptive_partitions, safe_join
 
     url_map = res["docs"].select_columns(["doc_id", "url"])
-    if n_rows <= cfg.execution.broadcast_threshold_rows:
+    if n_rows <= scale_gate(cfg.execution.broadcast_threshold_rows):
         # broadcast gather: the url map fits the object store comfortably —
         # ship (sorted ids, fixed-width url array) once and searchsorted-gather
         # per batch.  Avoids a hash-join aggregator-actor ramp that dominates

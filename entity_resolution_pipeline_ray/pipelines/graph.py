@@ -42,6 +42,7 @@ import pyarrow as pa
 import ray
 
 from ..rayops import adaptive_partitions, first_per_key, read_parquet_clean, safe_join
+from ..config import scale_gate
 
 # node encoding: customers -> 2*custkey (even), suppliers -> 2*suppkey+1
 # (odd) — disjoint id spaces at EVERY scale factor (an additive offset would
@@ -85,7 +86,7 @@ def purchase_edges(sf_dir: str, broadcast_threshold_rows: int = 2_000_000):
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
     n_orders = orders.count()
-    if n_orders <= broadcast_threshold_rows:
+    if n_orders <= scale_gate(broadcast_threshold_rows):
         odf = orders.to_pandas()
         # empty-result frames lose their columns (Ray empty-block semantics)
         ok = odf["o_orderkey"].to_numpy(dtype=np.int64) if n_orders else np.empty(0, np.int64)
@@ -178,7 +179,7 @@ def pagerank_on_edges(
     deg_partials = edges.map_batches(_node_deg_partials, batch_format="pyarrow")
     n_edges = edges.count()
 
-    if n_edges <= driver_edge_threshold:
+    if n_edges <= scale_gate(driver_edge_threshold):
         # ---- driver fast path: the edge list is slim int64 pairs
         parts = [
             b for b in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow") if b.num_rows
@@ -203,7 +204,7 @@ def pagerank_on_edges(
             {"node": pa.array(nodes, type=pa.int64()), "rank_units": pa.array(rank, type=pa.int64())}
         )
 
-    if n_edges <= broadcast_threshold_rows:
+    if n_edges <= scale_gate(broadcast_threshold_rows):
         # ---- broadcast plan: node-cardinality driver state, one streaming
         # pass over the edges per round
         frames = [
@@ -791,7 +792,7 @@ def lpa_on_edges(edges, rounds: int = LPA_ROUNDS, driver_edge_threshold: int = 5
     if n_edges == 0:
         return empty
 
-    if n_edges <= driver_edge_threshold:
+    if n_edges <= scale_gate(driver_edge_threshold):
         parts = [
             b for b in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow") if b.num_rows
         ]

@@ -26,6 +26,7 @@ import ray.data as rd
 
 from ..rayops import read_parquet_clean
 from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+from ..config import scale_gate
 
 
 
@@ -977,7 +978,7 @@ def q_customer_order_counts(sf_dir: str, broadcast_threshold_rows: int = 2_000_0
         .aggregate(Count(alias_name="n_orders"))
     )
     n_cust = cust.count()
-    if n_cust <= broadcast_threshold_rows:
+    if n_cust <= scale_gate(broadcast_threshold_rows):
         # broadcast plan: the aggregated side is one slim row per ACTIVE
         # customer — collect to sorted arrays, zero-fill via searchsorted in
         # the streaming customer map (a hash left_outer join costs seconds of
@@ -1093,7 +1094,7 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA", broadcast_thresh
             {"n_name": pa.array(out_n, type=pa.string()), "rev": pa.array(out_r, type=pa.float64())}
         )
 
-    if n_orders_f <= broadcast_threshold_rows:
+    if n_orders_f <= scale_gate(broadcast_threshold_rows):
         # broadcast the slim filtered-orders map (orderkey -> customer nation):
         # one date window of a fact table is small; above the threshold the
         # hash-join plan below carries it
@@ -1297,7 +1298,7 @@ def q_anti_join(sf_dir: str, broadcast_threshold_rows: int = 2_000_000):
     )
     n_orders = orders.count()
 
-    if n_orders <= broadcast_threshold_rows:
+    if n_orders <= scale_gate(broadcast_threshold_rows):
         kdf = keys.to_pandas()
         arr = np.sort(kdf["o_custkey"].to_numpy(dtype=np.int64)) if len(kdf) else np.empty(0, np.int64)
         ref = ray.put(arr)
@@ -1530,7 +1531,7 @@ def q_retention(sf_dir: str, broadcast_threshold_rows: int = 2_000_000):
     coh = am.groupby("user_id").aggregate(Min("m", alias_name="m0"))
 
     n_users = coh.count()
-    if n_users <= broadcast_threshold_rows:
+    if n_users <= scale_gate(broadcast_threshold_rows):
         cdf = coh.to_pandas()
         # empty-result frames lose their columns (Ray empty-block semantics)
         keys = cdf["user_id"].to_numpy(dtype=np.int64) if n_users else np.empty(0, np.int64)

@@ -789,6 +789,14 @@ def p_seeded_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED):
     from ..functions.hashing import md5_hex
 
     docs = _docs(sf_dir, ["doc_id"])
+    empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()), "shuffle_pos": pa.array([], type=pa.int64())}
+    )
+    if docs.count() == 0:
+        # map_batches skips empty blocks, so the derived sort key would never
+        # exist; an empty Dataset's to_pandas() also loses columns — return
+        # the schema-bearing Arrow table itself
+        return empty
     prefix = f"{int(seed)}:"
 
     def keyed(t: pa.Table) -> pa.Table:

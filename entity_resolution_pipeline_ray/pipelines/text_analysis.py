@@ -22,6 +22,7 @@ from ..rayops import read_parquet_clean
 from ray.data.aggregate import Count, Mean, Min
 
 from ..functions.hashing import md5_hex, md5_u64_dict, simhash64_flat, stable_u64
+from ..config import scale_gate
 from ..functions.text import (
     lang_id_batch,
     normalize_whitespace_arrow,
@@ -400,7 +401,7 @@ def t_token_topk(sf_dir: str, k: int = 50, driver_merge_threshold: int = 2_000_0
     ds = _docs(sf_dir, ["doc_id", "text"])
     n_docs = ds.count()
     partials = ds.map_batches(token_df_partials, batch_format="pyarrow")
-    if n_docs <= driver_merge_threshold:
+    if n_docs <= scale_gate(driver_merge_threshold):
         frames = [b.to_pandas() for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
         if not frames:  # 0-row corpus: pd.concat([]) raises
             return pa.table({"token": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())})
@@ -586,7 +587,7 @@ def t_zipf_fit(sf_dir: str, driver_merge_threshold: int = 2_000_000):
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    if ds.count() <= driver_merge_threshold:
+    if ds.count() <= scale_gate(driver_merge_threshold):
         frames = [
             b.to_pandas()
             for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
@@ -849,7 +850,7 @@ def t_source_terms(sf_dir: str, k: int = 10, driver_merge_threshold: int = 2_000
     n_docs = ds.count()
     partials = ds.map_batches(_source_token_partials, batch_format="pyarrow")
 
-    if n_docs <= driver_merge_threshold:
+    if n_docs <= scale_gate(driver_merge_threshold):
         frames = [
             b.to_pandas()
             for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
@@ -1015,7 +1016,7 @@ def t_pmi_bigrams(sf_dir: str, k: int = 25, driver_merge_threshold: int = 2_000_
     n_docs = ds.count()
     partials = ds.map_batches(_gram_count_partials, batch_format="pyarrow")
 
-    if n_docs <= driver_merge_threshold:
+    if n_docs <= scale_gate(driver_merge_threshold):
         frames = [
             b.to_pandas()
             for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")

@@ -26,6 +26,7 @@ import pyarrow as pa
 
 from ..config import ClusteringConfig
 from ..rayops import drop_empty_blocks, safe_join
+from ..config import scale_gate
 
 
 def edges_from_scores(scores_ds, min_edge_weight: float):
@@ -127,7 +128,7 @@ def propagate_labels(
     from ray.data.aggregate import Min
 
     if driver_edge_threshold is None:
-        driver_edge_threshold = getattr(cfg, "driver_edge_threshold", 5_000_000)
+        driver_edge_threshold = scale_gate(getattr(cfg, "driver_edge_threshold", 5_000_000))
     ebidir = _bidirectional(edges_ds).materialize()
     labels = _init_labels(all_ids_ds).materialize()
     n_edges = ebidir.count()

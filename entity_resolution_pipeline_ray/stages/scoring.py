@@ -35,6 +35,7 @@ from ..functions.similarity import (
 )
 from ..functions.text import word_tokens
 from ..state.model import LRModel
+from ..config import scale_gate
 
 def select_feature_names(fcfg) -> list[str]:
     """Config-driven feature selection with fnmatch wildcards (reference
@@ -509,7 +510,7 @@ def score_pairs(
     fnames = list(FEATURE_NAMES)
     if payload_ref is None and num_docs is None:
         num_docs = doc_features_ds.count()
-    if payload_ref is not None or num_docs <= ex.broadcast_threshold_rows:
+    if payload_ref is not None or num_docs <= scale_gate(ex.broadcast_threshold_rows):
         if payload_ref is None:
             payload_ref = ray.put(payload_map_from_features(doc_features_ds))
         from ..rayops import actor_num_cpus, actor_pool_bounds

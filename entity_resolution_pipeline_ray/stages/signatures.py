@@ -26,6 +26,7 @@ import ray
 from ..config import MinHashConfig, TfidfConfig
 from ..functions.hashing import MinHasher, stable_hex128, stable_u64
 from ..functions.text import shingle_lists, token_lists_arrow
+from ..config import scale_gate
 
 DOC_FEATURES_COLUMNS = [
     "doc_id",
@@ -74,7 +75,7 @@ def build_vocabulary(
     deterministic in BOTH plans: ties at the boundary break by (-df, token),
     not partition order."""
     partials = docs_ds.map_batches(token_df_partials, batch_format="pyarrow", batch_size=1024)
-    if num_docs <= driver_merge_threshold:
+    if num_docs <= scale_gate(driver_merge_threshold):
         frames = [b.to_pandas() for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
         if frames:
             top = pd.concat(frames).groupby("token", sort=False)["df"].sum().reset_index()

@@ -307,3 +307,14 @@ def test_seeded_shuffle_is_permutation_and_seed_sensitive(ray_session, tmp_path)
     assert sorted(a["shuffle_pos"]) == list(range(1, n + 1))
     assert (a["shuffle_pos"].to_numpy() == b["shuffle_pos"].to_numpy()).all()
     assert (a["shuffle_pos"].to_numpy() != c["shuffle_pos"].to_numpy()).any()
+
+
+def test_seeded_shuffle_empty_keeps_schema(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"doc_id": pa.array([], type=pa.int64())}), tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.sampling import p_seeded_shuffle
+
+    out = p_seeded_shuffle(str(tmp_path)).to_pandas()
+    assert list(out.columns) == ["doc_id", "shuffle_pos"] and out.empty

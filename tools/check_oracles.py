@@ -63,6 +63,9 @@ def main():
     import ray
 
     flags = {"--at-scale-plans", "--tiny-blocks"}
+    unknown = [a for a in sys.argv[1:] if a.startswith("--") and a not in flags]
+    if unknown:
+        sys.exit(f"unknown flag(s): {unknown}; valid: {sorted(flags)}")
     argv = [a for a in sys.argv[1:] if a not in flags]
     at_scale = "--at-scale-plans" in sys.argv[1:]
     tiny_blocks = "--tiny-blocks" in sys.argv[1:]
@@ -101,6 +104,12 @@ def main():
         _D.BROADCAST_THRESHOLD_ROWS = 0
         _G.EDGE_BROADCAST_MAX_ROWS = 0
         _G.NODE_BROADCAST_MAX_ROWS = 0
+        # ... and every gate whose default lives in a function signature or
+        # config dataclass (broadcast_threshold_rows / driver_merge_threshold /
+        # driver_edge_threshold) resolves through config.scale_gate:
+        from entity_resolution_pipeline_ray import config as _cfg
+
+        _cfg.SCALE_GATE_OVERRIDE = 0
         print("at-scale-plans mode: all broadcast/driver-census gates forced to 0")
 
     con = duckdb.connect()
@@ -109,12 +118,16 @@ def main():
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    if only and not only & set(qs):
+        sys.exit(f"no registry query matches {sorted(only)}")
     failures = 0
+    checked = 0
     import time
 
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             mine = to_pandas(fn(sf_dir))
@@ -138,7 +151,7 @@ def main():
             failures += 1
         print(f"{name}: {verdict}  [{dt:.1f}s]")
     ray.shutdown()
-    sys.exit(1 if failures else 0)
+    sys.exit(1 if failures or checked == 0 else 0)
 
 
 if __name__ == "__main__":
