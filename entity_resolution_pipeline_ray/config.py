@@ -10,16 +10,24 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-# When not None, overrides every size-gate DEFAULT that picks between a
-# broadcast/driver-side plan and the distributed plan (an explicit threshold
-# passed by a caller still wins).  ``tools/check_oracles.py --at-scale-plans``
-# sets this to 0 so the whole registry runs its 100-TB code paths at toy scale.
+# When not None, this FORCES every size-gate that picks between a
+# broadcast/driver-side plan and the distributed plan — including thresholds a
+# caller passed explicitly, because the gates are performance-only dual plans
+# (pinned equal in tests) and the point of the override is that NO call path
+# escapes it.  ``tools/check_oracles.py --at-scale-plans`` sets this to 0 so
+# the whole registry runs its 100-TB code paths at toy scale.  Production code
+# must never set it.
 SCALE_GATE_OVERRIDE: int | None = None
 
 
-def scale_gate(default: int) -> int:
-    """Resolve a size-gate threshold default against the module-wide override."""
-    return default if SCALE_GATE_OVERRIDE is None else SCALE_GATE_OVERRIDE
+def scale_gate(threshold: int) -> int:
+    """Resolve a size-gate threshold against the module-wide override.
+
+    Call this AT THE COMPARISON SITE on the already-resolved threshold (default
+    or caller-supplied) — wrapping only defaults would let explicitly-passed
+    thresholds (e.g. ``g_pagerank`` → ``pagerank_on_edges``) escape the
+    ``--at-scale-plans`` forcing."""
+    return threshold if SCALE_GATE_OVERRIDE is None else SCALE_GATE_OVERRIDE
 
 
 @dataclass(frozen=True)

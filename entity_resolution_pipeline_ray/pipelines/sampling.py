@@ -786,17 +786,19 @@ def p_seeded_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED):
     distributed row_number via ``rayops.exclusive_prefix_sum`` — one range
     sort of slim (key, doc_id) rows, O(#blocks) driver scalars, a second
     streaming pass adding block offsets.  Output (doc_id, shuffle_pos)."""
+    import pyarrow.parquet as pq
+
     from ..functions.hashing import md5_hex
 
+    # 0-row guard from the parquet footer (pure metadata read, no scan):
+    # map_batches skips empty blocks so the derived sort key would never
+    # exist, and an empty Dataset's to_pandas() loses columns — return a
+    # schema-bearing Arrow table instead
+    if pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()), "shuffle_pos": pa.array([], type=pa.int64())}
+        )
     docs = _docs(sf_dir, ["doc_id"])
-    empty = pa.table(
-        {"doc_id": pa.array([], type=pa.int64()), "shuffle_pos": pa.array([], type=pa.int64())}
-    )
-    if docs.count() == 0:
-        # map_batches skips empty blocks, so the derived sort key would never
-        # exist; an empty Dataset's to_pandas() also loses columns — return
-        # the schema-bearing Arrow table itself
-        return empty
     prefix = f"{int(seed)}:"
 
     def keyed(t: pa.Table) -> pa.Table:

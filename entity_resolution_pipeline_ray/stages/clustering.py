@@ -24,9 +24,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..config import ClusteringConfig
+from ..config import ClusteringConfig, scale_gate
 from ..rayops import drop_empty_blocks, safe_join
-from ..config import scale_gate
 
 
 def edges_from_scores(scores_ds, min_edge_weight: float):

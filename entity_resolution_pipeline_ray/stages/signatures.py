@@ -23,10 +23,9 @@ import pyarrow.compute as pc
 
 import ray
 
-from ..config import MinHashConfig, TfidfConfig
+from ..config import MinHashConfig, TfidfConfig, scale_gate
 from ..functions.hashing import MinHasher, stable_hex128, stable_u64
 from ..functions.text import shingle_lists, token_lists_arrow
-from ..config import scale_gate
 
 DOC_FEATURES_COLUMNS = [
     "doc_id",

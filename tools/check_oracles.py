@@ -118,8 +118,8 @@ def main():
 
     qs = E.queries()
     oracles = E.oracle_sql()
-    if only and not only & set(qs):
-        sys.exit(f"no registry query matches {sorted(only)}")
+    if only and (missing := only - set(qs)):
+        sys.exit(f"unknown query name(s): {sorted(missing)}")
     failures = 0
     checked = 0
     import time
