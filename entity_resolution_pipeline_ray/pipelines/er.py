@@ -259,13 +259,24 @@ def run_er_pipeline_checkpointed(
     if stop_after == "docs":
         return out, resumed
 
-    feats, resumed["doc_features"] = run_stage(
-        workdir,
-        "doc_features",
-        lambda: compute_doc_features(
-            docs, cfg.minhash, cfg.tfidf, concurrency=cfg.execution.scorer_concurrency, batch_size=cfg.execution.batch_size
-        ),
-    )
+    def _feats_with_pinned_vocab():
+        # build + persist the vocabulary/IDF as a first-class artifact (like
+        # model.json) so incremental appends can featurize NEW docs with the
+        # base run's frozen featurizer (er_incremental_append)
+        from ..stages.signatures import build_vocabulary
+
+        vocab = build_vocabulary(docs, cfg.tfidf, max(1, docs.count()))
+        _save_vocab(os.path.join(workdir, "vocab.json"), vocab)
+        return compute_doc_features(
+            docs,
+            cfg.minhash,
+            cfg.tfidf,
+            concurrency=cfg.execution.scorer_concurrency,
+            batch_size=cfg.execution.batch_size,
+            vocab=vocab,
+        )
+
+    feats, resumed["doc_features"] = run_stage(workdir, "doc_features", _feats_with_pinned_vocab)
     out["doc_features"] = feats
     if stop_after == "doc_features":
         return out, resumed
@@ -411,3 +422,183 @@ def url_snapshot_dedup(pages_ds):
         )
 
     return kept.map_batches(finish, batch_format="pyarrow")
+
+
+def _save_vocab(path: str, vocab: dict) -> None:
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({t: [int(i), float(w)] for t, (i, w) in vocab.items()}, f)
+    os.replace(tmp, path)
+
+
+def _load_vocab(path: str) -> dict:
+    import json
+
+    with open(path) as f:
+        return {t: (int(i), float(w)) for t, (i, w) in json.load(f).items()}
+
+
+def er_incremental_append(
+    workdir: str,
+    new_pages_ds,
+    cfg: ERConfig = DEFAULT_CONFIG,
+    *,
+    out_workdir: str | None = None,
+):
+    """Append a new crawl shard to a finished checkpointed ER run — the
+    web-scale operational pattern: a new WARC lands daily against a corpus
+    whose extraction/featurization already cost days of compute.
+
+    Only the NEW pages are extracted and featurized (with the base run's
+    PINNED vocabulary + model, the production frozen-featurizer discipline);
+    candidate enumeration is restricted to blocks containing at least one new
+    doc (new↔new and new↔old pairs only — old↔old pairs in those blocks were
+    already scored in the base run, since blocking keys are pure functions of
+    a doc's own signature); clustering re-runs over the UNION of old and new
+    scored edges.  doc_id is a stable hash of url (stages/extract.py:37), so
+    identities never shift between epochs.
+
+    State: reads ``doc_features``/``scores`` checkpoints + ``model.json`` +
+    ``vocab.json`` from ``workdir``; writes the unioned epoch state to
+    ``out_workdir`` (streaming — the safe mode for chained appends) or, when
+    ``out_workdir`` is None, back in place (materializes the unions first,
+    since StageCheckpoint.write clears its data dir before executing the
+    lazy reader over it).
+
+    Exactness contract: equal to a from-scratch run over old∪new pages with
+    the same pinned vocab/model, PROVIDED no block exceeds
+    ``blocking.max_block_size`` (the hot-block pair-budget subsample is a
+    per-epoch budget, not a semantic filter — a grown hot block re-samples).
+    Pinned in tests/test_incremental.py.
+
+    Reference analog: the reference re-runs its whole pipeline per corpus
+    drop (src/pipeline.py); incremental append is parity-plus enabled by
+    deterministic per-doc signatures.
+    """
+    import os
+
+    import ray as _ray
+
+    from ..rayops import adaptive_partitions
+    from ..state.manifest import StageCheckpoint
+
+    old_feats = StageCheckpoint(workdir, "doc_features").load()
+    old_scores = StageCheckpoint(workdir, "scores").load()
+    model = LRModel.load(os.path.join(workdir, "model.json"))
+    vocab = _load_vocab(os.path.join(workdir, "vocab.json"))
+
+    new_docs = extract_docs(new_pages_ds)
+    new_feats = compute_doc_features(
+        new_docs,
+        cfg.minhash,
+        cfg.tfidf,
+        concurrency=cfg.execution.scorer_concurrency,
+        batch_size=cfg.execution.batch_size,
+        vocab=vocab,
+    ).materialize()
+    n_new = new_feats.count()
+    if n_new == 0:
+        return {
+            "clusters": StageCheckpoint(workdir, "clusters").load(),
+            "n_new_docs": 0,
+            "n_new_pairs": 0,
+        }
+
+    # new-doc id set and the block keys they touch: both O(|new shard|) —
+    # bounded by the append size, never the corpus — broadcast once.
+    # (At extreme append sizes swap these for semi-joins; the base-corpus
+    # side is never driver-resident either way.)
+    new_ids = np.sort(
+        np.concatenate(
+            [
+                b["doc_id"].to_numpy(zero_copy_only=False)
+                for b in new_feats.select_columns(["doc_id"]).iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                )
+            ]
+        ).astype(np.int64)
+    )
+    new_blocks = emit_block_keys(new_feats, cfg.minhash, cfg.blocking)
+    touched_keys = np.unique(
+        np.concatenate(
+            [
+                b["block_key"].to_numpy(zero_copy_only=False)
+                for b in new_blocks.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            ]
+            or [np.empty(0, np.int64)]
+        ).astype(np.int64)
+    )
+    ids_ref = _ray.put(new_ids)
+    keys_ref = _ray.put(touched_keys)
+
+    all_feats = old_feats.union(new_feats)
+
+    def _in_sorted(arr: np.ndarray, sorted_vals: np.ndarray) -> np.ndarray:
+        if len(sorted_vals) == 0:
+            return np.zeros(len(arr), dtype=bool)
+        pos = np.searchsorted(sorted_vals, arr)
+        pos_c = np.minimum(pos, len(sorted_vals) - 1)
+        return (pos < len(sorted_vals)) & (sorted_vals[pos_c] == arr)
+
+    def only_touched(t: pa.Table) -> pa.Table:
+        ks = _ray.get(keys_ref)
+        m = _in_sorted(t["block_key"].to_numpy(zero_copy_only=False).astype(np.int64), ks)
+        return t.filter(pa.array(m))
+
+    blocks_sel = emit_block_keys(all_feats, cfg.minhash, cfg.blocking).map_batches(
+        only_touched, batch_format="pyarrow"
+    )
+    n_block_rows = n_new * (cfg.minhash.num_bands + 1)
+    pairs = candidate_pairs(
+        blocks_sel,
+        cfg.blocking,
+        num_partitions=adaptive_partitions(n_block_rows, cap=cfg.execution.join_num_partitions),
+    )
+
+    def only_new_pairs(t: pa.Table) -> pa.Table:
+        ids = _ray.get(ids_ref)
+        a = t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _in_sorted(a, ids) | _in_sorted(b, ids)
+        return t.filter(pa.array(m))
+
+    new_pairs = pairs.map_batches(only_new_pairs, batch_format="pyarrow").materialize()
+    n_new_pairs = new_pairs.count()
+    new_scores = score_pairs(new_pairs, all_feats, model, cfg)
+    scores_all = old_scores.union(new_scores)
+
+    edges = edges_from_scores(scores_all, cfg.clustering.min_edge_weight)
+    clusters = cluster_labels(
+        edges,
+        all_feats.select_columns(["doc_id"]),
+        cfg.clustering,
+        num_partitions=cfg.execution.join_num_partitions,
+    )
+
+    # pin the unions once: the three checkpoint writes below would otherwise
+    # each re-execute the lazy score/cluster pipeline, and the in-place mode
+    # additionally overwrites the very parquet dirs the lazy plan reads from.
+    # (A production epoch writer would instead stream each stage once into a
+    # fresh epoch directory via out_workdir.)
+    all_feats = all_feats.materialize()
+    scores_all = scores_all.materialize()
+    clusters = clusters.materialize()
+    if out_workdir is None:
+        out_workdir = workdir
+    else:
+        os.makedirs(out_workdir, exist_ok=True)
+        import shutil
+
+        for art in ("model.json", "vocab.json"):
+            shutil.copyfile(os.path.join(workdir, art), os.path.join(out_workdir, art))
+    for stage, ds in (("doc_features", all_feats), ("scores", scores_all), ("clusters", clusters)):
+        ck = StageCheckpoint(out_workdir, stage)
+        os.makedirs(ck.dir, exist_ok=True)
+        ds = ck.write(ds, {"epoch_appended_docs": int(n_new), "epoch_new_pairs": int(n_new_pairs)})
+        if stage == "clusters":
+            clusters = ds
+
+    return {"clusters": clusters, "n_new_docs": int(n_new), "n_new_pairs": int(n_new_pairs)}

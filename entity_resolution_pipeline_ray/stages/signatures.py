@@ -270,6 +270,7 @@ def compute_doc_features(
     intern: str = "auto",
     intern_min_dup_fraction: float = 0.10,
     intern_min_docs: int = 50_000,
+    vocab: dict | None = None,
 ):
     """docs → doc_features.
 
@@ -291,9 +292,13 @@ def compute_doc_features(
     vocab_ref = None
     if with_tfidf:
         num_docs = docs_ds.count()
-        # vocabulary/IDF over ALL docs (duplicates count toward df — a corpus
-        # statistic), identical in both plans
-        vocab = build_vocabulary(docs_ds, tfidf_cfg, max(1, num_docs))
+        if vocab is None:
+            # vocabulary/IDF over ALL docs (duplicates count toward df — a
+            # corpus statistic), identical in both plans.  A caller may pass a
+            # PINNED vocab instead (incremental append: new docs are
+            # featurized with the base run's frozen vocabulary/IDF, the
+            # production pinned-featurizer discipline).
+            vocab = build_vocabulary(docs_ds, tfidf_cfg, max(1, num_docs))
         vocab_ref = ray.put(vocab)
 
     use_intern = intern == "always"

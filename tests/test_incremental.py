@@ -1,0 +1,134 @@
+"""Incremental append (er_incremental_append): a new crawl shard joins a
+finished checkpointed run — only the new docs are extracted/featurized (with
+the base run's pinned vocab + model), candidate pairs come only from blocks
+touching new docs, and the final clusters equal a from-scratch run over the
+union with the same pinned artifacts."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from entity_resolution_pipeline_ray.config import DEFAULT_CONFIG
+from entity_resolution_pipeline_ray.functions.hashing import md5_u64
+from entity_resolution_pipeline_ray.pipelines.er import (
+    _load_vocab,
+    er_incremental_append,
+    run_er_pipeline_checkpointed,
+)
+from entity_resolution_pipeline_ray.sources.pages import (
+    PagesSpec,
+    labeled_pairs_table,
+    shard_pages_table,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    spec = PagesSpec(num_pages=300, num_shards=2)
+    pages = pa.concat_tables([shard_pages_table(spec, s) for s in range(spec.num_shards)])
+    urls = pages["url"].to_pylist()
+    # ~25% of pages land in the append shard, spread across planted clusters
+    # (url hash, not position), so new↔old cross-epoch pairs MUST be found
+    is_new = np.array([md5_u64(u) % 4 == 0 for u in urls])
+    base, append = pages.filter(pa.array(~is_new)), pages.filter(pa.array(is_new))
+    lp = labeled_pairs_table(spec)
+    base_urls = set(base["url"].to_pylist())
+    lp_mask = [
+        (l in base_urls) and (r in base_urls)
+        for l, r in zip(lp["left_url"].to_pylist(), lp["right_url"].to_pylist())
+    ]
+    lp_base = lp.filter(pa.array(lp_mask))
+    return spec, pages, base, append, lp_base
+
+
+def _cluster_map(ds):
+    df = ds.to_pandas()
+    return dict(zip(df["doc_id"].astype("int64"), df["cluster_id"].astype("int64")))
+
+
+def test_incremental_append_equals_pinned_full_run(ray_session, corpus, tmp_path_factory):
+    import ray.data as rd
+
+    from entity_resolution_pipeline_ray.pipelines.er import (
+        candidate_pairs,
+        cluster_labels,
+        compute_doc_features,
+        edges_from_scores,
+        emit_block_keys,
+        extract_docs,
+        score_pairs,
+    )
+    from entity_resolution_pipeline_ray.state.model import LRModel
+
+    spec, pages, base, append, lp_base = corpus
+    cfg = DEFAULT_CONFIG
+    wd = str(tmp_path_factory.mktemp("base_run"))
+
+    run_er_pipeline_checkpointed(rd.from_arrow(base), lp_base, wd, cfg)
+    assert os.path.exists(os.path.join(wd, "vocab.json"))
+
+    inc = er_incremental_append(wd, rd.from_arrow(append), cfg)
+    assert inc["n_new_docs"] == append.num_rows
+    assert inc["n_new_pairs"] > 0
+    got = _cluster_map(inc["clusters"])
+
+    # from-scratch reference over the union with the SAME pinned vocab/model
+    vocab = _load_vocab(os.path.join(wd, "vocab.json"))
+    model = LRModel.load(os.path.join(wd, "model.json"))
+    feats = compute_doc_features(
+        extract_docs(rd.from_arrow(pages)), cfg.minhash, cfg.tfidf, vocab=vocab
+    ).materialize()
+    pairs = candidate_pairs(
+        emit_block_keys(feats, cfg.minhash, cfg.blocking),
+        cfg.blocking,
+        num_partitions=4,
+    )
+    scores = score_pairs(pairs, feats, model, cfg)
+    ref_clusters = cluster_labels(
+        edges_from_scores(scores, cfg.clustering.min_edge_weight),
+        feats.select_columns(["doc_id"]),
+        cfg.clustering,
+        num_partitions=4,
+    )
+    ref = _cluster_map(ref_clusters)
+
+    assert got == ref
+
+    # cross-epoch merging really happened: at least one final cluster holds
+    # docs from BOTH epochs
+    from entity_resolution_pipeline_ray.functions.hashing import doc_id_for_urls
+
+    new_ids = set(int(i) for i in doc_id_for_urls(append["url"].to_pylist()))
+    by_cluster: dict[int, set] = {}
+    for d, c in got.items():
+        by_cluster.setdefault(c, set()).add(d in new_ids)
+    assert any(flags == {True, False} for flags in by_cluster.values())
+
+    # the in-place epoch update is readable state: a SECOND (empty) append
+    # loads the updated clusters checkpoint
+    again = er_incremental_append(wd, rd.from_arrow(append.slice(0, 0)), cfg)
+    assert again["n_new_docs"] == 0
+    assert _cluster_map(again["clusters"]) == ref
+
+
+def test_incremental_out_workdir_keeps_base_epoch(ray_session, corpus, tmp_path_factory):
+    import ray.data as rd
+
+    from entity_resolution_pipeline_ray.state.manifest import StageCheckpoint
+
+    spec, pages, base, append, lp_base = corpus
+    cfg = DEFAULT_CONFIG
+    wd = str(tmp_path_factory.mktemp("base_run2"))
+    out = str(tmp_path_factory.mktemp("epoch2"))
+
+    run_er_pipeline_checkpointed(rd.from_arrow(base), lp_base, wd, cfg)
+    base_rows = StageCheckpoint(wd, "doc_features").manifest()["rows"]
+
+    inc = er_incremental_append(wd, rd.from_arrow(append), cfg, out_workdir=out)
+    # base epoch untouched, new epoch holds the union
+    assert StageCheckpoint(wd, "doc_features").manifest()["rows"] == base_rows
+    assert StageCheckpoint(out, "doc_features").manifest()["rows"] == base_rows + append.num_rows
+    assert os.path.exists(os.path.join(out, "vocab.json"))
+    assert StageCheckpoint(out, "clusters").manifest()["metrics"]["epoch_appended_docs"] == append.num_rows
