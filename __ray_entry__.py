@@ -76,6 +76,51 @@ def _er_extract_query(sf_dir: str):
     return _gate_docs(_gate_spec(sf_dir)).select_columns(["url", "title", "domain", "text"])
 
 
+def _er_incremental_query(sf_dir: str):
+    """Incremental append end-to-end on a smaller split of the gate corpus:
+    base run (75% of pages, checkpointed to a tmp workdir) + append of the
+    remaining 25%, returning the unioned clusters.  rows-only by nature
+    (multi-epoch stateful pipeline; equality with a pinned from-scratch run
+    is gated in tests/test_incremental.py)."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_pipeline_ray.config import DEFAULT_CONFIG
+    from entity_resolution_pipeline_ray.functions.hashing import md5_u64
+    from entity_resolution_pipeline_ray.pipelines.er import (
+        er_incremental_append,
+        run_er_pipeline_checkpointed,
+    )
+    from entity_resolution_pipeline_ray.sources.pages import (
+        PagesSpec,
+        labeled_pairs_table,
+        shard_pages_table,
+    )
+
+    spec = PagesSpec(num_pages=500, num_shards=4)
+    pages = pa.concat_tables([shard_pages_table(spec, s) for s in range(spec.num_shards)])
+    urls = pages["url"].to_pylist()
+    is_new = np.array([md5_u64(u) % 4 == 0 for u in urls])
+    base, append = pages.filter(pa.array(~is_new)), pages.filter(pa.array(is_new))
+    base_urls = set(base["url"].to_pylist())
+    lp = labeled_pairs_table(spec)
+    lp_base = lp.filter(
+        pa.array(
+            [
+                (l in base_urls) and (r in base_urls)
+                for l, r in zip(lp["left_url"].to_pylist(), lp["right_url"].to_pylist())
+            ]
+        )
+    )
+    with tempfile.TemporaryDirectory() as wd:
+        run_er_pipeline_checkpointed(rd.from_arrow(base), lp_base, wd, DEFAULT_CONFIG)
+        inc = er_incremental_append(wd, rd.from_arrow(append), DEFAULT_CONFIG)
+        return inc["clusters"].to_pandas()
+
+
 def _url_dedup_query(sf_dir: str):
     from entity_resolution_pipeline_ray.pipelines.er import url_snapshot_dedup
 
@@ -238,7 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pmi_bigrams": T.t_pmi_bigrams,
         "er_extract": _er_extract_query,
         "er_clusters": _er_query,
-    
+        "er_incremental": _er_incremental_query,
     }
 
 
