@@ -1285,3 +1285,117 @@ FROM (VALUES (50), (60), (70), (80), (90)) t(th)
 LEFT JOIN p ON p.est_jaccard >= t.th / 100.0
 GROUP BY t.th
 """
+
+
+def d_incremental_exact(sf_dir: str):
+    """Epoch-state exact dedup — dedup a NEW shard against a finished base
+    epoch without rescanning base texts: the base epoch's artifact is its
+    (text_hash → min doc_id) keeper state; a new doc is a duplicate when its
+    hash is in the state (keeper = the base doc) or when an earlier new doc
+    shares its hash (keeper = min new doc_id).  The append-side twin of
+    ``er_incremental_append`` for the exact-dedup family.
+
+    Deterministic epoch split (DuckDB ``md5_number_upper`` parity):
+    md5(doc_id) % 4 == 0 → new shard (~25%), spread across duplicate groups
+    so cross-epoch resolutions actually occur.
+
+    Plan: ONE range shuffle builds the base keeper state (``first_per_key``),
+    one more resolves first-wins among the new docs, then two hash joins
+    (new ⋈ new-min, left ⋈ state) attach the keepers — every stage keyed on
+    text_hash, nothing corpus-proportional on the driver.  Output
+    (doc_id, keeper_id, is_dup) for every new doc.
+    """
+    from ..functions.hashing import md5_u64_dict
+    from ..rayops import adaptive_partitions, first_per_key, safe_join
+    from .text_analysis import append_md5_text_hash
+
+    docs = _docs(sf_dir)
+
+    def hashed_split(t: pa.Table) -> pa.Table:
+        t = append_md5_text_hash(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        id_strs = pa.array([str(int(i)) for i in ids], type=pa.string())
+        is_new = (md5_u64_dict(id_strs) % np.uint64(4)) == 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text_hash": t["text_hash"],
+                "is_new": pa.array(is_new),
+            }
+        )
+
+    hashed = docs.map_batches(hashed_split, batch_format="pyarrow").materialize()
+
+    def _side(new_side: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = t["is_new"] if new_side else pc.invert(t["is_new"])
+            return t.filter(m).select(["doc_id", "text_hash"])
+
+        return f
+
+    base = hashed.map_batches(_side(False), batch_format="pyarrow")
+    new = hashed.map_batches(_side(True), batch_format="pyarrow")
+
+    def _as_keeper(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"text_hash": t["text_hash"], col: t["doc_id"]})
+
+        return f
+
+    state = first_per_key(base, "text_hash", order_col="doc_id").map_batches(
+        _as_keeper("base_keeper"), batch_format="pyarrow"
+    )
+    new_min = first_per_key(new, "text_hash", order_col="doc_id").map_batches(
+        _as_keeper("new_keeper"), batch_format="pyarrow"
+    )
+
+    n_new = new.count()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "keeper_id": pa.array([], type=pa.int64()),
+            "is_dup": pa.array([], type=pa.int64()),
+        }
+    )
+    if n_new == 0:
+        return empty
+    nparts = adaptive_partitions(n_new)
+    j = safe_join(new, new_min, num_partitions=nparts, on=("text_hash",), right_on=("text_hash",))
+    j = safe_join(
+        j,
+        state,
+        num_partitions=nparts,
+        on=("text_hash",),
+        right_on=("text_hash",),
+        join_type="left_outer",
+        right_fill_schema={"base_keeper": pa.int64()},
+    )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keeper = pc.coalesce(t["base_keeper"], t["new_keeper"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "keeper_id": pa.array(keeper, type=pa.int64()),
+                "is_dup": pa.array((keeper != ids).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return j.map_batches(resolve, batch_format="pyarrow")
+
+
+D_INCREMENTAL_EXACT_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS h,
+         md5_number_upper(CAST(doc_id AS VARCHAR)) % 4 = 0 AS is_new
+  FROM documents),
+state AS (SELECT h, min(doc_id) AS base_keeper FROM d WHERE NOT is_new GROUP BY h),
+nm AS (SELECT h, min(doc_id) AS new_keeper FROM d WHERE is_new GROUP BY h)
+SELECT n.doc_id,
+       CAST(coalesce(s.base_keeper, nm.new_keeper) AS BIGINT) AS keeper_id,
+       CAST(coalesce(s.base_keeper, nm.new_keeper) <> n.doc_id AS BIGINT) AS is_dup
+FROM d n JOIN nm ON nm.h = n.h LEFT JOIN state s ON s.h = n.h
+WHERE n.is_new
+"""

@@ -1261,3 +1261,38 @@ def test_intersect_users_empty(ray_session, tmp_path):
 
     out = q_intersect_users(str(tmp_path)).to_pandas()
     assert list(out.columns) == ["user_id"] and out.empty
+
+
+def test_incremental_exact_dedup_hand_case(ray_session, tmp_path):
+    """New docs dedup against the base epoch's keeper state: base keeper wins
+    over a same-hash new doc; a hash unseen in base first-wins among new."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_resolution_pipeline_ray.functions.hashing import md5_u64
+
+    # find doc_ids on each side of the md5%4 epoch split
+    new_ids = [i for i in range(1, 200) if md5_u64(str(i)) % 4 == 0]
+    base_ids = [i for i in range(1, 200) if md5_u64(str(i)) % 4 != 0]
+    b0, b1 = base_ids[0], base_ids[1]
+    n0, n1, n2, n3 = new_ids[0], new_ids[1], new_ids[2], new_ids[3]
+    rows = {
+        b0: "shared alpha", b1: "base only",
+        n0: "shared alpha",          # dup of base keeper b0
+        n1: "fresh text", n2: "fresh text",  # first-wins among new
+        n3: "unique new",            # keeper of itself
+    }
+    ids = sorted(rows)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array([rows[i] for i in ids], type=pa.string())}),
+        tmp_path / "documents.parquet")
+    from entity_resolution_pipeline_ray.pipelines.dedup import d_incremental_exact
+
+    got = d_incremental_exact(str(tmp_path)).to_pandas().set_index("doc_id")
+    lo, hi = min(n1, n2), max(n1, n2)
+    assert got.loc[n0, "keeper_id"] == b0 and got.loc[n0, "is_dup"] == 1
+    assert got.loc[lo, "keeper_id"] == lo and got.loc[lo, "is_dup"] == 0
+    assert got.loc[hi, "keeper_id"] == lo and got.loc[hi, "is_dup"] == 1
+    assert got.loc[n3, "keeper_id"] == n3 and got.loc[n3, "is_dup"] == 0
+    assert set(got.index) == {n0, n1, n2, n3}
