@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_intersect_users": R.q_intersect_users,
         "p_seeded_shuffle": SP.p_seeded_shuffle,
         "d_incremental_exact": D.d_incremental_exact,
+        "d_incremental_fuzzy": D.d_incremental_fuzzy,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -388,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "q_intersect_users": R.Q_INTERSECT_USERS_SQL,
         "p_seeded_shuffle": SP.P_SEEDED_SHUFFLE_SQL,
         "d_incremental_exact": D.D_INCREMENTAL_EXACT_SQL,
+        "d_incremental_fuzzy": D.D_INCREMENTAL_FUZZY_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q6_discount_revenue": R.Q6_SQL,
         "q_segment_revenue": R.Q_SEGMENT_SQL,

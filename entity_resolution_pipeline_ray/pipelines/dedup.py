@@ -162,10 +162,10 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.6, minhash_cfg: MinHashC
     )
 
 
-def _minhash_dup_pairs_plan(sf_dir: str, threshold: float, cfg: MinHashConfig):
-    sketches = _doc_sketches(_docs(sf_dir), cfg).materialize()
-    n_docs = sketches.count()
-    nparts = adaptive_partitions(n_docs)
+def _minhash_band_blocks(sketches, cfg: MinHashConfig):
+    """sketches → blocks(block_key, doc_id): num_bands LSH keys per non-empty
+    doc — a pure function of a doc's own signature, so block streams compose
+    across epochs (the incremental-dedup invariant)."""
 
     def emit_keys(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -180,7 +180,21 @@ def _minhash_dup_pairs_plan(sf_dir: str, threshold: float, cfg: MinHashConfig):
             }
         )
 
-    blocks = sketches.map_batches(emit_keys, batch_format="pyarrow")
+    return sketches.map_batches(emit_keys, batch_format="pyarrow")
+
+
+def _minhash_dup_pairs_plan(sf_dir: str, threshold: float, cfg: MinHashConfig):
+    sketches = _doc_sketches(_docs(sf_dir), cfg).materialize()
+    n_docs = sketches.count()
+    blocks = _minhash_band_blocks(sketches, cfg)
+    return _verified_pairs_from_blocks(blocks, sketches, n_docs, threshold, cfg)
+
+
+def _verified_pairs_from_blocks(blocks, sketches, n_docs: int, threshold: float, cfg: MinHashConfig):
+    """blocks + sketches → verified (left_id, right_id, est_jaccard) pairs.
+    Dual plan: fused broadcast verify below the gate, binary-packed join
+    verify above (see the inline comments)."""
+    nparts = adaptive_partitions(n_docs)
 
     def emit(li, ri, sl, sr) -> pa.Table:
         # est = k/num_perm is an exact dyadic rational — emitted UNROUNDED so
@@ -1399,3 +1413,125 @@ SELECT n.doc_id,
 FROM d n JOIN nm ON nm.h = n.h LEFT JOIN state s ON s.h = n.h
 WHERE n.is_new
 """
+
+
+def d_incremental_fuzzy(sf_dir: str, threshold: float = 0.6):
+    """Epoch-state MinHash near-dup apply — the fuzzy twin of
+    ``d_incremental_exact``: a NEW shard (md5(doc_id) % 4 == 0, DuckDB
+    ``md5_number_upper`` parity) joins a base epoch whose persisted artifacts
+    are its doc SKETCHES and verified PAIR EDGES.  Because LSH band keys are
+    pure functions of a doc's own signature (``_minhash_band_blocks``), the
+    full-corpus pair set decomposes exactly into base↔base pairs (the base
+    epoch's artifact) ∪ pairs touching a new doc (enumerated here from blocks
+    containing ≥1 new doc only) — so transitive clustering over the edge
+    union equals a from-scratch run, and the DuckDB oracle is the SAME
+    full-corpus recursive closure as ``d_apply_fuzzy``'s.  (Caveat shared
+    with ``er_incremental_append``: an over-cap hot block's pair-budget
+    stride is a per-epoch subsample.)  Output (doc_id, rep_doc_id, keep).
+    """
+    import ray as _ray
+
+    from ..config import ClusteringConfig
+    from ..functions.hashing import md5_u64_dict
+    from ..stages.clustering import propagate_labels
+
+    cfg = MinHashConfig()
+    sketches = _doc_sketches(_docs(sf_dir), cfg).materialize()
+    n_docs = sketches.count()
+
+    # epoch split: new-doc id set, bounded by the append size
+    def id_flags(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        id_strs = pa.array([str(int(i)) for i in ids], type=pa.string())
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "is_new": pa.array((md5_u64_dict(id_strs) % np.uint64(4)) == 0)}
+        )
+
+    flags = sketches.select_columns(["doc_id"]).map_batches(id_flags, batch_format="pyarrow")
+    new_ids = np.sort(
+        np.concatenate(
+            [
+                t.filter(t["is_new"])["doc_id"].to_numpy(zero_copy_only=False)
+                for t in flags.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+            ]
+            or [np.empty(0, np.int64)]
+        ).astype(np.int64)
+    )
+    ids_ref = _ray.put(new_ids)
+
+    def _is_new(arr: np.ndarray) -> np.ndarray:
+        ids = _ray.get(ids_ref)
+        if len(ids) == 0:
+            return np.zeros(len(arr), dtype=bool)
+        pos = np.searchsorted(ids, arr)
+        return (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == arr)
+
+    blocks = _minhash_band_blocks(sketches, cfg).materialize()
+
+    # base epoch's pair artifact: base↔base pairs from base-only blocks
+    def base_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(~_is_new(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))))
+
+    base_pairs = _verified_pairs_from_blocks(
+        blocks.map_batches(base_rows, batch_format="pyarrow"), sketches, n_docs, threshold, cfg
+    )
+
+    # append epoch: blocks touching >=1 new doc, pairs with >=1 new endpoint
+    def new_keys(t: pa.Table) -> pa.Table:
+        m = _is_new(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"block_key": pc.array_filter(t["block_key"], pa.array(m))})
+
+    touched = np.unique(
+        np.concatenate(
+            [
+                t["block_key"].to_numpy(zero_copy_only=False)
+                for t in blocks.map_batches(new_keys, batch_format="pyarrow").iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                )
+            ]
+            or [np.empty(0, np.int64)]
+        ).astype(np.int64)
+    )
+    keys_ref = _ray.put(touched)
+
+    def touched_rows(t: pa.Table) -> pa.Table:
+        ks = _ray.get(keys_ref)
+        bk = t["block_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ks) == 0:
+            return t.slice(0, 0)
+        pos = np.searchsorted(ks, bk)
+        m = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == bk)
+        return t.filter(pa.array(m))
+
+    def only_new_pairs(t: pa.Table) -> pa.Table:
+        a = t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(_is_new(a) | _is_new(b)))
+
+    new_pairs = _verified_pairs_from_blocks(
+        blocks.map_batches(touched_rows, batch_format="pyarrow"), sketches, n_docs, threshold, cfg
+    ).map_batches(only_new_pairs, batch_format="pyarrow")
+
+    edges = base_pairs.union(new_pairs).map_batches(
+        lambda t: pa.table({"src": t["left_id"], "dst": t["right_id"]}), batch_format="pyarrow"
+    )
+    clusters = propagate_labels(edges, _docs(sf_dir, columns=("doc_id",)), ClusteringConfig())
+
+    def finish(t: pa.Table) -> pa.Table:
+        rep = t["cluster_id"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rep_doc_id": pa.array(rep, type=pa.int64()),
+                "keep": pa.array(rep == ids),
+            }
+        )
+
+    return clusters.map_batches(finish, batch_format="pyarrow")
+
+
+# The incremental path must reproduce the from-scratch closure exactly —
+# its oracle IS d_apply_fuzzy's full-corpus recursive-CTE closure.
+D_INCREMENTAL_FUZZY_SQL = D_APPLY_FUZZY_SQL

@@ -1296,3 +1296,23 @@ def test_incremental_exact_dedup_hand_case(ray_session, tmp_path):
     assert got.loc[hi, "keeper_id"] == lo and got.loc[hi, "is_dup"] == 1
     assert got.loc[n3, "keeper_id"] == n3 and got.loc[n3, "is_dup"] == 0
     assert set(got.index) == {n0, n1, n2, n3}
+
+
+def test_incremental_fuzzy_equals_from_scratch(ray_session):
+    """The epoch decomposition is exact: base-only pairs ∪ (≥1-new pairs from
+    touched blocks) clustered together == the from-scratch fuzzy apply."""
+    from entity_resolution_pipeline_ray.pipelines.dedup import (
+        d_incremental_fuzzy,
+        dedup_apply_fuzzy,
+    )
+
+    inc = d_incremental_fuzzy(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ref = dedup_apply_fuzzy(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert inc.equals(ref)
+    # cross-epoch resolutions actually occurred: some doc's rep is in the
+    # OTHER epoch (md5(doc_id)%4 splits every 4th doc into the new shard)
+    from entity_resolution_pipeline_ray.functions.hashing import md5_u64
+
+    new = inc["doc_id"].map(lambda i: md5_u64(str(int(i))) % 4 == 0)
+    rep_new = inc["rep_doc_id"].map(lambda i: md5_u64(str(int(i))) % 4 == 0)
+    assert ((new != rep_new) & (inc["doc_id"] != inc["rep_doc_id"])).any()
