@@ -190,10 +190,15 @@ def _minhash_dup_pairs_plan(sf_dir: str, threshold: float, cfg: MinHashConfig):
     return _verified_pairs_from_blocks(blocks, sketches, n_docs, threshold, cfg)
 
 
-def _verified_pairs_from_blocks(blocks, sketches, n_docs: int, threshold: float, cfg: MinHashConfig):
+def _verified_pairs_from_blocks(
+    blocks, sketches, n_docs: int, threshold: float, cfg: MinHashConfig, payload_ref=None
+):
     """blocks + sketches → verified (left_id, right_id, est_jaccard) pairs.
     Dual plan: fused broadcast verify below the gate, binary-packed join
-    verify above (see the inline comments)."""
+    verify above (see the inline comments).  ``payload_ref``: a pre-put
+    broadcast sketch payload — pass it when verifying several block streams
+    against the same sketches (d_incremental_fuzzy) so the driver gathers
+    and pins the corpus signature matrix once."""
     nparts = adaptive_partitions(n_docs)
 
     def emit(li, ri, sl, sr) -> pa.Table:
@@ -211,13 +216,13 @@ def _verified_pairs_from_blocks(blocks, sketches, n_docs: int, threshold: float,
         )
 
     empty = _EMPTY_PAIRS.append_column("est_jaccard", pa.array([], type=pa.float64()))
-    if n_docs <= BROADCAST_THRESHOLD_ROWS:
+    if payload_ref is not None or n_docs <= BROADCAST_THRESHOLD_ROWS:
         # fused verify: the broadcast payload is gathered INSIDE each pair-
         # enumeration task, so only est>=threshold survivors (typically a tiny
         # fraction of the ~num_bands-duplicated candidates) flow through the
         # cross-band dedup sort — one pipeline stage fewer than
         # enumerate → distinct → verify, and less data through the shuffle
-        pref = ray.put(_broadcast_payload(sketches, "doc_id", ("minhash_sig",)))
+        pref = payload_ref or ray.put(_broadcast_payload(sketches, "doc_id", ("minhash_sig",)))
 
         def verify_pairs(li, ri) -> pa.Table:
             pm = ray.get(pref)
@@ -1319,8 +1324,6 @@ def d_incremental_exact(sf_dir: str):
     text_hash, nothing corpus-proportional on the driver.  Output
     (doc_id, keeper_id, is_dup) for every new doc.
     """
-    from ..functions.hashing import md5_u64_dict
-    from ..rayops import adaptive_partitions, first_per_key, safe_join
     from .text_analysis import append_md5_text_hash
 
     docs = _docs(sf_dir)
@@ -1429,15 +1432,18 @@ def d_incremental_fuzzy(sf_dir: str, threshold: float = 0.6):
     with ``er_incremental_append``: an over-cap hot block's pair-budget
     stride is a per-epoch subsample.)  Output (doc_id, rep_doc_id, keep).
     """
-    import ray as _ray
-
-    from ..config import ClusteringConfig
-    from ..functions.hashing import md5_u64_dict
+    from ..config import ClusteringConfig, scale_gate
     from ..stages.clustering import propagate_labels
 
     cfg = MinHashConfig()
     sketches = _doc_sketches(_docs(sf_dir), cfg).materialize()
     n_docs = sketches.count()
+    # build the broadcast sketch payload ONCE for both epoch pair passes
+    payload_ref = (
+        ray.put(_broadcast_payload(sketches, "doc_id", ("minhash_sig",)))
+        if n_docs <= scale_gate(BROADCAST_THRESHOLD_ROWS)
+        else None
+    )
 
     # epoch split: new-doc id set, bounded by the append size
     def id_flags(t: pa.Table) -> pa.Table:
@@ -1458,10 +1464,10 @@ def d_incremental_fuzzy(sf_dir: str, threshold: float = 0.6):
             or [np.empty(0, np.int64)]
         ).astype(np.int64)
     )
-    ids_ref = _ray.put(new_ids)
+    ids_ref = ray.put(new_ids)
 
     def _is_new(arr: np.ndarray) -> np.ndarray:
-        ids = _ray.get(ids_ref)
+        ids = ray.get(ids_ref)
         if len(ids) == 0:
             return np.zeros(len(arr), dtype=bool)
         pos = np.searchsorted(ids, arr)
@@ -1474,7 +1480,8 @@ def d_incremental_fuzzy(sf_dir: str, threshold: float = 0.6):
         return t.filter(pa.array(~_is_new(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))))
 
     base_pairs = _verified_pairs_from_blocks(
-        blocks.map_batches(base_rows, batch_format="pyarrow"), sketches, n_docs, threshold, cfg
+        blocks.map_batches(base_rows, batch_format="pyarrow"),
+        sketches, n_docs, threshold, cfg, payload_ref=payload_ref,
     )
 
     # append epoch: blocks touching >=1 new doc, pairs with >=1 new endpoint
@@ -1493,10 +1500,10 @@ def d_incremental_fuzzy(sf_dir: str, threshold: float = 0.6):
             or [np.empty(0, np.int64)]
         ).astype(np.int64)
     )
-    keys_ref = _ray.put(touched)
+    keys_ref = ray.put(touched)
 
     def touched_rows(t: pa.Table) -> pa.Table:
-        ks = _ray.get(keys_ref)
+        ks = ray.get(keys_ref)
         bk = t["block_key"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(ks) == 0:
             return t.slice(0, 0)
@@ -1510,7 +1517,8 @@ def d_incremental_fuzzy(sf_dir: str, threshold: float = 0.6):
         return t.filter(pa.array(_is_new(a) | _is_new(b)))
 
     new_pairs = _verified_pairs_from_blocks(
-        blocks.map_batches(touched_rows, batch_format="pyarrow"), sketches, n_docs, threshold, cfg
+        blocks.map_batches(touched_rows, batch_format="pyarrow"),
+        sketches, n_docs, threshold, cfg, payload_ref=payload_ref,
     ).map_batches(only_new_pairs, batch_format="pyarrow")
 
     edges = base_pairs.union(new_pairs).map_batches(
@@ -1533,5 +1541,8 @@ def d_incremental_fuzzy(sf_dir: str, threshold: float = 0.6):
 
 
 # The incremental path must reproduce the from-scratch closure exactly —
-# its oracle IS d_apply_fuzzy's full-corpus recursive-CTE closure.
+# its oracle IS d_apply_fuzzy's full-corpus recursive-CTE closure.  Scope
+# caveat: the SQL closure is uncapped, so equality holds only while no LSH
+# block exceeds max_block_size=500 (true at every shipped sf; a grown hot
+# block's pair-budget stride is per-epoch — see the docstring).
 D_INCREMENTAL_FUZZY_SQL = D_APPLY_FUZZY_SQL

@@ -488,7 +488,16 @@ def er_incremental_append(
     old_feats = StageCheckpoint(workdir, "doc_features").load()
     old_scores = StageCheckpoint(workdir, "scores").load()
     model = LRModel.load(os.path.join(workdir, "model.json"))
-    vocab = _load_vocab(os.path.join(workdir, "vocab.json"))
+    vocab_path = os.path.join(workdir, "vocab.json")
+    if not os.path.exists(vocab_path):
+        # backfill for base runs checkpointed before vocab.json became a
+        # first-class artifact: the vocabulary is a deterministic function of
+        # the docs checkpoint, so rebuild-and-save reproduces it exactly
+        from ..stages.signatures import build_vocabulary
+
+        base_docs = StageCheckpoint(workdir, "docs").load()
+        _save_vocab(vocab_path, build_vocabulary(base_docs, cfg.tfidf, max(1, base_docs.count())))
+    vocab = _load_vocab(vocab_path)
 
     new_docs = extract_docs(new_pages_ds)
     new_feats = compute_doc_features(
@@ -501,11 +510,26 @@ def er_incremental_append(
     ).materialize()
     n_new = new_feats.count()
     if n_new == 0:
-        return {
-            "clusters": StageCheckpoint(workdir, "clusters").load(),
-            "n_new_docs": 0,
-            "n_new_pairs": 0,
-        }
+        clusters = StageCheckpoint(workdir, "clusters").load()
+        if out_workdir is not None and out_workdir != workdir:
+            # chained appends expect a complete epoch dir either way: carry
+            # the base epoch's state + artifacts forward unchanged
+            import shutil
+
+            os.makedirs(out_workdir, exist_ok=True)
+            for art in ("model.json", "vocab.json"):
+                shutil.copyfile(os.path.join(workdir, art), os.path.join(out_workdir, art))
+            for stage, ds in (
+                ("doc_features", old_feats),
+                ("scores", old_scores),
+                ("clusters", clusters),
+            ):
+                ck = StageCheckpoint(out_workdir, stage)
+                os.makedirs(ck.dir, exist_ok=True)
+                ds = ck.write(ds, {"epoch_appended_docs": 0, "epoch_new_pairs": 0})
+                if stage == "clusters":
+                    clusters = ds
+        return {"clusters": clusters, "n_new_docs": 0, "n_new_pairs": 0}
 
     # new-doc id set and the block keys they touch: both O(|new shard|) —
     # bounded by the append size, never the corpus — broadcast once.
@@ -568,7 +592,14 @@ def er_incremental_append(
     new_pairs = pairs.map_batches(only_new_pairs, batch_format="pyarrow").materialize()
     n_new_pairs = new_pairs.count()
     new_scores = score_pairs(new_pairs, all_feats, model, cfg)
-    scores_all = old_scores.union(new_scores)
+    # pin the unions BEFORE deriving edges/clusters: clustering consumes the
+    # pinned handle (one scoring pass, not one per consumer), the checkpoint
+    # writes below reuse the same pins, and the in-place mode overwrites the
+    # very parquet dirs the lazy plan reads from.  (A production epoch writer
+    # would instead stream each stage once into a fresh epoch directory via
+    # out_workdir.)
+    all_feats = all_feats.materialize()
+    scores_all = old_scores.union(new_scores).materialize()
 
     edges = edges_from_scores(scores_all, cfg.clustering.min_edge_weight)
     clusters = cluster_labels(
@@ -576,16 +607,7 @@ def er_incremental_append(
         all_feats.select_columns(["doc_id"]),
         cfg.clustering,
         num_partitions=cfg.execution.join_num_partitions,
-    )
-
-    # pin the unions once: the three checkpoint writes below would otherwise
-    # each re-execute the lazy score/cluster pipeline, and the in-place mode
-    # additionally overwrites the very parquet dirs the lazy plan reads from.
-    # (A production epoch writer would instead stream each stage once into a
-    # fresh epoch directory via out_workdir.)
-    all_feats = all_feats.materialize()
-    scores_all = scores_all.materialize()
-    clusters = clusters.materialize()
+    ).materialize()
     if out_workdir is None:
         out_workdir = workdir
     else:

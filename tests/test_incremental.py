@@ -126,9 +126,20 @@ def test_incremental_out_workdir_keeps_base_epoch(ray_session, corpus, tmp_path_
     run_er_pipeline_checkpointed(rd.from_arrow(base), lp_base, wd, cfg)
     base_rows = StageCheckpoint(wd, "doc_features").manifest()["rows"]
 
+    # legacy-workdir backfill: vocab.json missing -> rebuilt deterministically
+    # from the docs checkpoint before the append
+    os.remove(os.path.join(wd, "vocab.json"))
     inc = er_incremental_append(wd, rd.from_arrow(append), cfg, out_workdir=out)
+    assert os.path.exists(os.path.join(wd, "vocab.json"))
     # base epoch untouched, new epoch holds the union
     assert StageCheckpoint(wd, "doc_features").manifest()["rows"] == base_rows
     assert StageCheckpoint(out, "doc_features").manifest()["rows"] == base_rows + append.num_rows
     assert os.path.exists(os.path.join(out, "vocab.json"))
     assert StageCheckpoint(out, "clusters").manifest()["metrics"]["epoch_appended_docs"] == append.num_rows
+
+    # empty append with out_workdir: a COMPLETE epoch dir is still produced
+    out2 = out + "_empty"
+    again = er_incremental_append(out, rd.from_arrow(append.slice(0, 0)), cfg, out_workdir=out2)
+    assert again["n_new_docs"] == 0
+    assert StageCheckpoint(out2, "doc_features").manifest()["rows"] == base_rows + append.num_rows
+    assert os.path.exists(os.path.join(out2, "vocab.json"))
