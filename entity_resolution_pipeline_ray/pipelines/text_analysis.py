@@ -843,9 +843,9 @@ def t_source_terms(sf_dir: str, k: int = 10, driver_merge_threshold: int = 2_000
     """Top-``k`` distinctive tokens per source by smoothed log-odds vs the
     rest of the corpus.  Dual plan: per-batch (source, token, n) combiners
     stream to a driver pandas merge below the doc threshold (vocab-sized
-    state); above it the counts aggregate distributedly (packed key groupby
-    -> token-total side table joined back) and only the per-source top-k
-    reaches the driver."""
+    state); above it the counts aggregate distributedly (packed key groupby,
+    then token totals inside ONE boundary-aware range-sorted pass) and only
+    the per-source top-k reaches the driver."""
     ds = _docs(sf_dir, ["source", "text"])
     n_docs = ds.count()
     partials = ds.map_batches(_source_token_partials, batch_format="pyarrow")
@@ -868,7 +868,7 @@ def t_source_terms(sf_dir: str, k: int = 10, driver_merge_threshold: int = 2_000
     # side tables and join them back token-partitioned
     from ray.data.aggregate import Sum
 
-    from ..rayops import head_k_per_key, safe_join
+    from ..rayops import first_per_key, head_k_per_key, map_sorted_groups
 
     def packkey(t: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(t["source"], t["token"], "\x00")
@@ -889,30 +889,43 @@ def t_source_terms(sf_dir: str, k: int = 10, driver_merge_threshold: int = 2_000
         )
 
     ct = ct.map_batches(unpack, batch_format="pyarrow").materialize()
-    tok_tot = ct.groupby("token").aggregate(Sum("n", alias_name="c_all"))
     src_tot = {
         r["source"]: int(r["ns"])
         for r in ct.groupby("source").aggregate(Sum("n", alias_name="ns")).take_all()
     }
-    v = tok_tot.count()
+    v = first_per_key(ct.select_columns(["token"]), "token").count()
     n_total = sum(src_tot.values())
-    joined = safe_join(ct, tok_tot, num_partitions=16, on=("token",), right_on=("token",))
 
     import ray as _ray
 
     sref = _ray.put(src_tot)
+    empty_scored = pa.table(
+        {"source": pa.array([], type=pa.string()), "token": pa.array([], type=pa.string()),
+         "log_odds": pa.array([], type=pa.float64())}
+    )
 
-    def score(t: pa.Table) -> pa.Table:
+    # token totals via ONE range sort with boundary-aware complete groups —
+    # not a (token-total side table ⋈ counts) hash join: Ray's hash-join
+    # aggregator infers a partition's schema from the blocks it happens to
+    # receive, so a rows-less partition can finalize schema-less and fail
+    # (observed flakily under --tiny-blocks); the sorted-group pass has no
+    # such mode and moves the same slim rows once
+    def score_groups(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_scored
         st = _ray.get(sref)
+        tok = t["token"].to_numpy(zero_copy_only=False)
         c = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-        ca = t["c_all"].to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        seg = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(tok)]))
+        ca = np.add.reduceat(c, starts)[seg]
         ns_v = np.array([st[s] for s in t["source"].to_pylist()], dtype=np.float64)
         sc = np.log((c + 1.0) / (ns_v + v)) - np.log((ca - c + 1.0) / (n_total - ns_v + v))
         return pa.table(
             {"source": t["source"], "token": t["token"], "log_odds": pa.array(sc, type=pa.float64())}
         )
 
-    scored = joined.map_batches(score, batch_format="pyarrow")
+    scored = map_sorted_groups(ct, "token", score_groups, empty_scored)
     top = head_k_per_key(scored, "source", ["log_odds", "token"], k, descending=[True, False])
     df = top.to_pandas().sort_values(["source", "log_odds", "token"], ascending=[True, False, True])
     df["rank"] = df.groupby("source").cumcount() + 1
