@@ -37,12 +37,24 @@ def entry() -> Any:
 
 
 def _gate_spec(sf_dir: str):
-    from entity_resolution_pipeline_ray.sources.pages import PagesSpec, sf_of_dir
+    from entity_resolution_pipeline_ray.sources.pages import PagesSpec
 
-    sf = sf_of_dir(sf_dir)
-    # query-gate corpus: big enough to exercise every stage, small enough for
-    # the per-query driver budget
-    return PagesSpec(num_pages=2000 if sf <= 0.001 else 4000, num_shards=8)
+    # Query-gate corpus: big enough to exercise every stage, small enough for
+    # the per-query driver budget.  Fixed-size regardless of sf (round 5) so
+    # the materialized-corpus oracle SQL (a static string with an embedded
+    # parquet path — see oracle_sql()) matches the queries at every sf the
+    # local sweeps run at, not just the driver's sf0.01.
+    return PagesSpec(num_pages=4000, num_shards=8)
+
+
+def _gate_corpus_dir() -> str:
+    """Materialize the gate corpus to Parquet (idempotent) and return the dir —
+    lets DuckDB value-check queries whose input is GENERATED rather than one of
+    the driver's pre-registered testdata views (p_url_snapshot_dedup,
+    er_extract).  Spec-keyed path, pure-pyarrow fallback when Ray is down."""
+    from entity_resolution_pipeline_ray.sources.pages import materialize_pages_parquet
+
+    return materialize_pages_parquet(_gate_spec("/sf0.01"))
 
 
 def _gate_pages(spec):
@@ -129,10 +141,70 @@ def _url_dedup_query(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # --- rotation window (round 4): never-driver-checked + newly-oracled
-        # + the two fixed hash-fails lead; driver oracles the FIRST 50 entries.
-        # Append NEW queries immediately after this window (before the r03-green
-        # tail) so they get driver-checked without evicting fresh green rows.
+        # --- rotation window (round 5): the driver oracles the FIRST 50
+        # entries.  Leads: p_url_snapshot_dedup (r04's only non-green row, now
+        # with a materialized-corpus value oracle) + er_extract (rows-only →
+        # value oracle, same corpus), then the 48 never-driver-checked
+        # round-4 queries.  Parked at 51+ (51 never-checked > 48 free slots):
+        # q_rollup_events (ROLLUP semantics already driver-green via q_rollup
+        # r02/r03 and q_cube in-window), g_degree_hist (judge's suggested
+        # park), t_bpe_merges (rows-only by nature — a window slot would yield
+        # no green row).  Append NEW queries immediately after this window.
+        "p_url_snapshot_dedup": _url_dedup_query,
+        "er_extract": _er_extract_query,
+        "er_incremental": _er_incremental_query,
+        "d_incremental_exact": D.d_incremental_exact,
+        "d_incremental_fuzzy": D.d_incremental_fuzzy,
+        "q_fuzzy_name_pairs": R.q_fuzzy_name_pairs,
+        "g_lpa_communities": G.g_lpa_communities,
+        "g_triangles": G.g_triangles,
+        "g_common_neighbors": G.g_common_neighbors,
+        "t_tfidf_topk": T.t_tfidf_topk,
+        "t_dup_ngram_fraction": T.t_dup_ngram_fraction,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q_late_orders": R.q_late_orders,
+        "q_cube": R.q_cube,
+        "p_seeded_shuffle": SP.p_seeded_shuffle,
+        "p_curriculum_order": SP.p_curriculum_order,
+        "q_band_join": R.q_band_join,
+        "p_weighted_sample": SP.p_weighted_sample,
+        "t_csv_reader_agg": T.t_csv_reader_agg,
+        "t_jsonl_reader_agg": T.t_jsonl_reader_agg,
+        "p_write_lang_shards": SP.p_write_lang_shards,
+        "q_lead_lag": R.q_lead_lag,
+        "t_dupline_ratio": C.t_dupline_ratio,
+        "d_apply_fuzzy_keep_best": D.dedup_apply_fuzzy_keep_best,
+        "p_source_token_cap": SP.p_source_token_cap,
+        "q_hopping_window": R.q_hopping_window,
+        "s_range_search": S.range_search,
+        "m_phash_pairs": M.m_phash_pairs,
+        "d_cluster_size_hist": D.dedup_cluster_size_hist,
+        "p_split_assign": SP.p_split_assign,
+        "d_contamination_by_source": C.d_contamination_by_source,
+        "q_lang_mad": SP.q_lang_mad,
+        "s_lsh_recall": S.s_lsh_recall,
+        "q_ntile": R.q_ntile,
+        "q_corr": R.q_corr,
+        "d_minhash_accuracy": D.d_minhash_accuracy,
+        "q_pivot_dow": R.q_pivot_dow,
+        "t_lsh_bucket_stats": D.t_lsh_bucket_stats,
+        "q_dau_wau": R.q_dau_wau,
+        "t_vocab_stats": T.t_vocab_stats,
+        "q_user_growth": R.q_user_growth,
+        "q_transition_counts": R.q_transition_counts,
+        "q_user_fanout_hist": R.q_user_fanout_hist,
+        "p_lang_top_quartile": SP.p_lang_top_quartile,
+        "t_term_search": T.t_term_search,
+        "d_minhash_threshold_sweep": D.d_minhash_threshold_sweep,
+        "q_rate_anomaly": R.q_rate_anomaly,
+        "p_group_sample_k": SP.p_group_sample_k,
+        "q_percent_rank": R.q_percent_rank,
+        "q_intersect_users": R.q_intersect_users,
+        # --- parked at 51+ this round (see window comment above) ---
+        "q_rollup_events": R.q_rollup_events,
+        "g_degree_hist": G.g_degree_hist,
+        "t_bpe_merges": T.t_bpe_merges,
+        # --- r04-driver-green set (checked 2026-08-19; rotated to the back) ---
         "t_cms_topk": C.t_cms_topk,
         "t_bigram_logprob": C.t_bigram_logprob,
         "d_line_dedup": C.d_line_dedup,
@@ -160,7 +232,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_media_resize": M.m_media_resize,
         "m_frame_sample": M.m_frame_sample,
         "m_media_dedup": M.m_media_dedup,
-        "p_url_snapshot_dedup": _url_dedup_query,
         "d_minhash_pairs": D.minhash_dup_pairs,
         "d_simhash_pairs": D.simhash_dup_pairs,
         "d_ngram_jaccard_pairs": D.ngram_jaccard_dup_pairs,
@@ -183,58 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "d_boilerplate": C.d_boilerplate,
         "p_source_cap": SP.q_source_cap,
         "p_stratified_sample": SP.q_stratified_sample,
-        # --- round-4 additions (behind the rotation window, per the rule above) ---
-        "q_lead_lag": R.q_lead_lag,
-        "t_dupline_ratio": C.t_dupline_ratio,
-        "d_apply_fuzzy_keep_best": D.dedup_apply_fuzzy_keep_best,
-        "p_source_token_cap": SP.p_source_token_cap,
-        "q_hopping_window": R.q_hopping_window,
         "q_rollup": R.q_rollup,
-        "s_range_search": S.range_search,
-        "g_common_neighbors": G.g_common_neighbors,
-        "m_phash_pairs": M.m_phash_pairs,
-        "d_cluster_size_hist": D.dedup_cluster_size_hist,
-        "p_split_assign": SP.p_split_assign,
-        "d_contamination_by_source": C.d_contamination_by_source,
-        "q_lang_mad": SP.q_lang_mad,
-        "s_lsh_recall": S.s_lsh_recall,
-        "t_tfidf_topk": T.t_tfidf_topk,
-        "q_rollup_events": R.q_rollup_events,
-        "q_ntile": R.q_ntile,
-        "g_triangles": G.g_triangles,
-        "q_corr": R.q_corr,
-        "d_minhash_accuracy": D.d_minhash_accuracy,
-        "q_pivot_dow": R.q_pivot_dow,
-        "t_lsh_bucket_stats": D.t_lsh_bucket_stats,
-        "q_dau_wau": R.q_dau_wau,
-        "q_band_join": R.q_band_join,
-        "p_weighted_sample": SP.p_weighted_sample,
-        "t_vocab_stats": T.t_vocab_stats,
-        "t_dup_ngram_fraction": T.t_dup_ngram_fraction,
-        "t_bpe_merges": T.t_bpe_merges,
-        "q_user_growth": R.q_user_growth,
-        "q_transition_counts": R.q_transition_counts,
-        "q_user_fanout_hist": R.q_user_fanout_hist,
-        "p_lang_top_quartile": SP.p_lang_top_quartile,
-        "t_term_search": T.t_term_search,
-        "d_minhash_threshold_sweep": D.d_minhash_threshold_sweep,
-        "t_csv_reader_agg": T.t_csv_reader_agg,
-        "t_jsonl_reader_agg": T.t_jsonl_reader_agg,
-        "p_write_lang_shards": SP.p_write_lang_shards,
-        "q_rate_anomaly": R.q_rate_anomaly,
-        "q_fuzzy_name_pairs": R.q_fuzzy_name_pairs,
-        "g_degree_hist": G.g_degree_hist,
-        "p_curriculum_order": SP.p_curriculum_order,
-        "g_lpa_communities": G.g_lpa_communities,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "p_group_sample_k": SP.p_group_sample_k,
-        "q_percent_rank": R.q_percent_rank,
-        "q_cube": R.q_cube,
-        "q_late_orders": R.q_late_orders,
-        "q_intersect_users": R.q_intersect_users,
-        "p_seeded_shuffle": SP.p_seeded_shuffle,
-        "d_incremental_exact": D.d_incremental_exact,
-        "d_incremental_fuzzy": D.d_incremental_fuzzy,
         # --- r03-driver-green tail (checked 2026-08-18; rotated to the back) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q6_discount_revenue": R.q6_discount_revenue,
@@ -283,14 +303,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_token_topk": T.t_token_topk,
         "t_source_terms": T.t_source_terms,
         "t_pmi_bigrams": T.t_pmi_bigrams,
-        "er_extract": _er_extract_query,
         "er_clusters": _er_query,
-        "er_incremental": _er_incremental_query,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    corpus = _gate_corpus_dir()  # idempotent; cheap after first call
+    # p_url_snapshot_dedup: latest-crawl-wins per canonical URL (version
+    # segment stripped), ties broken by url asc — over the SAME deterministic
+    # corpus the query consumes, materialized to parquet.
+    url_snapshot_sql = f"""
+        SELECT canon_url, url, warc_ts
+        FROM (
+            SELECT regexp_replace(url, '/[0-9]+$', '') AS canon_url, url, warc_ts,
+                   row_number() OVER (
+                       PARTITION BY regexp_replace(url, '/[0-9]+$', '')
+                       ORDER BY warc_ts DESC, url ASC) AS rn
+            FROM read_parquet('{corpus}/*.parquet'))
+        WHERE rn = 1
+    """
+    # er_extract: the corpus parquet's text column is written by the GENERATOR
+    # (text = extract_text_from_html(html) at corpus-build time), so comparing
+    # it against the extract STAGE's output is a real byte-identity check of
+    # the engine's extraction path; title/domain are re-derived in SQL from the
+    # raw html/url bytes.
+    er_extract_sql = f"""
+        SELECT url,
+               regexp_extract(decode(html), '<title>([^<]*)</title>', 1) AS title,
+               lower(regexp_extract(url, '://([^/?#]+)', 1)) AS domain,
+               text
+        FROM read_parquet('{corpus}/*.parquet')
+    """
     return {
+        "p_url_snapshot_dedup": url_snapshot_sql,
+        "er_extract": er_extract_sql,
         "t_cms_topk": C.T_CMS_TOPK_SQL,
         "t_bigram_logprob": C.T_BIGRAM_LOGPROB_SQL,
         "d_line_dedup": C.D_LINE_DEDUP_SQL,
@@ -437,7 +483,9 @@ def oracle_sql() -> dict[str, str]:
         "t_token_topk": T.T_TOKEN_TOPK_SQL,
         "t_source_terms": T.T_SOURCE_TERMS_SQL,
         "t_pmi_bigrams": T.T_PMI_BIGRAMS_SQL,
-        # er_extract / er_clusters: corpus is generated (not a DuckDB view) —
-        # rows-only; quality is gated by pytest (pairwise F1 >= 0.99).
-    
+        # er_clusters / er_incremental: LR-scored multi-stage pipelines — not
+        # SQL-expressible; rows-only (quality gated by pytest pairwise F1 and
+        # the pinned incremental-equality tests).  t_bpe_merges: iterative —
+        # rows-only, documented.  er_extract / p_url_snapshot_dedup got
+        # materialized-corpus value oracles in round 5 (see above).
     }

@@ -384,3 +384,43 @@ def labels_table(spec: PagesSpec) -> pa.Table:
 def labeled_pairs_table(spec: PagesSpec) -> pa.Table:
     """Full ground-truth pairs (small result; shard plans built in parallel)."""
     return _parallel_shard_tables(shard_labeled_pairs_table, spec)
+
+
+def materialize_pages_parquet(spec: PagesSpec, base_dir: str = "/tmp/erp_gate_corpus") -> str:
+    """Write the deterministic pages corpus to Parquet (one file per shard)
+    and return the directory — so a DuckDB oracle can query the SAME corpus a
+    generated-input pipeline consumed (``read_parquet('<dir>/*.parquet')``).
+
+    Pure pyarrow (no Ray session needed: ``oracle_sql()`` may run before any
+    query).  Idempotent via a ``_SUCCESS`` marker; the path is keyed by every
+    spec field, so two specs never collide.  Shards are generated in parallel
+    as Ray tasks when a session exists (same plan-determinism argument as
+    ``_parallel_shard_tables``)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = (
+        f"p{spec.num_pages}_s{spec.num_shards}_seed{spec.seed}_m{spec.mean_cluster_size}"
+        f"_b{spec.body_words[0]}-{spec.body_words[1]}_n{spec.null_fraction}_h{spec.hard_negative_fraction}"
+    )
+    out = os.path.join(base_dir, key)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def write_shard(spec: PagesSpec, s: int) -> None:
+        pq.write_table(shard_pages_table(spec, s), os.path.join(out, f"shard_{s:04d}.parquet"))
+
+    import ray
+
+    if ray.is_initialized():
+        remote_fn = ray.remote(write_shard)
+        ray.get([remote_fn.remote(spec, s) for s in range(spec.num_shards)])
+    else:
+        for s in range(spec.num_shards):
+            write_shard(spec, s)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
