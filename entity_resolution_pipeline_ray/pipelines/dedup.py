@@ -1445,33 +1445,15 @@ def d_incremental_fuzzy(sf_dir: str, threshold: float = 0.6):
         else None
     )
 
-    # epoch split: new-doc id set, bounded by the append size
-    def id_flags(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        id_strs = pa.array([str(int(i)) for i in ids], type=pa.string())
-        return pa.table(
-            {"doc_id": pa.array(ids, type=pa.int64()),
-             "is_new": pa.array((md5_u64_dict(id_strs) % np.uint64(4)) == 0)}
-        )
-
-    flags = sketches.select_columns(["doc_id"]).map_batches(id_flags, batch_format="pyarrow")
-    new_ids = np.sort(
-        np.concatenate(
-            [
-                t.filter(t["is_new"])["doc_id"].to_numpy(zero_copy_only=False)
-                for t in flags.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
-            ]
-            or [np.empty(0, np.int64)]
-        ).astype(np.int64)
-    )
-    ids_ref = ray.put(new_ids)
-
+    # epoch membership is a PURE FUNCTION of doc_id (md5 parity), so it is
+    # recomputed per row INSIDE each task — the driver never gathers, holds
+    # or broadcasts an id set (the "new" side here is a fixed ~25% fraction
+    # of the corpus, not a small shard, so an id broadcast would be
+    # corpus-proportional; contrast er_incremental_append, whose broadcast
+    # is genuinely bounded by the append shard).
     def _is_new(arr: np.ndarray) -> np.ndarray:
-        ids = ray.get(ids_ref)
-        if len(ids) == 0:
-            return np.zeros(len(arr), dtype=bool)
-        pos = np.searchsorted(ids, arr)
-        return (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == arr)
+        id_strs = pa.array([str(int(i)) for i in arr], type=pa.string())
+        return (md5_u64_dict(id_strs) % np.uint64(4)) == 0
 
     blocks = _minhash_band_blocks(sketches, cfg).materialize()
 
@@ -1484,32 +1466,51 @@ def d_incremental_fuzzy(sf_dir: str, threshold: float = 0.6):
         sketches, n_docs, threshold, cfg, payload_ref=payload_ref,
     )
 
-    # append epoch: blocks touching >=1 new doc, pairs with >=1 new endpoint
+    # append epoch: blocks touching >=1 new doc, pairs with >=1 new endpoint.
+    # The touched-key set is O(|new docs| x num_bands) — corpus-proportional
+    # under the md5%4 split — so the membership filter is size-gated: small
+    # sets broadcast once (searchsorted per batch); at scale the filter is a
+    # distributed SEMI-JOIN of the block stream against the distinct touched
+    # keys.  --at-scale-plans forces the semi-join plan via scale_gate and the
+    # local sweep pins it value-equal to the broadcast plan.
     def new_keys(t: pa.Table) -> pa.Table:
         m = _is_new(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
         return pa.table({"block_key": pc.array_filter(t["block_key"], pa.array(m))})
 
-    touched = np.unique(
-        np.concatenate(
-            [
-                t["block_key"].to_numpy(zero_copy_only=False)
-                for t in blocks.map_batches(new_keys, batch_format="pyarrow").iter_batches(
-                    batch_size=1 << 20, batch_format="pyarrow"
-                )
-            ]
-            or [np.empty(0, np.int64)]
-        ).astype(np.int64)
-    )
-    keys_ref = ray.put(touched)
+    touched_ds = first_per_key(
+        blocks.map_batches(new_keys, batch_format="pyarrow"), "block_key"
+    ).materialize()
+    n_touched = touched_ds.count()
+    if n_touched <= scale_gate(BROADCAST_THRESHOLD_ROWS):
+        touched = np.sort(
+            np.concatenate(
+                [
+                    t["block_key"].to_numpy(zero_copy_only=False)
+                    for t in touched_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+                ]
+                or [np.empty(0, np.int64)]
+            ).astype(np.int64)
+        )
+        keys_ref = ray.put(touched)
 
-    def touched_rows(t: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        bk = t["block_key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(ks) == 0:
-            return t.slice(0, 0)
-        pos = np.searchsorted(ks, bk)
-        m = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == bk)
-        return t.filter(pa.array(m))
+        def touched_rows(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            bk = t["block_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ks) == 0:
+                return t.slice(0, 0)
+            pos = np.searchsorted(ks, bk)
+            m = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == bk)
+            return t.filter(pa.array(m))
+
+        blocks_touched = blocks.map_batches(touched_rows, batch_format="pyarrow")
+    else:
+        blocks_touched = safe_join(
+            blocks,
+            touched_ds,
+            num_partitions=adaptive_partitions(n_touched, cap=32),
+            on=("block_key",),
+            right_on=("block_key",),
+        )
 
     def only_new_pairs(t: pa.Table) -> pa.Table:
         a = t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1517,7 +1518,7 @@ def d_incremental_fuzzy(sf_dir: str, threshold: float = 0.6):
         return t.filter(pa.array(_is_new(a) | _is_new(b)))
 
     new_pairs = _verified_pairs_from_blocks(
-        blocks.map_batches(touched_rows, batch_format="pyarrow"),
+        blocks_touched,
         sketches, n_docs, threshold, cfg, payload_ref=payload_ref,
     ).map_batches(only_new_pairs, batch_format="pyarrow")
 

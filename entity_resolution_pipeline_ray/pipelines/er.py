@@ -472,7 +472,10 @@ def er_incremental_append(
     the same pinned vocab/model, PROVIDED no block exceeds
     ``blocking.max_block_size`` (the hot-block pair-budget subsample is a
     per-epoch budget, not a semantic filter — a grown hot block re-samples).
-    Pinned in tests/test_incremental.py.
+    Pinned in tests/test_incremental.py.  Re-crawled URLs (same url — hence
+    same doc_id — in both the base epoch and the append shard) are dropped
+    first-crawl-wins before epoch state is unioned, so chained appends never
+    accumulate duplicate doc_id rows.
 
     Reference analog: the reference re-runs its whole pipeline per corpus
     drop (src/pipeline.py); incremental append is parity-plus enabled by
@@ -508,6 +511,60 @@ def er_incremental_append(
         batch_size=cfg.execution.batch_size,
         vocab=vocab,
     ).materialize()
+
+    def _in_sorted(arr: np.ndarray, sorted_vals: np.ndarray) -> np.ndarray:
+        if len(sorted_vals) == 0:
+            return np.zeros(len(arr), dtype=bool)
+        pos = np.searchsorted(sorted_vals, arr)
+        pos_c = np.minimum(pos, len(sorted_vals) - 1)
+        return (pos < len(sorted_vals)) & (sorted_vals[pos_c] == arr)
+
+    # Re-crawl guard: doc_id is a stable hash of url, so a URL present in BOTH
+    # the base epoch and the append shard (the normal case for a daily crawl)
+    # would otherwise yield duplicate doc_id rows in features/scores/clusters
+    # that silently accumulate across chained appends.  First-crawl-wins: drop
+    # appended rows whose doc_id already exists in the base epoch.  Scale
+    # shape: broadcast the APPEND-side id set (bounded by the shard, never the
+    # corpus), stream the base ids through a membership filter (no shuffle),
+    # and gather only the overlap (<= |append|) back to the driver.
+    append_ids = np.sort(
+        np.concatenate(
+            [
+                b["doc_id"].to_numpy(zero_copy_only=False)
+                for b in new_feats.select_columns(["doc_id"]).iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"
+                )
+            ]
+            or [np.empty(0, np.int64)]
+        ).astype(np.int64)
+    )
+    if len(append_ids):
+        aref = _ray.put(append_ids)
+
+        def _overlap_rows(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(_in_sorted(ids, _ray.get(aref))))
+
+        overlap = np.unique(
+            np.concatenate(
+                [
+                    b["doc_id"].to_numpy(zero_copy_only=False)
+                    for b in old_feats.select_columns(["doc_id"])
+                    .map_batches(_overlap_rows, batch_format="pyarrow")
+                    .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+                ]
+                or [np.empty(0, np.int64)]
+            ).astype(np.int64)
+        )
+        if len(overlap):
+            oref = _ray.put(overlap)
+
+            def _drop_recrawled(t: pa.Table) -> pa.Table:
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                return t.filter(pa.array(~_in_sorted(ids, _ray.get(oref))))
+
+            new_feats = new_feats.map_batches(_drop_recrawled, batch_format="pyarrow").materialize()
+
     n_new = new_feats.count()
     if n_new == 0:
         clusters = StageCheckpoint(workdir, "clusters").load()
@@ -559,13 +616,6 @@ def er_incremental_append(
     keys_ref = _ray.put(touched_keys)
 
     all_feats = old_feats.union(new_feats)
-
-    def _in_sorted(arr: np.ndarray, sorted_vals: np.ndarray) -> np.ndarray:
-        if len(sorted_vals) == 0:
-            return np.zeros(len(arr), dtype=bool)
-        pos = np.searchsorted(sorted_vals, arr)
-        pos_c = np.minimum(pos, len(sorted_vals) - 1)
-        return (pos < len(sorted_vals)) & (sorted_vals[pos_c] == arr)
 
     def only_touched(t: pa.Table) -> pa.Table:
         ks = _ray.get(keys_ref)

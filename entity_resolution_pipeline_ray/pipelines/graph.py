@@ -560,7 +560,7 @@ def triangles_on_edges(edges):
         # (16 B/node) and attach endpoint degrees by searchsorted inside ONE
         # map — the two node-keyed hash joins cost 6.6 s at sf0.1 for a
         # 1,500-node degree table; this is ~0.3 s
-        dt = collect_table(deg)
+        dt = collect_table(deg, empty_schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]))
         nodes = dt["node"].to_numpy(zero_copy_only=False)
         degs = dt["deg"].to_numpy(zero_copy_only=False)
         order = np.argsort(nodes)
@@ -618,7 +618,10 @@ def triangles_on_edges(edges):
         # closing membership INSIDE the wedge pass — no wedge stream ever
         # materializes, no join
         ekeys = np.sort(
-            collect_table(directed.select_columns(["ekey"]))["ekey"]
+            collect_table(
+                directed.select_columns(["ekey"]),
+                empty_schema=pa.schema([("ekey", pa.int64())]),
+            )["ekey"]
             .to_numpy(zero_copy_only=False)
         )
         eref = ray.put(ekeys)

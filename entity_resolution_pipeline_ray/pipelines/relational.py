@@ -2389,7 +2389,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10, cust_broadcast_max: int | Non
     dated = orders.map_batches(date_proj, batch_format="pyarrow")
     if n_seg <= bcast_max:
         keys = np.sort(
-            collect_table(seg_cust)["c_custkey"]
+            collect_table(seg_cust, empty_schema=pa.schema([("c_custkey", pa.int64())]))["c_custkey"]
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )

@@ -265,14 +265,17 @@ def adaptive_partitions(n_rows: int, *, rows_per_partition: int = 200_000, cap: 
     return max(2, min(cap, by_data, by_cpu))
 
 
-def collect_table(ds):
+def collect_table(ds, empty_schema: "pa.Schema | None" = None):
     """Concatenate a SMALL Dataset into one driver-side Arrow table.
 
     Hash-shuffle aggregates can emit empty blocks with an EMPTY (zero-column)
     schema; ``pa.concat_tables`` over the raw block list then fails with
     "Schema at index N was different".  Keep only row-bearing blocks (they
     always carry the real schema); if every block is empty, return the first
-    schema-bearing one so consumers still see column names.
+    schema-bearing one so consumers still see column names.  When EVERY block
+    is empty AND zero-column, fall back to ``empty_schema`` (if given) so
+    callers that index named columns get a correctly-typed empty table rather
+    than a KeyError on ``pa.table({})``.
     """
     import pyarrow as pa
 
@@ -283,6 +286,8 @@ def collect_table(ds):
     for t in tabs:
         if t.num_columns > 0:
             return t
+    if empty_schema is not None:
+        return empty_schema.empty_table()
     return pa.table({})
 
 

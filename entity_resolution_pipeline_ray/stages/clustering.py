@@ -126,8 +126,14 @@ def propagate_labels(
     propagation (the 100 TB plan)."""
     from ray.data.aggregate import Min
 
-    if driver_edge_threshold is None:
-        driver_edge_threshold = scale_gate(getattr(cfg, "driver_edge_threshold", 5_000_000))
+    # gate the RESOLVED threshold (default or caller-supplied) so explicitly
+    # passed values don't escape the --at-scale-plans forcing — the
+    # "call at the comparison site" rule from config.scale_gate.
+    driver_edge_threshold = scale_gate(
+        driver_edge_threshold
+        if driver_edge_threshold is not None
+        else getattr(cfg, "driver_edge_threshold", 5_000_000)
+    )
     ebidir = _bidirectional(edges_ds).materialize()
     labels = _init_labels(all_ids_ds).materialize()
     n_edges = ebidir.count()
