@@ -256,3 +256,103 @@ def test_sorted_group_pairs_multiset_mode(ray_session):
     # job downstream): the pair set is right, cross-task dups may remain
     uniq = sorted_group_pairs(ds).to_pandas()
     assert set(zip(uniq["left_id"], uniq["right_id"])) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_web_skew_torture_end_to_end(ray_session, tmp_path, monkeypatch):
+    """Realistic web skew: ONE template dominates ~30% of the corpus (600 docs,
+    over the fuzzy-dedup 500-doc block cap).  Asserts the three 100-TB blocking
+    guarantees together (SURVEY §7.6 "Skew" — previously exercised only on
+    uniform synthetic data):
+
+    (a) the ``auto`` census bails to the distributed plan once its
+        driver-state bound is exceeded (forced tiny here),
+    (b) enumerated distinct pairs respect the per-block pair budget implied by
+        the hot-block strides,
+    (c) docs whose blocks are all under cap cluster EXACTLY as in an
+        unstrided run — the budget is local to the hot blocks.
+    """
+    import pyarrow.parquet as pq
+
+    from entity_resolution_pipeline_ray.config import ClusteringConfig
+    from entity_resolution_pipeline_ray.pipelines import dedup as D
+    from entity_resolution_pipeline_ray.stages import blocking as B
+    from entity_resolution_pipeline_ray.stages.clustering import propagate_labels
+
+    n, hot_n = 1200, 600
+    rng = np.random.RandomState(11)
+    template = " ".join(f"hotword{j}" for j in range(120))
+    bg_words = np.array([f"bg{j}" for j in range(800)])
+    texts = [f"{template} tail{i} uniq{i}" for i in range(hot_n)] + [
+        " ".join(rng.choice(bg_words, size=60)) for _ in range(n - hot_n)
+    ]
+    # uniform int64 ids (the stride rule keeps ids % stride == 0, so id bits
+    # must be hash-uniform — multiplicative hashing mirrors real doc_id hashes)
+    ids = (
+        ((np.arange(n, dtype=np.uint64) + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15))
+        >> np.uint64(2)
+    ).astype(np.int64)
+    docs = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)})
+    sf_dir = str(tmp_path)
+    pq.write_table(docs, f"{sf_dir}/documents.parquet")
+
+    # (a) force the auto census to bail to the distributed plan
+    bails = []
+    real_distributed = B._hot_from_distributed
+    monkeypatch.setattr(B, "DRIVER_CENSUS_MAX_ROWS", 10)
+    monkeypatch.setattr(
+        B, "_hot_from_distributed", lambda *a, **k: (bails.append(1), real_distributed(*a, **k))[1]
+    )
+
+    out = D.dedup_apply_fuzzy(sf_dir, threshold=0.6).to_pandas()
+    assert bails, "auto census did not bail to the distributed plan"
+    assert len(out) == n and out["doc_id"].is_unique
+
+    # rebuild the block stream to inspect strides/budgets directly
+    cfg = MinHashConfig()
+    sketches = D._doc_sketches(rd.from_arrow(docs), cfg).materialize()
+    blocks = D._minhash_band_blocks(sketches, cfg).materialize()
+    bdf = blocks.to_pandas()
+    strides = B.hot_block_strides(blocks, 500, census="distributed")
+    assert strides, "skew corpus produced no over-cap block"
+    # auto (bailing) and distributed censuses agree exactly
+    assert B.hot_block_strides(blocks, 500, census="auto") == strides
+
+    # (b) distinct enumerated pairs <= sum over blocks of C(kept_b, 2)
+    raw = B.candidate_pairs(blocks, BlockingConfig(max_block_size=500), num_partitions=4).to_pandas()
+    budget = 0
+    for k, grp in bdf.groupby("block_key")["doc_id"]:
+        s = strides.get(int(k), 1)
+        kept = int((grp.to_numpy() % s == 0).sum())
+        budget += kept * (kept - 1) // 2
+    uncapped_bound = sum(
+        len(g) * (len(g) - 1) // 2 for _, g in bdf.groupby("block_key")["doc_id"]
+    )
+    assert len(raw) <= budget
+    assert len(raw) < 0.5 * uncapped_bound, "capping did not reduce the pair count"
+
+    # (c) under-cap docs cluster identically to the unstrided run
+    uncapped = B.candidate_pairs(blocks, BlockingConfig(max_block_size=1 << 40), num_partitions=4)
+
+    def to_edges(p):
+        return p.map_batches(
+            lambda t: pa.table({"src": t["left_id"], "dst": t["right_id"]}), batch_format="pyarrow"
+        )
+
+    ids_ds = rd.from_arrow(docs.select(["doc_id"]))
+    capped_cl = propagate_labels(
+        to_edges(rd.from_arrow(pa.Table.from_pandas(raw))), ids_ds, ClusteringConfig()
+    ).to_pandas()
+    uncapped_cl = propagate_labels(to_edges(uncapped), ids_ds, ClusteringConfig()).to_pandas()
+    hot_keys = set(strides)
+    hot_doc_ids = set(bdf[bdf["block_key"].isin(hot_keys)]["doc_id"].tolist())
+    cm = {
+        int(d): int(c)
+        for d, c in zip(capped_cl["doc_id"], capped_cl["cluster_id"])
+        if int(d) not in hot_doc_ids
+    }
+    um = {
+        int(d): int(c)
+        for d, c in zip(uncapped_cl["doc_id"], uncapped_cl["cluster_id"])
+        if int(d) not in hot_doc_ids
+    }
+    assert cm == um and len(cm) > 0

@@ -143,3 +143,100 @@ def test_incremental_out_workdir_keeps_base_epoch(ray_session, corpus, tmp_path_
     assert again["n_new_docs"] == 0
     assert StageCheckpoint(out2, "doc_features").manifest()["rows"] == base_rows + append.num_rows
     assert os.path.exists(os.path.join(out2, "vocab.json"))
+
+
+def _pinned_from_scratch(pages, wd, cfg):
+    """From-scratch clusters over ``pages`` with the vocab/model pinned in
+    ``wd`` — the exactness reference every epoch chain must reproduce."""
+    import ray.data as rd
+
+    from entity_resolution_pipeline_ray.pipelines.er import (
+        candidate_pairs,
+        cluster_labels,
+        compute_doc_features,
+        edges_from_scores,
+        emit_block_keys,
+        extract_docs,
+        score_pairs,
+    )
+    from entity_resolution_pipeline_ray.state.model import LRModel
+
+    vocab = _load_vocab(os.path.join(wd, "vocab.json"))
+    model = LRModel.load(os.path.join(wd, "model.json"))
+    feats = compute_doc_features(
+        extract_docs(rd.from_arrow(pages)), cfg.minhash, cfg.tfidf, vocab=vocab
+    ).materialize()
+    pairs = candidate_pairs(
+        emit_block_keys(feats, cfg.minhash, cfg.blocking), cfg.blocking, num_partitions=4
+    )
+    scores = score_pairs(pairs, feats, model, cfg)
+    return _cluster_map(
+        cluster_labels(
+            edges_from_scores(scores, cfg.clustering.min_edge_weight),
+            feats.select_columns(["doc_id"]),
+            cfg.clustering,
+            num_partitions=4,
+        )
+    )
+
+
+def test_incremental_three_epoch_chain_equals_from_scratch(ray_session, corpus, tmp_path_factory):
+    """base → +shard1 → +shard2 via out_workdir chaining: the final epoch's
+    clusters equal ONE from-scratch run over all pages with the base epoch's
+    pinned vocab/model — the operational daily-WARC pattern, exact across
+    arbitrarily long chains because per-doc signatures are deterministic."""
+    import ray.data as rd
+
+    spec, pages, base, append, lp_base = corpus
+    cfg = DEFAULT_CONFIG
+    urls = append["url"].to_pylist()
+    # split the append set into two epoch shards by url hash; the append set
+    # is md5%4==0, so %2 would select everything — %8 splits it into {0} / {4}
+    first = np.array([md5_u64(u) % 8 == 0 for u in urls])
+    shard1, shard2 = append.filter(pa.array(first)), append.filter(pa.array(~first))
+    assert shard1.num_rows > 0 and shard2.num_rows > 0
+
+    wd0 = str(tmp_path_factory.mktemp("chain_base"))
+    wd1 = str(tmp_path_factory.mktemp("chain_epoch1"))
+    wd2 = str(tmp_path_factory.mktemp("chain_epoch2"))
+    run_er_pipeline_checkpointed(rd.from_arrow(base), lp_base, wd0, cfg)
+    inc1 = er_incremental_append(wd0, rd.from_arrow(shard1), cfg, out_workdir=wd1)
+    assert inc1["n_new_docs"] == shard1.num_rows
+    inc2 = er_incremental_append(wd1, rd.from_arrow(shard2), cfg, out_workdir=wd2)
+    assert inc2["n_new_docs"] == shard2.num_rows
+
+    got = _cluster_map(inc2["clusters"])
+    assert got == _pinned_from_scratch(pages, wd0, cfg)
+
+
+def test_incremental_recrawl_guard_drops_duplicate_urls(ray_session, corpus, tmp_path_factory):
+    """An append shard containing RE-CRAWLED urls (already in the base epoch —
+    the normal daily-crawl case) must not accumulate duplicate doc_id rows:
+    first-crawl-wins, and the result equals appending only the genuinely new
+    pages."""
+    import ray.data as rd
+
+    from entity_resolution_pipeline_ray.state.manifest import StageCheckpoint
+
+    spec, pages, base, append, lp_base = corpus
+    cfg = DEFAULT_CONFIG
+    wd = str(tmp_path_factory.mktemp("recrawl_base"))
+    run_er_pipeline_checkpointed(rd.from_arrow(base), lp_base, wd, cfg)
+
+    # the appended shard re-crawls a third of the BASE corpus
+    recrawled = base.slice(0, base.num_rows // 3)
+    dirty = pa.concat_tables([append, recrawled])
+    out = str(tmp_path_factory.mktemp("recrawl_epoch"))
+    inc = er_incremental_append(wd, rd.from_arrow(dirty), cfg, out_workdir=out)
+
+    # only the genuinely new docs were appended; no doc_id appears twice
+    assert inc["n_new_docs"] == append.num_rows
+    feats_rows = StageCheckpoint(out, "doc_features").manifest()["rows"]
+    assert feats_rows == base.num_rows + append.num_rows
+    df = inc["clusters"].to_pandas()
+    assert df["doc_id"].is_unique
+
+    # and the clusters equal a CLEAN append of the new pages alone
+    clean_out = str(tmp_path_factory.mktemp("recrawl_clean"))
+    clean = er_incremental_append(wd, rd.from_arrow(append), cfg, out_workdir=clean_out)
+    assert _cluster_map(inc["clusters"]) == _cluster_map(clean["clusters"])
