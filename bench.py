@@ -47,6 +47,12 @@ ORACLE_QUERIES = [
     # round-4 late-session optimized operators (two-sort / broadcast plans)
     "g_triangles",
     "t_tfidf_topk",
+    # round-5: the round-4 heavies, recorded so the next regression in this
+    # family is visible driver-round-over-round (VERDICT r4 item 4)
+    "g_lpa_communities",
+    "q3_shipping_priority",
+    "d_incremental_fuzzy",
+    "q_fuzzy_name_pairs",
 ]
 
 
@@ -213,6 +219,54 @@ def run_full() -> dict:
             q_samples[name].append(time.time() - t0)
     for name in ORACLE_QUERIES:
         queries[name] = round(med(q_samples[name]), 2)
+
+    # incremental append vs from-scratch on the SAME 20k-page corpus — the
+    # operational win, quantified (VERDICT r4 item 6): a ~5% crawl shard
+    # appends to a finished checkpointed run vs re-running the whole pipeline
+    # with the same pinned vocab/model.
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa_
+
+    from entity_resolution_pipeline_ray.functions.hashing import md5_u64
+    from entity_resolution_pipeline_ray.pipelines.er import (
+        er_incremental_append,
+        run_er_pipeline_checkpointed,
+    )
+
+    pages_tbl = pq.read_table(os.path.join(d, "pages"))
+    urls = pages_tbl["url"].to_pylist()
+    is_new = np.array([md5_u64(u) % 20 == 0 for u in urls])
+    base_t, append_t = pages_tbl.filter(pa_.array(~is_new)), pages_tbl.filter(pa_.array(is_new))
+    base_urls = set(base_t["url"].to_pylist())
+    lp_mask = [
+        (l in base_urls) and (r in base_urls)
+        for l, r in zip(labeled["left_url"].to_pylist(), labeled["right_url"].to_pylist())
+    ]
+    lp_base = labeled.filter(pa_.array(lp_mask))
+    wd = tempfile.mkdtemp(prefix="er_bench_incr_")
+    try:
+        run_er_pipeline_checkpointed(rd.from_arrow(base_t), lp_base, wd)  # untimed base epoch
+        t0 = time.time()
+        inc = er_incremental_append(wd, rd.from_arrow(append_t))
+        inc["clusters"].count()
+        append_sec = time.time() - t0
+        t0 = time.time()
+        res = run_er_pipeline(rd.from_arrow(pages_tbl), lp_base)
+        res["clusters"].count()
+        scratch_sec = time.time() - t0
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    queries["er_incremental_append_5pct_20k"] = round(append_sec, 2)
+    queries["er_incremental_from_scratch_20k"] = round(scratch_sec, 2)
+    incr = {
+        "append_shard_pages": int(is_new.sum()),
+        "append_sec": round(append_sec, 2),
+        "from_scratch_sec": round(scratch_sec, 2),
+        "speedup": round(scratch_sec / append_sec, 2) if append_sec > 0 else None,
+    }
     ray.shutdown()
     return {
         "metric": f"ER end-to-end sec on {ER_PAGES} synthetic pages (planted clusters) + operator pipelines at {SF_DIR}",
@@ -226,6 +280,7 @@ def run_full() -> dict:
         "er_samples_sec": [round(x, 2) for x in er_samples],
         "er_warmup_sec_untimed": er_warmup_sec,
         "query_samples_sec": {n: [round(x, 2) for x in xs] for n, xs in q_samples.items()},
+        "incremental": incr,
         "host_speed_sentinel_sec": host_speed_sentinel(),
     }
 
