@@ -139,6 +139,12 @@ def _url_dedup_query(sf_dir: str):
     return url_snapshot_dedup(_gate_pages(_gate_spec(sf_dir)))
 
 
+def _url_thinning_query(sf_dir: str):
+    from entity_resolution_pipeline_ray.pipelines.er import url_snapshot_thinning
+
+    return url_snapshot_thinning(_gate_pages(_gate_spec(sf_dir)))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- rotation window (round 5): the driver oracles the FIRST 50
@@ -200,6 +206,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p_group_sample_k": SP.p_group_sample_k,
         "q_percent_rank": R.q_percent_rank,
         "q_intersect_users": R.q_intersect_users,
+        # --- round-5 additions (behind the window, per the rule above) ---
+        "p_quality_skyline": SP.p_quality_skyline,
+        "p_url_snapshot_thinning": _url_thinning_query,
+        "s_knn_graph": S.s_knn_graph,
         # --- parked at 51+ this round (see window comment above) ---
         "q_rollup_events": R.q_rollup_events,
         "g_degree_hist": G.g_degree_hist,
@@ -334,8 +344,26 @@ def oracle_sql() -> dict[str, str]:
                text
         FROM read_parquet('{corpus}/*.parquet')
     """
+    # p_url_snapshot_thinning: newest snapshot per (canonical URL, ISO week) —
+    # weekly-history retention over the same materialized corpus.
+    url_thinning_sql = f"""
+        SELECT canon_url, week_us, url, warc_ts
+        FROM (
+            SELECT regexp_replace(url, '/[0-9]+$', '') AS canon_url,
+                   CAST(epoch_us(date_trunc('week', warc_ts)) AS BIGINT) AS week_us,
+                   url, warc_ts,
+                   row_number() OVER (
+                       PARTITION BY regexp_replace(url, '/[0-9]+$', ''),
+                                    date_trunc('week', warc_ts)
+                       ORDER BY warc_ts DESC, url ASC) AS rn
+            FROM read_parquet('{corpus}/*.parquet'))
+        WHERE rn = 1
+    """
     return {
         "p_url_snapshot_dedup": url_snapshot_sql,
+        "p_url_snapshot_thinning": url_thinning_sql,
+        "p_quality_skyline": SP.P_QUALITY_SKYLINE_SQL,
+        "s_knn_graph": S.KNN_GRAPH_SQL,
         "er_extract": er_extract_sql,
         "t_cms_topk": C.T_CMS_TOPK_SQL,
         "t_bigram_logprob": C.T_BIGRAM_LOGPROB_SQL,

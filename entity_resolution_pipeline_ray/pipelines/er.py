@@ -424,6 +424,56 @@ def url_snapshot_dedup(pages_ds):
     return kept.map_batches(finish, batch_format="pyarrow")
 
 
+def url_snapshot_thinning(pages_ds):
+    """Temporal snapshot THINNING: keep the newest snapshot of each canonical
+    URL per ISO week — the "retain weekly history" retention policy of a
+    continuously re-crawled corpus (contrast ``url_snapshot_dedup``, which
+    keeps only the single global-latest snapshot).  Same ONE-range-shuffle
+    ``head_k_per_key`` shape on slim (key, url, epoch-us) rows; the key packs
+    (canon_url, week) into one string so the boundary-aware top-1 kernel needs
+    no composite-key support.  The week bucket is computed in pure int64
+    epoch-day arithmetic — Monday-start truncation identical to DuckDB
+    ``date_trunc('week', ts)`` (epoch day 0 = Thursday, so day+3 ≡ 0 mod 7 on
+    Mondays; parity pinned in tests/test_round5_ops.py) — keeping the shuffle
+    key float- and timezone-free.  Output (canon_url, week_us, url, warc_ts)."""
+    import pyarrow.compute as pc
+
+    from ..rayops import head_k_per_key
+
+    US_DAY = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        canon = pc.replace_substring_regex(t["url"], pattern=r"/\d+$", replacement="")
+        ts_us = pc.cast(t["warc_ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        week_us = (((ts_us // US_DAY + 3) // 7) * 7 - 3) * US_DAY
+        week_arr = pa.array(week_us, type=pa.int64())
+        key = pc.binary_join_element_wise(canon, pc.cast(week_arr, pa.string()), "|")
+        return pa.table(
+            {
+                "canon_week": key,
+                "canon_url": canon,
+                "week_us": week_arr,
+                "url": t["url"],
+                "ts_us": pa.array(ts_us, type=pa.int64()),
+            }
+        )
+
+    slim = pages_ds.select_columns(["url", "warc_ts"]).map_batches(prep, batch_format="pyarrow")
+    kept = head_k_per_key(slim, "canon_week", ["ts_us", "url"], 1, descending=[True, False])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "canon_url": t["canon_url"],
+                "week_us": t["week_us"],
+                "url": t["url"],
+                "warc_ts": pc.cast(t["ts_us"], pa.timestamp("us")),
+            }
+        )
+
+    return kept.map_batches(finish, batch_format="pyarrow")
+
+
 def _save_vocab(path: str, vocab: dict) -> None:
     import json
     import os

@@ -834,3 +834,101 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY md5(concat('{SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR)))) AS BIGINT) AS shuffle_pos
 FROM documents
 """
+
+
+def _skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D maxima (Pareto frontier, both axes maximized).
+
+    A point is dominated iff some other point is >= on both axes and > on at
+    least one — equal points never dominate each other, so exact duplicates of
+    a frontier point all survive (the SQL NOT EXISTS semantics).  Vectorized:
+    sort by (x desc, y desc); a point survives iff its y equals its x-group's
+    max AND strictly exceeds the best y of every strictly-greater x group."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = xs[1:] != xs[:-1]
+    grp_id = np.cumsum(new_grp) - 1
+    grp_max_y = ys[new_grp]  # first row of each x-group is its max y
+    prev_best = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(grp_max_y)[:-1]]
+    )[grp_id]
+    keep_sorted = (ys == grp_max_y[grp_id]) & (ys > prev_best)
+    mask = np.zeros(n, dtype=bool)
+    mask[order[keep_sorted]] = True
+    return mask
+
+
+def p_quality_skyline(sf_dir: str):
+    """2-D Pareto frontier (skyline) of the corpus on (n_chars, n_tokens),
+    both maximized — the "no doc strictly better on every quality axis"
+    selection used to pick exemplar documents for curation review.  Plan: the
+    skyline-of-skylines identity (the global frontier is a subset of the
+    union of per-block frontiers) makes this ONE streaming pass: each block
+    emits its local frontier inside ``map_batches``, and the driver reduces
+    the tiny union — O(#blocks × |local frontier|) driver state, and a random
+    2-D frontier is O(log n) points expected, so the union stays KB-sized at
+    any corpus scale.  Token counts reuse the t_token_count parity kernel
+    (count of \\S+ runs == DuckDB ``len(regexp_split_to_array(trim(text),
+    '\\s+'))`` with empty → 0).  Output (doc_id, n_chars, n_tokens), the
+    full frontier including coordinate-duplicates."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def local_frontier(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        filled = pc.coalesce(t["text"], pa.scalar("", type=pa.string()))
+        ntok = (
+            pc.cast(pc.count_substring_regex(filled, pattern=r"\S+"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        m = _skyline_mask(nch, ntok)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[m], type=pa.int64()),
+                "n_chars": pa.array(nch[m], type=pa.int64()),
+                "n_tokens": pa.array(ntok[m], type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(local_frontier, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_chars": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+    x = parts["n_chars"].to_numpy(dtype=np.int64)
+    y = parts["n_tokens"].to_numpy(dtype=np.int64)
+    m = _skyline_mask(x, y)
+    top = parts[m].sort_values("doc_id", kind="mergesort")
+    return pa.table(
+        {
+            "doc_id": pa.array(top["doc_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "n_chars": pa.array(top["n_chars"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "n_tokens": pa.array(top["n_tokens"].to_numpy(dtype=np.int64), type=pa.int64()),
+        }
+    )
+
+
+P_QUALITY_SKYLINE_SQL = """
+WITH m AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT a.doc_id, a.n_chars, a.n_tokens FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.n_chars >= a.n_chars AND b.n_tokens >= a.n_tokens
+    AND (b.n_chars > a.n_chars OR b.n_tokens > a.n_tokens))
+"""

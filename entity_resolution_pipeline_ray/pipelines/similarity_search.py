@@ -997,3 +997,139 @@ SELECT bf.query_id,
 FROM bf LEFT JOIN lsh ON bf.query_id = lsh.query_id AND bf.vec_id = lsh.vec_id
 GROUP BY bf.query_id
 """
+
+
+@ray.remote
+def _chunk_rows(tbl) -> int:
+    return tbl.num_rows
+
+
+def s_knn_graph(sf_dir: str, k: int = 5, chunk_rows: int = 2048):
+    """Exact kNN SELF-join (the kNN-graph build behind SemDeDup-style semantic
+    clustering): every vector's top-k cosine neighbors over the whole corpus —
+    both sides large, so no broadcast query set (contrast knn_bruteforce's
+    fixed tiny query matrix).  Plan: chunk-pair block-nested loop (the
+    d_embedding_pairs shape — one task per (chunk_i, chunk_j), each task pulls
+    exactly TWO object-store chunks, nothing corpus-sized on the driver or in
+    any worker) emits per-ROW partial top-k against the paired chunk in BOTH
+    directions; ONE range shuffle then merges the partials into the final
+    per-query top-k (map_sorted_groups — complete query groups per task).
+    O(n²) compute is inherent to the exact graph; s_knn_lsh / s_knn_ivf /
+    s_knn_pq are the sub-quadratic production paths, and s_lsh_recall is the
+    audit that ties them to this baseline.  Partial volume is O(n·k·#chunks)
+    rows, streamed — never materialized driver-side.  Per-chunk partial
+    ordering is the SAME (cosine desc, vec_id asc) as the final merge and the
+    SQL oracle, so a k-boundary score tie can never drop the candidate the
+    global order keeps (the knn_bruteforce discipline).  Output
+    (query_id, vec_id, rank), rank 1..k, self-pairs excluded."""
+    from ..rayops import map_sorted_groups
+
+    emb = _embeddings(sf_dir).materialize()
+    n = emb.count()
+    empty = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+        }
+    )
+    if n == 0:
+        return rd.from_arrow(empty)
+    n_chunks = max(1, -(-n // chunk_rows))
+    chunks = emb.repartition(n_chunks).materialize()
+    refs = chunks.to_arrow_refs()
+    sizes = ray.get([_chunk_rows.remote(r) for r in refs])
+    refs = [r for r, c in zip(refs, sizes) if c > 0]
+    items = [{"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))]
+    desc = rd.from_items(items).repartition(len(items))
+    refs_ref = ray.put(refs)  # list of chunk ObjectRefs, not the data
+
+    def _norm(t: pa.Table):
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = list_float_matrix(t["embedding"])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return ids, m
+
+    def _row_topk(ids_q, ids_c, sims, exclude_self):
+        # per row of `sims` (queries x candidates): top-k by (score desc, id asc)
+        out_q, out_v, out_s = [], [], []
+        for r in range(sims.shape[0]):
+            s = sims[r]
+            cand = np.nonzero(ids_c != ids_q[r])[0] if exclude_self else np.arange(len(ids_c))
+            if len(cand) == 0:
+                continue
+            kk = min(k, len(cand))
+            order = np.lexsort((ids_c[cand], -s[cand]))
+            sel = cand[order[:kk]]
+            out_q.append(np.full(len(sel), ids_q[r], dtype=np.int64))
+            out_v.append(ids_c[sel])
+            out_s.append(s[sel])
+        if not out_q:
+            return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64))
+        return (np.concatenate(out_q), np.concatenate(out_v), np.concatenate(out_s))
+
+    def cross(batch: pa.Table) -> pa.Table:
+        rl = ray.get(refs_ref)
+        qs, vs, ss = [], [], []
+        for i, j in zip(
+            batch["i"].to_numpy(zero_copy_only=False), batch["j"].to_numpy(zero_copy_only=False)
+        ):
+            ids_i, mi = _norm(ray.get(rl[int(i)]))
+            if int(i) == int(j):
+                sims = mi @ mi.T
+                q, v, s = _row_topk(ids_i, ids_i, sims, exclude_self=True)
+                qs.append(q); vs.append(v); ss.append(s)
+            else:
+                ids_j, mj = _norm(ray.get(rl[int(j)]))
+                sims = mi @ mj.T
+                q, v, s = _row_topk(ids_i, ids_j, sims, exclude_self=False)
+                qs.append(q); vs.append(v); ss.append(s)
+                q, v, s = _row_topk(ids_j, ids_i, sims.T, exclude_self=False)
+                qs.append(q); vs.append(v); ss.append(s)
+        if not qs:  # empty descriptor block (repartition imbalance)
+            qs, vs, ss = [np.empty(0, np.int64)], [np.empty(0, np.int64)], [np.empty(0, np.float64)]
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qs), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(vs), type=pa.int64()),
+                "score": pa.array(np.concatenate(ss), type=pa.float64()),
+            }
+        )
+
+    partials = desc.map_batches(cross, batch_format="pyarrow", batch_size=None)
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -s, q))  # (query asc, score desc, vec_id asc)
+        qo, vo = q[order], v[order]
+        new_grp = np.empty(len(qo), dtype=bool)
+        if len(qo):
+            new_grp[0] = True
+            new_grp[1:] = qo[1:] != qo[:-1]
+        starts = np.nonzero(new_grp)[0]
+        rank = np.arange(len(qo), dtype=np.int64) - np.repeat(starts, np.diff(np.append(starts, len(qo)))) + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "query_id": pa.array(qo[keep], type=pa.int64()),
+                "vec_id": pa.array(vo[keep], type=pa.int64()),
+                "rank": pa.array(rank[keep], type=pa.int64()),
+            }
+        )
+
+    return map_sorted_groups(partials, "query_id", final_topk, empty)
+
+
+KNN_GRAPH_SQL = """
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS score
+  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
