@@ -40,6 +40,7 @@ from ..functions.hashing import (
 )
 from ..functions.text import shingle_lists, token_lists_arrow
 from ..rayops import (
+    _block_num_rows,
     adaptive_partitions,
     attach_pair_sides,
     first_per_key,
@@ -587,7 +588,7 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.3, chunk_rows: int = 5
     k = max(1, -(-n // chunk_rows))
     chunks = normed.repartition(k).materialize()
     refs = chunks.to_arrow_refs()
-    sizes = ray.get([_num_rows.remote(r) for r in refs])
+    sizes = ray.get([_block_num_rows.remote(r) for r in refs])
     refs = [r for r, c in zip(refs, sizes) if c > 0]
     dim = _nvec_dim(chunks)
     items = [{"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))]
@@ -626,11 +627,6 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.3, chunk_rows: int = 5
         )
 
     return desc.map_batches(cross, batch_format="pyarrow", batch_size=None)
-
-
-@ray.remote
-def _num_rows(tbl) -> int:
-    return tbl.num_rows
 
 
 EMBEDDING_DUP_SQL = """

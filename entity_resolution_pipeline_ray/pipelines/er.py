@@ -386,6 +386,13 @@ def _attach_urls(res: dict, n_rows: int, cfg: ERConfig):
     return joined.select_columns(["url", "cluster_id"])
 
 
+# canonical-URL rule shared by url_snapshot_dedup / url_snapshot_thinning:
+# strip the trailing numeric version segment.  The __ray_entry__ oracle SQL
+# restates it as '/[0-9]+$' (oracles are independent restatements by design);
+# a change here must be mirrored there.
+CANON_URL_VERSION_RE = r"/\d+$"
+
+
 def url_snapshot_dedup(pages_ds):
     """Latest-crawl-wins URL snapshot dedup over a web-pages Dataset: the
     canonical URL is the page URL with its trailing version segment stripped,
@@ -403,7 +410,7 @@ def url_snapshot_dedup(pages_ds):
     def prep(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "canon_url": pc.replace_substring_regex(t["url"], pattern=r"/\d+$", replacement=""),
+                "canon_url": pc.replace_substring_regex(t["url"], pattern=CANON_URL_VERSION_RE, replacement=""),
                 "url": t["url"],
                 "ts_us": pc.cast(t["warc_ts"], pa.int64()),
             }
@@ -443,7 +450,7 @@ def url_snapshot_thinning(pages_ds):
     US_DAY = 86_400_000_000
 
     def prep(t: pa.Table) -> pa.Table:
-        canon = pc.replace_substring_regex(t["url"], pattern=r"/\d+$", replacement="")
+        canon = pc.replace_substring_regex(t["url"], pattern=CANON_URL_VERSION_RE, replacement="")
         ts_us = pc.cast(t["warc_ts"], pa.int64()).to_numpy(zero_copy_only=False)
         week_us = (((ts_us // US_DAY + 3) // 7) * 7 - 3) * US_DAY
         week_arr = pa.array(week_us, type=pa.int64())

@@ -876,19 +876,14 @@ def p_quality_skyline(sf_dir: str):
     (count of \\S+ runs == DuckDB ``len(regexp_split_to_array(trim(text),
     '\\s+'))`` with empty → 0).  Output (doc_id, n_chars, n_tokens), the
     full frontier including coordinate-duplicates."""
-    import pyarrow.compute as pc
+    from .text_analysis import token_count_arrow
 
     ds = _docs(sf_dir, ["doc_id", "text", "n_chars"])
 
     def local_frontier(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        filled = pc.coalesce(t["text"], pa.scalar("", type=pa.string()))
-        ntok = (
-            pc.cast(pc.count_substring_regex(filled, pattern=r"\S+"), pa.int64())
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
+        ntok = token_count_arrow(t["text"]).to_numpy(zero_copy_only=False).astype(np.int64)
         m = _skyline_mask(nch, ntok)
         return pa.table(
             {

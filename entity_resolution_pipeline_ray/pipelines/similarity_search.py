@@ -999,11 +999,6 @@ GROUP BY bf.query_id
 """
 
 
-@ray.remote
-def _chunk_rows(tbl) -> int:
-    return tbl.num_rows
-
-
 def s_knn_graph(sf_dir: str, k: int = 5, chunk_rows: int = 2048):
     """Exact kNN SELF-join (the kNN-graph build behind SemDeDup-style semantic
     clustering): every vector's top-k cosine neighbors over the whole corpus —
@@ -1022,10 +1017,15 @@ def s_knn_graph(sf_dir: str, k: int = 5, chunk_rows: int = 2048):
     SQL oracle, so a k-boundary score tie can never drop the candidate the
     global order keeps (the knn_bruteforce discipline).  Output
     (query_id, vec_id, rank), rank 1..k, self-pairs excluded."""
-    from ..rayops import map_sorted_groups
+    from ..rayops import _block_num_rows, map_sorted_groups
+    from .dedup import _normalized_embeddings
 
-    emb = _embeddings(sf_dir).materialize()
-    n = emb.count()
+    # normalize ONCE before chunking (the _normalized_embeddings contract the
+    # other embedding plans share); tasks then just view the FixedSizeList —
+    # without this, each chunk would be re-normalized in every one of the ~c
+    # pair tasks that touches it (O(n·d·c) redundant work)
+    normed = _normalized_embeddings(sf_dir).materialize()
+    n = normed.count()
     empty = pa.table(
         {
             "query_id": pa.array([], type=pa.int64()),
@@ -1036,9 +1036,9 @@ def s_knn_graph(sf_dir: str, k: int = 5, chunk_rows: int = 2048):
     if n == 0:
         return rd.from_arrow(empty)
     n_chunks = max(1, -(-n // chunk_rows))
-    chunks = emb.repartition(n_chunks).materialize()
+    chunks = normed.repartition(n_chunks).materialize()
     refs = chunks.to_arrow_refs()
-    sizes = ray.get([_chunk_rows.remote(r) for r in refs])
+    sizes = ray.get([_block_num_rows.remote(r) for r in refs])
     refs = [r for r, c in zip(refs, sizes) if c > 0]
     items = [{"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))]
     desc = rd.from_items(items).repartition(len(items))
@@ -1046,9 +1046,7 @@ def s_knn_graph(sf_dir: str, k: int = 5, chunk_rows: int = 2048):
 
     def _norm(t: pa.Table):
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = list_float_matrix(t["embedding"])
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return ids, m
+        return ids, list_float_matrix(t["nvec"])
 
     def _row_topk(ids_q, ids_c, sims, exclude_self):
         # per row of `sims` (queries x candidates): top-k by (score desc, id asc)

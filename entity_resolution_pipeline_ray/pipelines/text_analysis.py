@@ -109,16 +109,24 @@ FROM documents GROUP BY 1
 """
 
 
+def token_count_arrow(text_col) -> pa.Array:
+    """int64 whitespace-token counts of a (possibly null) string column —
+    count of \\S+ runs == DuckDB ``len(regexp_split_to_array(trim(text),
+    '\\s+'))`` with empty/null → 0.  THE pinned parity kernel: every operator
+    that counts whitespace tokens for an oracled output (t_token_count,
+    p_quality_skyline) must use this function, so a parity fix propagates
+    everywhere at once (equivalence with the scalar whitespace_token_count
+    pinned by test)."""
+    filled = pc.coalesce(text_col, pa.scalar("", type=pa.string()))
+    return pc.cast(pc.count_substring_regex(filled, pattern=r"\S+"), pa.int64())
+
+
 def t_token_count(sf_dir: str):
     """Whitespace token counting (oracle parity with regexp_split_to_array)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        # count of \S+ runs == len(split(trim(text), '\s+')) with empty -> 0
-        # (equivalence with the scalar whitespace_token_count pinned by test)
-        filled = pc.coalesce(t["text"], pa.scalar("", type=pa.string()))
-        n = pc.cast(pc.count_substring_regex(filled, pattern=r"\S+"), pa.int64())
-        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": token_count_arrow(t["text"])})
 
     return ds.map_batches(f, batch_format="pyarrow")
 
